@@ -1,0 +1,73 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is timed end-to-end (plan + execute + collect) after a shared
+session warm-up, mirroring how a user would run it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from airflow_postgres_etl_spark.plans.queries import QUERIES
+from airflow_postgres_etl_spark.session import get_spark
+
+# Headline set: one per operator class (scan-agg, top-k, window-rank, FK
+# join, wide partial agg, 3-way join, 5-way broadcast join, pushdown scan,
+# semi/anti, partitioned window, rollup) + the scale-path extension ops.
+HEADLINE = [
+    "q1_events_per_minute",
+    "q2_top_event_types",
+    "q2b_top_users",
+    "q3_rank_event_types",
+    "q4_customer_orders",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_revenue_by_nation",
+    "tpch_q6_revenue_forecast",
+    "q_customers_with_open_orders",
+    "q_customers_without_orders",
+    "q_top3_orders_per_customer",
+    "q_rollup_order_status",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+    # warm the JVM + parquet footer cache outside the timed region
+    QUERIES["tpch_q6_revenue_forecast"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
