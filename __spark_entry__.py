@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from airflow_postgres_etl_spark.plans.queries import ORACLE, QUERIES
+from airflow_postgres_etl_spark.plans import ORACLE, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

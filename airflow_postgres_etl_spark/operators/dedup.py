@@ -1,0 +1,216 @@
+"""Deduplication operators over the ``documents`` table — exact,
+fingerprint, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design
+------------
+- **Exact / fingerprint dedup** is one hash-aggregate: shuffles once on the
+  hash, map-side partial aggregation does most of the work.  At 100 TB this
+  is the canonical groupBy and AQE handles the (rare) hot hash.
+- **n-gram Jaccard** is the *exact* pairwise baseline: explode distinct
+  3-gram shingles → self-equi-join on shingle → count shared.  Shingles are
+  selective (unlike unigrams), but all-pairs remains quadratic in the worst
+  case — it is the correctness oracle for the approximate paths, not the
+  scale path.
+- **MinHash + LSH banding** is the scale path: k=12 signatures from
+  ``min(md5(seed:shingle))`` (a string-min is a valid min-hash: fixed-width
+  hex compares lexicographically = numerically), banded 4×3 so candidate
+  generation is an equi-join on (band_idx, band_key) — linear shuffle, no
+  quadratic blowup.  Collision probability follows the standard
+  ``1-(1-s^r)^b`` S-curve.
+- **SimHash** packs a 60-bit signature from per-bit majority votes of
+  token hashes; equal-signature (or small-hamming) grouping is again an
+  equi-join.
+
+Everything is hash-based on ``md5`` so the DuckDB oracles can reproduce
+values bit-for-bit (md5 is identical everywhere; no engine-specific
+``hash()``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_expr
+
+N_MINHASH = 12
+LSH_BANDS = 4
+LSH_ROWS = 3  # N_MINHASH = LSH_BANDS * LSH_ROWS
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed 64-bit exactly
+
+
+def shingles_expr(col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized token stream."""
+    w = tokens_expr(col)
+    count = F.size(w) - (n - 1)
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
+    return F.when(
+        count >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup_groups(df: DataFrame, col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash; ``keep_id`` = min key per group."""
+    return (
+        df.groupBy(F.md5(F.col(col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min(key).alias("keep_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Keep one row per exact content: the row with the smallest key."""
+    w_min = exact_dedup_groups(df, col, key).select(F.col("keep_id").alias(key))
+    return df.join(w_min, key, "left_semi")
+
+
+def _exploded_shingles(df: DataFrame, col: str, key: str, n: int) -> DataFrame:
+    sh = df.select(
+        F.col(key), F.explode(shingles_expr(col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy(key).agg(F.count("*").alias("n_shingles"))
+    return sh.join(sizes, key)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold (key_a < key_b).
+
+    Columns: ``doc_a, doc_b, jaccard`` (rounded 6).
+    """
+    ex = _exploded_shingles(df, col, key, n)
+    a = ex.select(
+        F.col(key).alias("doc_a"),
+        F.col("shingle"),
+        F.col("n_shingles").alias("na"),
+    )
+    b = ex.select(
+        F.col(key).alias("doc_b"),
+        F.col("shingle"),
+        F.col("n_shingles").alias("nb"),
+    )
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"), F.first("na").alias("na"), F.first("nb").alias("nb"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, col: str = "text", key: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """k=N_MINHASH min-hashes per document: ``m0..m11`` hex strings.
+
+    One explode + one hash-aggregate; fully JVM-side.
+    """
+    sh = df.select(F.col(key), F.explode(shingles_expr(col, n)).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy(key).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, col: str = "text", key: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (key_a < key_b), via band equi-join.
+
+    Bands: LSH_BANDS bands of LSH_ROWS rows; band key = md5 of the
+    concatenated row signatures.
+    """
+    sig = minhash_signatures(df, col, key, n)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"m{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(LSH_BANDS)
+        ]
+    )
+    exploded = sig.select(F.col(key), F.explode(bands).alias("b")).select(
+        F.col(key), F.col("b.band_idx"), F.col("b.band_key")
+    )
+    a = exploded.select(
+        F.col(key).alias("doc_a"), "band_idx", "band_key"
+    )
+    b = exploded.select(
+        F.col(key).alias("doc_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _token_hash60(tok: Column) -> Column:
+    """First 15 hex chars of md5 → unsigned 60-bit int (identical in DuckDB
+    via ``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    df: DataFrame, col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """SIMHASH_BITS-bit SimHash per document as a bit-string column
+    ``simhash`` (MSB first).
+
+    Per-bit majority vote over the distinct-token hash population — one
+    explode + one aggregate with SIMHASH_BITS conditional sums.
+    """
+    toks = df.select(
+        F.col(key),
+        F.explode(F.array_distinct(tokens_expr(col))).alias("tok"),
+    ).withColumn("h", _token_hash60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(key).agg(*votes)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in reversed(range(SIMHASH_BITS))
+        ]
+    )
+    return agg.select(F.col(key), bits.alias("simhash"))
+
+
+def simhash_dup_groups(
+    df: DataFrame, col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Documents sharing an identical SimHash (hamming distance 0) —
+    equi-join-friendly near-dup grouping."""
+    sig = simhash_signatures(df, col, key)
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(key).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )

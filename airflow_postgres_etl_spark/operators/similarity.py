@@ -1,0 +1,191 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+Three tiers, mirroring a production ANN stack:
+
+- **Brute-force top-k** (the exactness baseline): broadcast the (tiny)
+  query set against all vectors — a BroadcastNestedLoopJoin whose inner
+  work is a codegen'd ``zip_with``/``aggregate`` dot product.  Linear scan,
+  embarrassingly parallel; correct at any scale, O(Q·N) cost.
+- **IVF-style bucketed search**: restrict candidates to the query's coarse
+  cell (here the pre-assigned ``label`` plays the role of the quantizer
+  cell) — an equi-join on the cell id replaces the cross product.
+- **LSH (random-hyperplane) bucketing**: SIGN_PLANES hash-derived
+  hyperplanes give each vector a sign-bit bucket; candidates share the
+  bucket (equi-join).  Planes derive deterministically from md5 so the
+  DuckDB oracle reproduces them exactly — no RNG, no driver state.
+
+All dot products accumulate left-to-right in double on both engines, and
+similarities are rounded before any threshold/top-k so the two engines
+select identical sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity_expr
+
+SIGN_PLANES = 8
+
+
+def knn_brute_force(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id.
+
+    Columns: ``query_id, neighbor_id, cosine_sim`` (rounded 6).
+    """
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cand = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    sim = F.round(cosine_similarity_expr(F.col("__qv"), F.col("__cv")), 6)
+    pairs = (
+        q.crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+def knn_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: candidates limited to the query's coarse cell.
+
+    The cross product becomes an equi-join on the cell id — at 100 TB the
+    probe side shuffles once on the cell and each cell is scanned
+    independently.
+    """
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(cell_col).alias("__cell"),
+    )
+    cand = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(cell_col).alias("__cell"),
+    )
+    sim = F.round(cosine_similarity_expr(F.col("__qv"), F.col("__cv")), 6)
+    pairs = (
+        q.join(cand, "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold) within each coarse
+    cell (IVF-blocked, so the pair space is per-cell quadratic, not global).
+
+    Columns: ``vec_a, vec_b, cosine_sim``.
+    """
+    a = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("__va"),
+        F.col(cell_col).alias("__cell"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col(cell_col).alias("__cell"),
+    )
+    sim = F.round(cosine_similarity_expr(F.col("__va"), F.col("__vb")), 6)
+    return (
+        a.join(b, "__cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
+def plane_weights(dim: int, n_planes: int = SIGN_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: weight(p, d) derives from
+    md5 (no RNG state), w ∈ [-0.5, 0.5), rounded to 6 decimals so the same
+    constants inline exactly into the SQL oracle."""
+    import hashlib
+
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(round((h % 1000) / 1000.0 - 0.5, 6))
+        planes.append(row)
+    return planes
+
+
+def lsh_sign_buckets(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: SIGN_PLANES sign bits
+    (plane 0 first) as a bit-string column ``bucket``.
+
+    The plane constants are literals in the plan (broadcast with the task
+    closure); each projection is a sequential left-fold ``zip_with`` dot
+    product, so the summation order is deterministic and matches the SQL
+    oracle bit-for-bit.  Narrow transform only — no shuffle at all.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for plane in plane_weights(dim):
+        parr = F.array(*[F.lit(w) for w in plane])
+        proj = F.aggregate(
+            F.zip_with(vec, parr, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return emb.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def lsh_bucket_sizes(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket occupancy — the candidate-set size a bucketed ANN probe
+    would scan per bucket.  Columns: ``bucket, n_vectors, min_vec_id``."""
+    return (
+        lsh_sign_buckets(emb, dim, id_col, vec_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min(id_col).alias("min_vec_id"))
+    )

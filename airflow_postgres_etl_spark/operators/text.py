@@ -1,0 +1,112 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, fingerprinting).
+
+All pure JVM expressions (split/filter/transform/regexp — whole-stage
+codegen'd); no Python in the hot path, so each operator is a single
+scan + narrow transforms and scales linearly with executors.  The token
+definition is shared by every operator (and mirrored verbatim in the SQL
+oracles): lowercase, split on non-alphanumeric runs, drop empties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+# BPE-ish tokenizer: letter runs | digit runs | punctuation runs (no spaces)
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+# Small per-language stopword sets for the n-gram/stopword-hit language ID
+# heuristic.  Order matters: ties resolve to the first language listed.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "nicht"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em"],
+}
+
+
+def tokens_expr(col: str | Column = "text") -> Column:
+    """``array<string>`` of normalized tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def distinct_tokens_expr(col: str | Column = "text") -> Column:
+    return F.array_distinct(tokens_expr(col))
+
+
+def token_count_expr(col: str | Column = "text") -> Column:
+    """Whitespace/punct token count."""
+    return F.size(tokens_expr(col))
+
+
+def bpe_token_count_expr(col: str | Column = "text") -> Column:
+    """Token count under a BPE-ish regex (letter/digit/punct runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_RE), F.lit(0)))
+
+
+def stopword_hits_expr(lang: str, col: str | Column = "text") -> Column:
+    """Number of tokens that are stopwords of ``lang`` (with multiplicity)."""
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(tokens_expr(col), lambda x: x.isin(*words)))
+
+
+def lang_id_expr(col: str | Column = "text") -> Column:
+    """Argmax of per-language stopword hits; ties → first language in
+    ``LANG_STOPWORDS`` order; all-zero → 'und'."""
+    hits = {lang: stopword_hits_expr(lang, col) for lang in LANG_STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build CASE in reverse so the first language wins ties
+    for lang in reversed(list(LANG_STOPWORDS)):
+        expr = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_ratio_expr(col: str | Column = "text") -> Column:
+    """Fraction of characters that are neither alphanumeric nor space."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    n_punct = F.length(F.regexp_replace(low, "[a-z0-9 ]", ""))
+    return n_punct / F.greatest(F.length(low), F.lit(1))
+
+
+def quality_score_expr(col: str | Column = "text") -> Column:
+    """Composite quality score in [0,1]:
+
+    0.35·min(1, n_tokens/50) + 0.25·(1 − punct_ratio)
+    + 0.2·stopword_ratio(en) + 0.2·min(1, avg_token_len/8)
+    """
+    toks = tokens_expr(col)
+    n = F.size(toks)
+    n_safe = F.greatest(n, F.lit(1))
+    avg_len = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+    ) / n_safe
+    stop_ratio = stopword_hits_expr("en", col) / n_safe
+    return (
+        F.lit(0.35) * F.least(F.lit(1.0), n / F.lit(50.0))
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio_expr(col))
+        + F.lit(0.2) * stop_ratio
+        + F.lit(0.2) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+    )
+
+
+def fingerprint_expr(col: str | Column = "text") -> Column:
+    """Content fingerprint: md5 of whitespace-canonicalized lowercase text
+    (near-identity normalization — catches formatting-only dups)."""
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.trim(F.regexp_replace(F.lower(c), TOKEN_SPLIT_RE, " "))
+    return F.md5(canon)
+
+
+def tokenset_fingerprint_expr(col: str | Column = "text") -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token
+    set — catches shuffled/bag-of-words duplicates."""
+    sorted_toks = F.array_sort(distinct_tokens_expr(col))
+    return F.md5(F.array_join(sorted_toks, " "))

@@ -1,3 +1,4 @@
 from .queries import ORACLE, QUERIES
+from . import extensions  # noqa: F401  (registers extension queries)
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,519 @@
+"""Extension queries: text analysis, dedup, similarity, sessionization,
+pivot — the training-data-pipeline surface (brief: first-class judged
+components), each registered with a DuckDB oracle twin.
+
+The SQL oracles mirror the Spark expression *structure* (same operation
+order, same rounding points) so floating-point results match bit-for-bit;
+hash-derived constants (SimHash bit planes, LSH hyperplanes) are generated
+from md5 on both sides, never from engine RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from ..sources.parquet_source import load_table
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (must mirror operators.text exactly)
+# ---------------------------------------------------------------------------
+SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+SQL_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(w)-2), "
+    "i -> array_to_string(w[i:i+2], ' '))) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len({SQL_TOKS}) AS n_tokens,
+           len(list_distinct({SQL_TOKS})) AS n_unique,
+           len(regexp_extract_all(lower(text), '{X.BPE_RE}')) AS n_bpe
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count_expr().alias("n_tokens"),
+        F.size(X.distinct_tokens_expr()).alias("n_unique"),
+        X.bpe_token_count_expr().alias("n_bpe"),
+    )
+
+
+_SQL_STOP_HITS = {
+    lang: (
+        "len(list_filter(toks, x -> x IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + ")))"
+    )
+    for lang, words in X.LANG_STOPWORDS.items()
+}
+
+_SQL_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN best > 0 AND {lang}_hits = best THEN '{lang}'"
+        for lang in X.LANG_STOPWORDS
+    )
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    h AS (
+        SELECT doc_id,
+               {", ".join(f"{expr} AS {lang}_hits" for lang, expr in _SQL_STOP_HITS.items())}
+        FROM t
+    ),
+    b AS (
+        SELECT *, greatest({", ".join(f"{lang}_hits" for lang in X.LANG_STOPWORDS)}) AS best
+        FROM h
+    )
+    SELECT doc_id, {_SQL_LANG_CASE} AS pred_lang FROM b
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id_expr().alias("pred_lang"))
+
+
+@query(
+    "text_quality_scores",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, text, toks,
+               greatest(len(toks), 1) AS n_safe,
+               len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"])}))) AS stop_hits,
+               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                   / greatest(length(lower(text)), 1) AS punct_ratio,
+               list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+        FROM t
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_hits / n_safe, 6) AS stopword_ratio,
+           round(coalesce(tok_chars, 0) / n_safe, 6) AS avg_token_len,
+           round(0.35 * least(1.0, len(toks) / 50.0)
+                 + 0.25 * (1.0 - punct_ratio)
+                 + 0.2 * (stop_hits / n_safe)
+                 + 0.2 * least(1.0, (coalesce(tok_chars, 0) / n_safe) / 8.0), 6)
+               AS quality_score
+    FROM c
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens_expr()
+    n_safe = F.greatest(F.size(toks), F.lit(1))
+    stop_hits = X.stopword_hits_expr("en")
+    punct = X.punct_ratio_expr()
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    avg_len = tok_chars / n_safe
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stop_hits / n_safe, 6).alias("stopword_ratio"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(X.quality_score_expr(), 6).alias("quality_score"),
+    )
+
+
+@query(
+    "text_fingerprints",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_canon,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''))), ' ')) AS fp_tokenset
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.fingerprint_expr().alias("fp_canon"),
+        X.tokenset_fingerprint_expr().alias("fp_tokenset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_tokenset_groups",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''))), ' ')) AS fp_tokenset
+        FROM documents
+    )
+    SELECT fp_tokenset, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM fp GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_tokenset_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", X.tokenset_fingerprint_expr().alias("fp_tokenset"))
+        .groupBy("fp_tokenset")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_SQL_SHINGLE_CTE = f"""
+    w AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+    sh AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM w),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n FROM sh)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SQL_SHINGLE_CTE},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared, min(a.n) AS na, min(b.n) AS nb
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(shared / (na + nb - shared), 6) AS jaccard
+    FROM pairs
+    WHERE round(shared / (na + nb - shared), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_MINHASH_AGGS = ", ".join(
+    f"min(md5('{i}:' || shingle)) AS m{i}" for i in range(D.N_MINHASH)
+)
+
+
+@query(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_SQL_SHINGLE_CTE}
+    SELECT doc_id, {_SQL_MINHASH_AGGS}
+    FROM ex GROUP BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band_idx, md5(concat_ws('|', "
+    + ", ".join(f"m{bi * D.LSH_ROWS + r}" for r in range(D.LSH_ROWS))
+    + ")) AS band_key FROM sig"
+    for bi in range(D.LSH_BANDS)
+)
+
+
+@query(
+    "dedup_lsh_pairs",
+    f"""
+    WITH {_SQL_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM ex GROUP BY doc_id),
+    bands AS ({_SQL_BANDS})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(D.SIMHASH_BITS)
+)
+_SQL_SIMHASH_CONCAT = " || ".join(
+    f"(CASE WHEN b{b} > 0 THEN '1' ELSE '0' END)"
+    for b in reversed(range(D.SIMHASH_BITS))
+)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS tok FROM documents
+    ), h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t
+    ), v AS (
+        SELECT doc_id, {_SQL_SIMHASH_VOTES} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, {_SQL_SIMHASH_CONCAT} AS simhash FROM v
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+EMB_DIM = 64
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+_SQL_COS = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+@query(
+    "sim_knn_brute_force",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+    pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.v AS cv, q.qv
+        FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, {_SQL_COS} AS cosine_sim
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY {_SQL_COS} DESC, neighbor_id
+    ) <= 10
+    """,
+)
+def sim_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_brute_force(emb, KNN_QUERY_IDS, k=10)
+
+
+@query(
+    "sim_knn_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, label FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+    pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.v AS cv, q.qv
+        FROM q JOIN e ON q.label = e.label WHERE q.query_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, {_SQL_COS} AS cosine_sim
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY {_SQL_COS} DESC, neighbor_id
+    ) <= 5
+    """,
+)
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_ivf(emb, KNN_QUERY_IDS, k=5)
+
+
+@query(
+    "sim_near_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+               AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+          >= 0.4
+    """,
+)
+def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def _sql_plane_dot(plane: list[float]) -> str:
+    arr = "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
+    return f"list_dot_product(embedding::DOUBLE[], {arr})"
+
+
+_SQL_LSH_BITS = " || ".join(
+    f"(CASE WHEN {_sql_plane_dot(plane)} > 0 THEN '1' ELSE '0' END)"
+    for plane in S.plane_weights(EMB_DIM)
+)
+
+
+@query(
+    "sim_lsh_buckets",
+    f"""
+    WITH b AS (SELECT vec_id, {_SQL_LSH_BITS} AS bucket FROM embeddings)
+    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM b GROUP BY bucket
+    """,
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_sizes(emb, EMB_DIM)
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization, pivot, distinct aggregation
+# ---------------------------------------------------------------------------
+@query(
+    "q_user_sessions",
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        events.withColumn("gap", gap)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot_event_counts",
+    "SELECT user_id, "
+    + ", ".join(
+        # 'view' is a reserved word in some dialects — prefix every pivot col
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+@query(
+    "q_distinct_users_per_type",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function parity sweep (math / string / date kernels)
+# ---------------------------------------------------------------------------
+@query(
+    "q_scalar_functions",
+    """
+    SELECT o_orderkey,
+           abs(o_totalprice - 1000.0) AS abs_diff,
+           round(sqrt(o_totalprice), 6) AS sqrt_price,
+           ceil(o_totalprice) AS ceil_price,
+           floor(o_totalprice) AS floor_price,
+           round(ln(o_totalprice + 1.0), 6) AS log_price,
+           upper(o_orderstatus) AS status_upper,
+           substr(o_orderpriority, 1, 3) AS prio3,
+           length(o_orderpriority) AS prio_len,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day
+    FROM orders
+    """,
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 1000.0).alias("abs_diff"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.ceil("o_totalprice").alias("ceil_price"),
+        F.floor("o_totalprice").alias("floor_price"),
+        F.round(F.log(F.col("o_totalprice") + 1.0), 6).alias("log_price"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 3).alias("prio3"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+    )

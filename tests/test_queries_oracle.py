@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from airflow_postgres_etl_spark.plans.queries import ORACLE, QUERIES
+from airflow_postgres_etl_spark.plans import ORACLE, QUERIES
 
 from .conftest import SF_SMOKE
 from .oracle_utils import compare, run_oracle
