@@ -1,0 +1,68 @@
+"""Incremental batch pipeline — the reference's two DAGs as one lazy plan.
+
+Reference flow (SURVEY §3.1): list files → read high-water mark → filter
+``file > hwm`` → per-3-files pandas loop → delete+insert.  Here: one
+multi-file scan, plan-level HWM filter, one keyed-overwrite merge.  The
+micro-batch accumulate/flush loop (T2) disappears — partitioned execution
+is Spark's native memory bounding.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.ingest import build_events, build_tracking, filter_after_high_water_mark
+from .sink import keyed_overwrite_parquet
+from .sources.csv_source import read_tracking_csv
+
+
+def parquet_high_water_mark(
+    spark: SparkSession, target: str, column: str = "fileName"
+) -> str | None:
+    """S8 against the parquet mirror: max(fileName) already loaded."""
+    if not os.path.isdir(target):
+        return None
+    df = spark.read.parquet(target)
+    return df.agg(F.max(column)).collect()[0][0]
+
+
+def incremental_load(
+    spark: SparkSession,
+    csv_dir: str,
+    tracking_target: str,
+    events_target: str,
+    *,
+    key: str = "oid__id",
+) -> dict[str, int]:
+    """Run one incremental cycle: new files only → tracking + events →
+    keyed-overwrite merge.  Returns rows merged per table.
+
+    Idempotent: re-running with no new files merges nothing; re-running
+    after a partial failure replays the same keys (replace-by-key makes
+    the replay harmless).
+    """
+    raw = read_tracking_csv(spark, os.path.join(csv_dir, "*.csv"))
+    hwm = parquet_high_water_mark(spark, tracking_target)
+    fresh = filter_after_high_water_mark(raw, hwm)
+    if not fresh.take(1):
+        return {"tracking": 0, "events": 0}
+
+    tracking = build_tracking(fresh)
+    events = build_events(fresh)
+
+    counts = {"tracking": tracking.count(), "events": events.count()}
+    # events first: the HWM is read from the tracking mirror, so it must
+    # advance LAST — a failure between the two merges then replays both
+    # (harmless under replace-by-key) instead of silently skipping events.
+    keyed_overwrite_parquet(spark, events, events_target, key)
+    keyed_overwrite_parquet(spark, tracking, tracking_target, key)
+    return counts
+
+
+def load_outputs(
+    spark: SparkSession, tracking_target: str, events_target: str
+) -> tuple[DataFrame, DataFrame]:
+    return spark.read.parquet(tracking_target), spark.read.parquet(events_target)

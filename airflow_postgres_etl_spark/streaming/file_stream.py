@@ -1,0 +1,83 @@
+"""Structured Streaming variants of the pipeline.
+
+The reference's incremental design — high-water mark (S8), strictly
+ordered file names (S2), micro-batch flush (T2), idempotent keyed
+overwrite (S9) — is exactly Structured Streaming's file-source contract:
+the checkpoint IS the high-water mark, ``maxFilesPerTrigger`` IS the batch
+bound, and ``foreachBatch`` + replace-by-key IS the idempotent sink.  So
+the streaming pipeline reuses the same ingest operators and the same merge
+sink, and S2/S8/T1/T2 disappear into Spark (SURVEY §7.6).
+
+``windowed_event_counts`` is the streaming analog of Q1 (per-minute
+counts): a 1-minute tumbling window with a watermark for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.ingest import build_events, build_tracking
+from ..schemas import TRACKING_RAW
+from ..sink import keyed_overwrite_parquet
+from ..sources.csv_source import with_file_name
+
+
+def stream_ingest(
+    spark: SparkSession,
+    csv_dir: str,
+    tracking_target: str,
+    events_target: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 3,
+) -> StreamingQuery:
+    """Continuous ingest: file source → ingest chain → keyed merge.
+
+    ``maxFilesPerTrigger=3`` mirrors the reference's events n_batch=3
+    (``events_table.py:103``) as a rate bound, not a memory crutch.
+    Exactly-once: file-source checkpoint (which files) + replace-by-key
+    merge (idempotent batch replay) compose to effective exactly-once.
+    """
+    raw = (
+        spark.readStream.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .schema(TRACKING_RAW)
+        .csv(csv_dir)
+    )
+    raw = with_file_name(raw)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark_b = batch.sparkSession
+        # events first; tracking (HWM-bearing in the batch analog) last
+        keyed_overwrite_parquet(spark_b, build_events(batch), events_target)
+        keyed_overwrite_parquet(spark_b, build_tracking(batch), tracking_target)
+
+    return (
+        raw.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming Q1: tumbling-window counts with late-data watermark.
+
+    Works on a streaming OR batch DataFrame (same plan either way).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("minute"), "n_events")
+    )
