@@ -477,6 +477,61 @@ def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload → pandas decode → frame explode).
+# The Spark side runs real mapInPandas over a binary column; the oracle
+# reproduces the deterministic stub features arithmetically (SQL never
+# touches Python) — proving the plumbing end-to-end, not just the stub.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum,
+           octet_length(encode(text)) % 640 AS fake_width,
+           (octet_length(encode(text)) * 7) % 480 AS fake_height,
+           octet_length(encode(text)) % 16 + 1 AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_payload, extract_media_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_features(attach_payload(docs))
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH f AS (
+        SELECT doc_id, md5(text) AS checksum,
+               octet_length(encode(text)) % 16 + 1 AS n_frames
+        FROM documents
+    ), x AS (
+        SELECT doc_id, checksum, n_frames,
+               unnest(generate_series(1, n_frames)) AS frame_idx
+        FROM f
+    )
+    SELECT doc_id, checksum, n_frames, frame_idx,
+           md5(concat(checksum, ':', frame_idx)) AS frame_hash
+    FROM x
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_payload,
+        extract_media_features,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(extract_media_features(attach_payload(docs))).select(
+        "doc_id", "checksum", "n_frames", "frame_idx", "frame_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scalar-function parity sweep (math / string / date kernels)
 # ---------------------------------------------------------------------------
 @query(

@@ -1,0 +1,46 @@
+"""Multimodal plumbing tests: binary schema, Arrow batch shape,
+deterministic stub decode, frame explode."""
+
+from __future__ import annotations
+
+import hashlib
+
+from airflow_postgres_etl_spark.operators.multimodal import (
+    HAVE_CODECS,
+    attach_payload,
+    extract_media_features,
+    sample_frames,
+)
+from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_payload_is_binary(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    with_payload = attach_payload(docs)
+    assert dict(with_payload.dtypes)["payload"] == "binary"
+
+
+def test_stub_features_deterministic(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    feats = extract_media_features(attach_payload(docs)).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(feats) == 20
+    for r in feats:
+        raw = texts[r.doc_id].encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.checksum == hashlib.md5(raw).hexdigest()
+        assert 1 <= r.n_frames <= 16
+
+
+def test_frame_sample_explodes_n_frames(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    feats = extract_media_features(attach_payload(docs))
+    frames = sample_frames(feats)
+    per_doc = {r.doc_id: r.n_frames for r in feats.collect()}
+    counts = {
+        r.doc_id: r["count"] for r in frames.groupBy("doc_id").count().collect()
+    }
+    assert counts == per_doc
+    assert HAVE_CODECS is False  # this environment ships the stub path
