@@ -35,6 +35,19 @@ HEADLINE = [
     "q_customers_without_orders",
     "q_top3_orders_per_customer",
     "q_rollup_order_status",
+    "q_user_sessions",
+    "q_pivot_event_counts",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_scores",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "sim_knn_brute_force",
+    "sim_knn_ivf",
+    "sim_lsh_buckets",
+    "multimodal_features",
 ]
 
 
