@@ -1,0 +1,61 @@
+"""User-facing engine facade.
+
+A user of the reference drives three surfaces (SURVEY §3): the two ETL
+DAGs and interactive SQL on the loaded tables.  :class:`Engine` exposes the
+same three in one object:
+
+>>> eng = Engine()                               # or Engine(spark)
+>>> eng.ingest("data/extracted", "out/")         # both DAGs, incremental
+>>> eng.sql("SELECT count(*) FROM events")       # interactive SQL
+>>> eng.query("q3_rank_event_types", sf_dir)     # named query library
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .pipeline import incremental_load
+from .plans import ORACLE, QUERIES
+from .session import get_spark
+from .sources.parquet_source import register_views
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None) -> None:
+        self.spark = spark or get_spark()
+
+    # -- ETL surface (reference entry points A+B) ---------------------------
+    def ingest(self, csv_dir: str, out_dir: str) -> dict[str, int]:
+        """Incremental CSV→tracking/events load into parquet mirrors under
+        ``out_dir`` (replace-by-key, high-water-mark incremental)."""
+        counts = incremental_load(
+            self.spark,
+            csv_dir,
+            os.path.join(out_dir, "tracking"),
+            os.path.join(out_dir, "events"),
+        )
+        # keep the SQL surface in sync with the freshly loaded tables
+        for name in ("tracking", "events"):
+            path = os.path.join(out_dir, name)
+            if os.path.isdir(path):
+                self.spark.read.parquet(path).createOrReplaceTempView(name)
+        return counts
+
+    # -- SQL surface (reference entry point C) ------------------------------
+    def sql(self, statement: str) -> DataFrame:
+        return self.spark.sql(statement)
+
+    def register_testdata(self, sf_dir: str) -> None:
+        register_views(self.spark, sf_dir)
+
+    # -- named query library -------------------------------------------------
+    def query(self, name: str, sf_dir: str) -> DataFrame:
+        return QUERIES[name](self.spark, sf_dir)
+
+    def queries(self) -> list[str]:
+        return sorted(QUERIES)
+
+    def oracle(self, name: str) -> str | None:
+        return ORACLE.get(name)
