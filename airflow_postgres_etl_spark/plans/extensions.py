@@ -477,6 +477,208 @@ def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Custom joins Spark lacks natively (operators.joins): as-of + range.
+# DuckDB's native ASOF JOIN is the oracle for the union+window formulation.
+# ---------------------------------------------------------------------------
+@query(
+    "q_asof_join",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    # pre-reduce the right side to one row per (key, ts) for determinism
+    o = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        o,
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("o_orderkey").alias("last_orderkey")
+    )
+
+
+PRICE_BANDS = [(0.0, 500.0, "xs"), (500.0, 1500.0, "s"), (1500.0, 3000.0, "m"),
+               (3000.0, 6000.0, "l"), (6000.0, 100000.0, "xl")]
+
+_SQL_BANDS_VALUES = ", ".join(f"({lo}, {hi}, '{nm}')" for lo, hi, nm in PRICE_BANDS)
+
+
+@query(
+    "q_range_join",
+    f"""
+    WITH bands(lo, hi, band) AS (VALUES {_SQL_BANDS_VALUES})
+    SELECT b.band, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import range_join_bucketized
+
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, ["lo", "hi", "band"])
+    joined = range_join_bucketized(o, bands, "o_totalprice", bucket_width=500.0)
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (union / intersect / except) — reference has union only
+# (T2 pd.concat); the rest round out the relational surface.
+# ---------------------------------------------------------------------------
+@query(
+    "q_set_ops",
+    """
+    WITH building AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    big_spenders AS (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 2000
+    )
+    SELECT 'union' AS op, count(*) AS n FROM (
+        SELECT c_custkey FROM building UNION SELECT c_custkey FROM big_spenders
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n FROM (
+        SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM big_spenders
+    )
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (
+        SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM big_spenders
+    )
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    spenders = (
+        o.filter(F.col("o_totalprice") > 2000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+
+    def count_of(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        count_of(building.union(spenders).distinct(), "union")
+        .unionByName(count_of(building.intersect(spenders), "intersect"))
+        .unionByName(count_of(building.exceptAll(spenders).distinct(), "except"))
+    )
+
+
+# Correlated EXISTS + scalar subquery + HAVING — the subquery decorrelation
+# surface Catalyst rewrites into joins.
+@query(
+    "q_subqueries_having",
+    """
+    SELECT c.c_nationkey,
+           count(*) AS n_customers,
+           round(avg(c.c_acctbal), 4) AS avg_bal
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          )
+      AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    GROUP BY c.c_nationkey
+    HAVING count(*) >= 2
+    ORDER BY c_nationkey
+    """,
+)
+def q_subqueries_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("__c")
+    o.createOrReplaceTempView("__o")
+    # the SQL form IS the DataFrame form here: spark.sql builds the same
+    # Catalyst plan; EXISTS decorrelates to a left-semi join
+    return spark.sql(
+        """
+        SELECT c.c_nationkey,
+               count(*) AS n_customers,
+               round(avg(c.c_acctbal), 4) AS avg_bal
+        FROM __c c
+        WHERE EXISTS (
+                SELECT 1 FROM __o o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+              )
+          AND c.c_acctbal > (SELECT avg(c_acctbal) FROM __c)
+        GROUP BY c.c_nationkey
+        HAVING count(*) >= 2
+        ORDER BY c_nationkey
+        """
+    )
+
+
+# CASE expressions + date arithmetic + BETWEEN + IN-list.
+@query(
+    "q_case_dates",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 3000 THEN 'high'
+                WHEN o_totalprice > 1500 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS is_urgent
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 23:59:59'
+    """,
+)
+def q_case_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") > 3000, "high")
+        .when(F.col("o_totalprice") > 1500, "mid")
+        .otherwise("low")
+    )
+    return (
+        o.filter(
+            F.col("o_orderdate").between("1994-01-01 00:00:00", "1997-12-31 23:59:59")
+        )
+        .select(
+            "o_orderkey",
+            band.alias("price_band"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since_95"
+            ),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_urgent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (binary payload → pandas decode → frame explode).
 # The Spark side runs real mapInPandas over a binary column; the oracle
 # reproduces the deterministic stub features arithmetically (SQL never
