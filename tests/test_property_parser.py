@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) for the Python-literal event parser —
+the SURVEY §7 'hard part (a)': arbitrary free text (quotes, tabs, accents,
+newlines) must round-trip repr → parse → struct exactly."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from airflow_postgres_etl_spark.operators.ingest import (
+    explode_events,
+    flatten_event_struct,
+)
+
+text_strategy = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",)
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+event_strategy = st.fixed_dictionaries(
+    {
+        "createdAt": st.fixed_dictionaries(
+            {"$date": st.integers(min_value=0, max_value=4_000_000_000_000)}
+        ),
+        "trackingCode": text_strategy,
+        "status": st.one_of(st.none(), text_strategy),
+        "description": text_strategy,
+        "trackerType": text_strategy,
+        "from": text_strategy,
+        "to": text_strategy,
+    }
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.lists(event_strategy, max_size=4), min_size=1, max_size=6))
+def test_parser_roundtrip(spark, rowset):
+    rows = [(str(i), repr(events)) for i, events in enumerate(rowset)]
+    df = spark.createDataFrame(rows, ["oid__id", "array_trackingEvents"])
+    flat = flatten_event_struct(explode_events(df))
+    got: dict[str, list] = {}
+    for r in flat.collect():
+        got.setdefault(r["oid__id"], []).append(r)
+    for i, events in enumerate(rowset):
+        out = got[str(i)]
+        if not events:
+            assert len(out) == 1 and out[0]["trackingCode"] is None
+            continue
+        assert len(out) == len(events)
+        import datetime as dt
+
+        def millis(t):
+            return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+        def norm_status(s):
+            return "\x00NONE" if s is None else s
+
+        got_set = sorted(
+            (millis(r["eventCreatedAt"]), r["description"], r["from"],
+             r["to"], norm_status(r["status"]))
+            for r in out
+        )
+        exp_set = sorted(
+            (ev["createdAt"]["$date"], ev["description"], ev["from"],
+             ev["to"], norm_status(ev["status"]))
+            for ev in events
+        )
+        assert got_set == exp_set
