@@ -733,6 +733,75 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Grouped-map UDAF surface: per-source corpus stats via applyInPandas.
+# Integer-only statistics so results are permutation-invariant (pandas sees
+# group rows in shuffle order); the oracle reproduces them in SQL.
+@query(
+    "udaf_source_stats",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(quantile_cont(n_chars, 0.5), 2) AS median_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def udaf_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = pdf["n_chars"]
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "min_chars": [int(n.min())],
+                "max_chars": [int(n.max())],
+                "total_chars": [int(n.sum())],
+                "median_chars": [round(float(n.median()), 2)],
+            }
+        )
+
+    return docs.select("source", "n_chars").groupBy("source").applyInPandas(
+        stats,
+        schema=(
+            "source string, n_docs long, min_chars long, max_chars long, "
+            "total_chars long, median_chars double"
+        ),
+    )
+
+
+# TPC-H Q14-style conditional aggregation: LIKE predicate + ratio of sums
+# over a lineitem⋈part join (part broadcasts).
+@query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
+        )
+    )
+
+
 # Exact interpolated percentiles (Spark `percentile` == DuckDB
 # `quantile_cont`) — the sketch-free ordered-agg surface.
 @query(

@@ -57,7 +57,8 @@ def test_parser_roundtrip(spark, rowset):
         import datetime as dt
 
         def millis(t):
-            return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+            # exact integer arithmetic — float .timestamp() truncates ulps
+            return (t - dt.datetime(1970, 1, 1)) // dt.timedelta(milliseconds=1)
 
         def norm_status(s):
             return "\x00NONE" if s is None else s
