@@ -28,4 +28,7 @@ def l2_norm_expr(a: str | Column) -> Column:
 
 
 def cosine_similarity_expr(a: str | Column, b: str | Column) -> Column:
-    return dot_expr(a, b) / (l2_norm_expr(a) * l2_norm_expr(b))
+    """NULL for zero-magnitude vectors (ANSI mode would otherwise raise
+    DIVIDE_BY_ZERO; SQL oracles mirror with ``nullif``)."""
+    den = l2_norm_expr(a) * l2_norm_expr(b)
+    return dot_expr(a, b) / F.nullif(den, F.lit(0.0))

@@ -301,7 +301,7 @@ KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 _SQL_COS = (
     "round(list_dot_product(qv, cv) / "
-    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+    "nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0.0), 6)"
 )
 
 
@@ -353,11 +353,11 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                 nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0), 6)
                AS cosine_sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0), 6)
           >= 0.4
     """,
 )
@@ -730,6 +730,74 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(extract_media_features(attach_payload(docs))).select(
         "doc_id", "checksum", "n_frames", "frame_idx", "frame_hash"
+    )
+
+
+# TPC-H Q7-style: revenue by nation × order-year (multi-join + derived
+# grouping key).  Dims broadcast; lineitem shuffles once for the final agg.
+@query(
+    "tpch_q7_nation_year_volume",
+    """
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS order_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, order_year
+    """,
+)
+def tpch_q7_nation_year_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("nation", "order_year")
+    )
+
+
+# TPC-H Q9-style: supplier-nation profit (join through the supplier dim).
+@query(
+    "tpch_q9_supplier_profit",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * l.l_quantity * l.l_tax * 100.0), 2) AS profit
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def tpch_q9_supplier_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "l_quantity"
+    ) * F.col("l_tax") * 100.0
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation")
     )
 
 

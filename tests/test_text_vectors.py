@@ -1,0 +1,73 @@
+"""Edge-case units for text expressions and vector math."""
+
+from __future__ import annotations
+
+from airflow_postgres_etl_spark.functions.vectors import (
+    cosine_similarity_expr,
+    dot_expr,
+    l2_norm_expr,
+)
+from airflow_postgres_etl_spark.operators.text import (
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+    tokens_expr,
+    tokenset_fingerprint_expr,
+)
+
+
+def test_tokens_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("Hello, WORLD!",), ("ação café 123",), ("a--b__c",)],
+        ["text"],
+    )
+    out = df.select(
+        tokens_expr().alias("t"), token_count_expr().alias("n")
+    ).collect()
+    assert out[0]["t"] == [] and out[0]["n"] == 0
+    assert out[1]["t"] == [] and out[1]["n"] == 0
+    assert out[2]["t"] == ["hello", "world"]
+    # non-ascii letters act as separators under the [a-z0-9] token alphabet
+    assert out[3]["t"] == ["a", "o", "caf", "123"]
+    assert out[4]["t"] == ["a", "b", "c"]
+
+
+def test_lang_id_und_for_no_stopwords(spark):
+    df = spark.createDataFrame([("xyzzy plugh",), ("the cat and the hat",)], ["text"])
+    out = [r[0] for r in df.select(lang_id_expr()).collect()]
+    assert out[0] == "und"
+    assert out[1] == "en"
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame([("",), ("the " * 60,)], ["text"])
+    out = [r[0] for r in df.select(quality_score_expr()).collect()]
+    assert all(0.0 <= s <= 1.0 for s in out)
+    assert out[1] > out[0]
+
+
+def test_tokenset_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("gamma alpha beta beta",), ("alpha beta delta",)],
+        ["text"],
+    )
+    fps = [r[0] for r in df.select(tokenset_fingerprint_expr()).collect()]
+    assert fps[0] == fps[1]  # same token set, different order/multiplicity
+    assert fps[0] != fps[2]
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 2.0], [1.0, 2.0, 2.0]), ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+         ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0])],
+        ["a", "b"],
+    )
+    out = df.select(
+        dot_expr("a", "b").alias("dot"),
+        l2_norm_expr("a").alias("na"),
+        cosine_similarity_expr("a", "b").alias("cos"),
+    ).collect()
+    assert out[0]["dot"] == 9.0 and out[0]["na"] == 3.0 and out[0]["cos"] == 1.0
+    assert out[1]["cos"] == 0.0
+    # zero vector: cosine undefined -> NULL (guarded; ANSI mode would raise)
+    assert out[2]["cos"] is None
