@@ -1,3 +1,4 @@
+from . import dedup, joins, multimodal, scd, similarity, skew, text  # noqa: F401
 from .ingest import (
     add_audit_columns,
     build_events,
