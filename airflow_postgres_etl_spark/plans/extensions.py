@@ -927,6 +927,105 @@ def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Window frames: running totals (rows unbounded-preceding), moving average
+# (rows -2..0), first_value — the frame-spec surface Q3's rank doesn't touch.
+@query(
+    "q_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3,
+           first_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order
+    FROM orders
+    """,
+)
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg_3"
+        ),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+# TPC-H Q12-style: conditional counts by priority class per order status.
+@query(
+    "tpch_q12_priority_by_status",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# TPC-H Q18-style: large-volume orders — HAVING on a child aggregate, then
+# join back to the parent (aggregate-then-join, the anti-pattern-free order).
+@query(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, b.total_qty
+    FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+    ORDER BY b.total_qty DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum("l_quantity").alias("__raw_qty"),
+        )
+        .filter(F.col("__raw_qty") > 150)
+        .drop("__raw_qty")
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 # JSON extraction from the events.props payload column (semi-structured
 # surface: get_json_object / from_json, pushdown-friendly scalar path).
 @query(
