@@ -1026,6 +1026,29 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unpivot (stack) — the inverse of q_pivot_event_counts: wide per-type
+# counts back to long (user_id, event_type, n) form.
+@query(
+    "q_unpivot_event_counts",
+    "WITH wide AS (SELECT user_id, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id) "
+    + " UNION ALL ".join(
+        f"SELECT user_id, '{t}' AS event_type, n_{t} AS n FROM wide"
+        for t in EVENT_TYPES
+    ),
+)
+def q_unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_pivot_event_counts(spark, sf_dir)
+    stack_args = ", ".join(f"'{t}', n_{t}" for t in EVENT_TYPES)
+    return wide.selectExpr(
+        "user_id",
+        f"stack({len(EVENT_TYPES)}, {stack_args}) AS (event_type, n)",
+    )
+
+
 # JSON extraction from the events.props payload column (semi-structured
 # surface: get_json_object / from_json, pushdown-friendly scalar path).
 @query(
