@@ -50,15 +50,22 @@ def incremental_load(
     if not fresh.take(1):
         return {"tracking": 0, "events": 0}
 
-    tracking = build_tracking(fresh)
-    events = build_events(fresh)
-
-    counts = {"tracking": tracking.count(), "events": events.count()}
-    # events first: the HWM is read from the tracking mirror, so it must
-    # advance LAST — a failure between the two merges then replays both
-    # (harmless under replace-by-key) instead of silently skipping events.
-    keyed_overwrite_parquet(spark, events, events_target, key)
-    keyed_overwrite_parquet(spark, tracking, tracking_target, key)
+    # persist the built batches: count + merge would otherwise re-execute
+    # the full parse/dedup/explode chain once per action (~4x total work).
+    # At cluster scale this is the standard stage-the-batch pattern
+    # (MEMORY_AND_DISK spills instead of recomputing).
+    tracking = build_tracking(fresh).persist()
+    events = build_events(fresh).persist()
+    try:
+        counts = {"tracking": tracking.count(), "events": events.count()}
+        # events first: the HWM is read from the tracking mirror, so it must
+        # advance LAST — a failure between the two merges then replays both
+        # (harmless under replace-by-key) instead of silently skipping events.
+        keyed_overwrite_parquet(spark, events, events_target, key)
+        keyed_overwrite_parquet(spark, tracking, tracking_target, key)
+    finally:
+        tracking.unpersist()
+        events.unpersist()
     return counts
 
 
