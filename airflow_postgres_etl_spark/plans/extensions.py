@@ -293,6 +293,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+# Composed corpus-cleaning pipeline — the realistic training-data flow:
+# quality gate → language gate → order-insensitive dedup (keep lowest id)
+# → per-source yield stats.  One plan: Catalyst fuses the gates into the
+# scan and the dedup is a single window shuffle.
+@query(
+    "pipeline_clean_corpus",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, text, {SQL_TOKS} AS toks FROM documents
+    ), scored AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+               0.35 * least(1.0, len(toks) / 50.0)
+               + 0.25 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                               / greatest(length(lower(text)), 1))
+               + 0.2 * (len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"])})))
+                        / greatest(len(toks), 1))
+               + 0.2 * least(1.0, (coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                                   / greatest(len(toks), 1)) / 8.0) AS q
+        FROM t
+    ), kept AS (
+        SELECT doc_id, source, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored WHERE q >= 0.5
+    )
+    SELECT source,
+           count(*) AS n_clean_docs,
+           count(DISTINCT fp) AS n_unique
+    FROM kept WHERE rn = 1
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        X.tokenset_fingerprint_expr().alias("fp"),
+        X.quality_score_expr().alias("q"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        scored.filter(F.col("q") >= 0.5)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_clean_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------
