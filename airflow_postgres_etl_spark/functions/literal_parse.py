@@ -52,17 +52,58 @@ def pyrepr_to_json(s: pd.Series) -> pd.Series:
     return s.map(_one)
 
 
-def parse_events(col: str | Column, *, fast_unsafe: bool = False) -> Column:
+def _jvm_normalized(c: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(c, r"'", '"'), r"\bNone\b", "null")
+
+
+def _fast_path_safe(c: Column) -> Column:
+    """True iff the pure-JVM quote-swap normalization is *provably* correct
+    for this string:
+
+    - no double quote and no backslash anywhere → every string literal in
+      the repr is a plain single-quoted run (``'[^']*'`` tokenization is
+      exact), so the global ``'``→``"`` swap is exact;
+    - no ``None`` inside any extracted string literal → the global
+      ``None``→``null`` swap touches only real Python ``None`` values,
+      never text content.  (A plain ``'.*None.*'`` regex would be wrong:
+      it cannot tell intra-string from *between*-string regions like
+      ``': None, '``.)
+
+    Everything else (≈ rows whose free-text content contains quotes,
+    backslashes, or the word "None") falls back to the Python
+    ``ast.literal_eval`` path.  Real CDC payloads (hex ids + plain text)
+    pass the gate almost always, so the Arrow/Python cost becomes rare
+    instead of per-row.
+    """
+    no_quote_escape = ~c.rlike(r'["\\]')
+    literals = F.regexp_extract_all(c, F.lit(r"'([^']*)'"), F.lit(1))
+    none_inside_string = F.exists(literals, lambda x: x.contains("None"))
+    return no_quote_escape & ~none_inside_string
+
+
+def parse_events(col: str | Column, *, mode: str = "safe") -> Column:
     """T4: string column → ``array<struct<...>>`` typed per ``EVENT_ARRAY``.
 
-    ``fast_unsafe=True`` uses the pure-JVM regex normalization (single→double
-    quotes, ``None``→``null``); only valid when payload strings contain no
-    embedded quotes — kept for benchmarking, not the default.
+    Expression-level modes (the DataFrame-level fast/slow split lives in
+    ``operators.ingest.explode_events`` because a Python UDF inside a
+    ``when()`` branch is still evaluated for every row — Spark extracts
+    UDFs into an ArrowEvalPython stage ahead of the conditional):
+
+    - ``"safe"`` (default): the Python literal parser — correctness
+      reference, handles any content.
+    - ``"fast_unsafe"``: pure-JVM normalization — exact ONLY where
+      :func:`_fast_path_safe` holds; callers must gate rows themselves.
     """
     c = F.col(col) if isinstance(col, str) else col
-    if fast_unsafe:
-        normalized = F.regexp_replace(
-            F.regexp_replace(c, r"'", '"'), r"\bNone\b", "null"
-        )
-        return F.from_json(normalized, EVENT_ARRAY)
-    return F.from_json(pyrepr_to_json(c), EVENT_ARRAY)
+    if mode == "fast_unsafe":
+        return F.from_json(_jvm_normalized(c), EVENT_ARRAY)
+    if mode == "safe":
+        return F.from_json(pyrepr_to_json(c), EVENT_ARRAY)
+    raise ValueError(f"unknown parse mode: {mode!r}")
+
+
+def fast_path_gate(col: str | Column) -> Column:
+    """Public alias of the fast-path safety predicate (null-safe: NULL
+    payloads report False and take the safe path, which yields null)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(_fast_path_safe(c), F.lit(False))

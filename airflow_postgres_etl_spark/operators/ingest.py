@@ -63,16 +63,43 @@ def dedup_keep_last(
 
 
 def explode_events(
-    df: DataFrame, col: str = "array_trackingEvents", *, fast_unsafe: bool = False
+    df: DataFrame, col: str = "array_trackingEvents", *, mode: str = "safe"
 ) -> DataFrame:
     """T4+T5: parse the Python-repr array then **outer**-explode.
 
     ``explode_outer`` keeps rows whose array is empty/null as a single
     NULL-struct row — verified pandas ``df.explode`` behavior the reference
     relies on (``postgres.py:186``).
+
+    ``mode="safe"`` (default): every row through the Arrow-batched Python
+    literal parser — one scan, correct for any content.
+
+    ``mode="auto"``: DataFrame-level split on the provable-safety gate —
+    gate-clean rows (no quotes/escapes, no in-string ``None``) parse on the
+    pure JVM path, the rest fall back to Python.  The split costs a second
+    scan of the source (a UDF inside ``when()`` would still execute for
+    every row, so the split cannot be expression-level), which only pays
+    off when parse cost dominates scan cost — long event arrays, remote
+    storage.  Measured a wash at local fixture scale; property-tested equal
+    to ``"safe"``.
     """
-    parsed = parse_events(col, fast_unsafe=fast_unsafe)
-    return df.withColumn("__event", F.explode_outer(parsed)).drop(col)
+    if mode == "auto":
+        from ..functions.literal_parse import fast_path_gate
+
+        gate = fast_path_gate(col)
+        fast = df.filter(gate).withColumn(
+            "__parsed", parse_events(col, mode="fast_unsafe")
+        )
+        slow = df.filter(~gate).withColumn(
+            "__parsed", parse_events(col, mode="safe")
+        )
+        tagged = fast.unionByName(slow)
+    else:
+        tagged = df.withColumn("__parsed", parse_events(col, mode=mode))
+    return (
+        tagged.withColumn("__event", F.explode_outer("__parsed"))
+        .drop(col, "__parsed")
+    )
 
 
 def flatten_event_struct(df: DataFrame, struct_col: str = "__event") -> DataFrame:
@@ -152,7 +179,7 @@ def build_tracking(raw: DataFrame, *, keep_last: bool = True) -> DataFrame:
 
 
 def build_events(
-    raw: DataFrame, *, keep_last: bool = True, fast_unsafe: bool = False
+    raw: DataFrame, *, keep_last: bool = True, parse_mode: str = "safe"
 ) -> DataFrame:
     """Raw CSV scan → ``events`` table (1 row per exploded event).
 
@@ -161,7 +188,7 @@ def build_events(
     df = raw
     if keep_last:
         df = dedup_keep_last(df)
-    df = explode_events(df, fast_unsafe=fast_unsafe)
+    df = explode_events(df, mode=parse_mode)
     df = flatten_event_struct(df)
     df = add_audit_columns(df)
     df = project(df, EVENTS_COLUMNS + AUDIT_COLUMNS)

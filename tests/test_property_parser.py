@@ -40,11 +40,14 @@ event_strategy = st.fixed_dictionaries(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(st.lists(st.lists(event_strategy, max_size=4), min_size=1, max_size=6))
-def test_parser_roundtrip(spark, rowset):
+@given(
+    st.lists(st.lists(event_strategy, max_size=4), min_size=1, max_size=6),
+    st.sampled_from(["auto", "safe"]),
+)
+def test_parser_roundtrip(spark, rowset, mode):
     rows = [(str(i), repr(events)) for i, events in enumerate(rowset)]
     df = spark.createDataFrame(rows, ["oid__id", "array_trackingEvents"])
-    flat = flatten_event_struct(explode_events(df))
+    flat = flatten_event_struct(explode_events(df, mode=mode))
     got: dict[str, list] = {}
     for r in flat.collect():
         got.setdefault(r["oid__id"], []).append(r)
@@ -74,3 +77,32 @@ def test_parser_roundtrip(spark, rowset):
             for ev in events
         )
         assert got_set == exp_set
+
+
+def test_gate_classifies_tricky_payloads(spark):
+    """Rows the JVM fast path would corrupt MUST fail the gate."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.functions.literal_parse import fast_path_gate
+
+    cases = [
+        # (payload, gate_expected)
+        (repr([{"createdAt": {"$date": 1}, "trackingCode": "ab12",
+                "status": None, "description": "plain text",
+                "trackerType": "t", "from": "f", "to": "t2"}]), True),
+        ("[]", True),
+        (None, False),                                   # null payload → safe path
+        (repr([{"description": 'has "quotes"'}]), False),  # double quotes
+        (repr([{"description": "back\\slash"}]), False),   # backslash
+        (repr([{"description": "None of the above"}]), False),  # in-string None
+        (repr([{"status": None, "description": "ok"}]), True),  # real None ok
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(cases)], ["i", "array_trackingEvents"]
+    )
+    got = {
+        r.i: r.g
+        for r in df.select("i", fast_path_gate("array_trackingEvents").alias("g")).collect()
+    }
+    for i, (_, expected) in enumerate(cases):
+        assert got[i] == expected, f"case {i}: gate={got[i]} expected={expected}"
