@@ -48,6 +48,12 @@ HEADLINE = [
     "sim_knn_ivf",
     "sim_lsh_buckets",
     "multimodal_features",
+    "q_asof_join",
+    "q_range_join",
+    "q_percentiles",
+    "q_json_extract",
+    "q_running_totals",
+    "pipeline_clean_corpus",
 ]
 
 
