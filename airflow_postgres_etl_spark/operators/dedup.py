@@ -201,6 +201,47 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dup pipeline: LSH candidate generation (linear,
+    equi-join) followed by **exact** Jaccard verification on candidates
+    only.  Combines the scale path with the exactness of the all-pairs
+    baseline — the pair space is |candidates|, not |docs|².
+
+    Columns: ``doc_a, doc_b, jaccard`` (rounded 6, ≥ threshold).
+    """
+    candidates = lsh_candidate_pairs(df, col, key, n)
+    ex = _exploded_shingles(df, col, key, n)
+    a = ex.select(
+        F.col(key).alias("doc_a"), "shingle", F.col("n_shingles").alias("na")
+    )
+    b = ex.select(
+        F.col(key).alias("doc_b"), "shingle", F.col("n_shingles").alias("nb")
+    )
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("shared"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def _token_hash60(tok: Column) -> Column:
     """First 15 hex chars of md5 → unsigned 60-bit int (identical in DuckDB
     via ``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``)."""

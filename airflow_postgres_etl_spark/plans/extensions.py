@@ -266,6 +266,35 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_lsh_verified",
+    f"""
+    WITH {_SQL_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM ex GROUP BY doc_id),
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared, min(a.n) AS na, min(b.n) AS nb
+        FROM ex a
+        JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE (a.doc_id, b.doc_id) IN (SELECT (doc_a, doc_b) FROM cand)
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(shared / (na + nb - shared), 6) AS jaccard
+    FROM shared
+    WHERE round(shared / (na + nb - shared), 6) >= 0.5
+    """,
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_verified_pairs(load_table(spark, sf_dir, "documents"))
+
+
 _SQL_SIMHASH_VOTES = ", ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
     for b in range(D.SIMHASH_BITS)
