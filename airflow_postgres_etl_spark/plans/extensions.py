@@ -703,23 +703,29 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_subqueries_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    c.createOrReplaceTempView("__c")
-    o.createOrReplaceTempView("__o")
+    # sf-scoped view names: concurrent/interleaved calls with different
+    # sf_dirs must not clobber each other's views
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cv, ov = f"__c_{tag}", f"__o_{tag}"
+    c.createOrReplaceTempView(cv)
+    o.createOrReplaceTempView(ov)
     # the SQL form IS the DataFrame form here: spark.sql builds the same
     # Catalyst plan; EXISTS decorrelates to a left-semi join
     return spark.sql(
-        """
+        f"""
         SELECT c.c_nationkey,
                count(*) AS n_customers,
                round(avg(c.c_acctbal), 4) AS avg_bal
-        FROM __c c
+        FROM {cv} c
         WHERE EXISTS (
-                SELECT 1 FROM __o o
+                SELECT 1 FROM {ov} o
                 WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
               )
-          AND c.c_acctbal > (SELECT avg(c_acctbal) FROM __c)
+          AND c.c_acctbal > (SELECT avg(c_acctbal) FROM {cv})
         GROUP BY c.c_nationkey
         HAVING count(*) >= 2
         ORDER BY c_nationkey
