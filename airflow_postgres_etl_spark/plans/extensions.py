@@ -164,6 +164,109 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
+# Corpus-level token / n-gram frequency (the "vocabulary statistics" pass
+# every corpus pipeline runs): explode → count → top-k.
+@query(
+    "text_top_words",
+    f"""
+    WITH tok AS (
+        SELECT unnest({SQL_TOKS}) AS word FROM documents
+    )
+    SELECT word, count(*) AS freq
+    FROM tok
+    GROUP BY word
+    ORDER BY freq DESC, word
+    LIMIT 50
+    """,
+)
+def text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.tokens_expr()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(50)
+    )
+
+
+SQL_SHINGLES_MULTI = (
+    "CASE WHEN len(w) >= 3 THEN "
+    "list_transform(generate_series(1, len(w)-2), "
+    "i -> array_to_string(w[i:i+2], ' ')) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+@query(
+    "text_top_trigrams",
+    f"""
+    WITH w AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+    sh AS (SELECT doc_id, unnest({SQL_SHINGLES_MULTI}) AS tri FROM w)
+    SELECT tri, count(*) AS freq
+    FROM sh
+    GROUP BY tri
+    ORDER BY freq DESC, tri
+    LIMIT 50
+    """,
+)
+def text_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # with-multiplicity shingles (no distinct): corpus frequency, not
+    # per-doc membership
+    w = X.tokens_expr()
+    count = F.size(w) - 2
+    tris = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(w, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(tris).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tri"))
+        .limit(50)
+    )
+
+
+# TPC-H Q19-style: disjunction of conjunctive range/equality predicates —
+# the OR-of-ANDs shape that stresses predicate normalization and pushdown.
+@query(
+    "tpch_q19_disjunctive_filter",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'BRAND#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size <= 5)
+       OR (p.p_brand = 'BRAND#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size <= 10)
+       OR (p.p_brand = 'BRAND#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size <= 15)
+    """,
+)
+def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "BRAND#1") & q.between(1, 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "BRAND#2") & q.between(10, 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "BRAND#3") & q.between(20, 30) & (F.col("p_size") <= 15))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 @query(
     "dedup_exact_groups",
     """
