@@ -581,6 +581,71 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_sizes(emb, EMB_DIM)
 
 
+# Deterministic train/validation/test split — hash-based (md5 of the key),
+# so the assignment is reproducible across engines, runs, and cluster
+# sizes; `df.sample()` seeds are implementation-specific and would never
+# oracle-match.  80/10/10 by hash bucket.
+@query(
+    "q_train_test_split",
+    """
+    WITH assigned AS (
+        SELECT source,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM assigned
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+# Tumbling-window aggregation in batch form (the streaming Q1 analog's
+# exact batch twin): Spark `window()` vs DuckDB `time_bucket` — both align
+# 5-minute buckets identically.
+@query(
+    "q_tumbling_5min",
+    """
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+)
+def q_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: sessionization, pivot, distinct aggregation
 # ---------------------------------------------------------------------------
