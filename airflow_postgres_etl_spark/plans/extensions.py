@@ -1201,6 +1201,107 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full-outer join coverage (inner/left/semi/anti elsewhere): suppliers ⋈
+# per-supplier lineitem volume, preserving both unmatched sides.
+@query(
+    "q_full_outer_join",
+    """
+    WITH vol AS (
+        SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT coalesce(s.s_suppkey, v.l_suppkey) AS suppkey,
+           s.s_name, v.total_qty
+    FROM supplier s
+    FULL OUTER JOIN vol v ON s.s_suppkey = v.l_suppkey
+    ORDER BY suppkey
+    """,
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = li.groupBy("l_suppkey").agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    return (
+        s.join(vol, s.s_suppkey == vol.l_suppkey, "full_outer")
+        .select(
+            F.coalesce(F.col("s_suppkey"), F.col("l_suppkey")).alias("suppkey"),
+            "s_name",
+            "total_qty",
+        )
+        .orderBy("suppkey")
+    )
+
+
+# Remaining window functions: lead, dense_rank, ntile, cume_dist-free set.
+@query(
+    "q_window_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           dense_rank() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ) AS price_rank,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.dense_rank().over(wp).alias("price_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# Map-typed operations: build a map per user (event_type → count), then
+# extract/inspect it.  Outputs are scalars so the oracle computes the same
+# values without needing engine-compatible map hashing.
+@query(
+    "q_map_functions",
+    """
+    WITH per_type AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(count(*) AS INT) AS n_keys,
+           CAST(coalesce(sum(n) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS n_click,
+           CAST(max(n) AS BIGINT) AS max_type_count
+    FROM per_type
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    # genuinely exercise MapType: collect entries → map_from_entries →
+    # map_keys / element_at / map_values
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    return mapped.select(
+        "user_id",
+        F.size(F.map_keys("type_counts")).alias("n_keys"),
+        F.coalesce(F.element_at("type_counts", "click"), F.lit(0)).alias("n_click"),
+        F.array_max(F.map_values("type_counts")).alias("max_type_count"),
+    ).orderBy("user_id")
+
+
 # Exact interpolated percentiles (Spark `percentile` == DuckDB
 # `quantile_cont`) — the sketch-free ordered-agg surface.
 @query(
