@@ -398,6 +398,63 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_verified_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# Dedup clusters: LSH-verified near-dup pairs → connected components →
+# one keeper per cluster.  Spark side is the iterative min-label operator
+# (operators/graph.py); the oracle reproduces the fixpoint with a
+# recursive CTE (min reachable id over the undirected closure).
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM ex GROUP BY doc_id),
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared, min(a.n) AS na, min(b.n) AS nb
+        FROM ex a
+        JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE (a.doc_id, b.doc_id) IN (SELECT (doc_a, doc_b) FROM cand)
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM shared
+        WHERE round(shared / (na + nb - shared), 6) >= 0.5
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT component, count(*) AS n_docs
+    FROM comp
+    GROUP BY component
+    ORDER BY component
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    pairs = D.lsh_verified_pairs(load_table(spark, sf_dir, "documents"))
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("component")
+    )
+
+
 _SQL_SIMHASH_VOTES = ", ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
     for b in range(D.SIMHASH_BITS)
