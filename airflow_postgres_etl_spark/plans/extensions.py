@@ -50,9 +50,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        X.token_count_expr().alias("n_tokens"),
-        F.size(X.distinct_tokens_expr()).alias("n_unique"),
-        X.bpe_token_count_expr().alias("n_bpe"),
+        X.token_count_expr().cast("long").alias("n_tokens"),
+        F.size(X.distinct_tokens_expr()).cast("long").alias("n_unique"),
+        X.bpe_token_count_expr().cast("long").alias("n_bpe"),
     )
 
 
@@ -133,7 +133,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_len = tok_chars / n_safe
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.round(punct, 6).alias("punct_ratio"),
         F.round(stop_hits / n_safe, 6).alias("stopword_ratio"),
         F.round(avg_len, 6).alias("avg_token_len"),
@@ -966,8 +966,8 @@ def q_subqueries_having(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_totalprice > 3000 THEN 'high'
                 WHEN o_totalprice > 1500 THEN 'mid'
                 ELSE 'low' END AS price_band,
-           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
-           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS due_date,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
            (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS is_urgent
     FROM orders
     WHERE o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
@@ -988,10 +988,14 @@ def q_case_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             band.alias("price_band"),
-            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
-            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
-                "days_since_95"
-            ),
+            F.date_add(F.col("o_orderdate").cast("date"), 30)
+            .cast("timestamp")
+            .alias("due_date"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("days_since_95"),
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_urgent"),
         )
     )
@@ -1058,7 +1062,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7_nation_year_volume",
     """
     SELECT n.n_name AS nation,
-           year(o.o_orderdate) AS order_year,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1079,7 +1083,7 @@ def tpch_q7_nation_year_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("order_year"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
         )
         .agg(
             F.round(
@@ -1294,7 +1298,7 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_functions",
     """
     SELECT o_custkey, o_orderkey,
-           lead(o_orderkey) OVER w AS next_orderkey,
+           coalesce(lead(o_orderkey) OVER w, -1) AS next_orderkey,
            dense_rank() OVER (
                PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
            ) AS price_rank,
@@ -1314,9 +1318,11 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.lead("o_orderkey").over(w).alias("next_orderkey"),
-        F.dense_rank().over(wp).alias("price_rank"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.coalesce(F.lead("o_orderkey").over(w), F.lit(-1).cast("long")).alias(
+            "next_orderkey"
+        ),
+        F.dense_rank().over(wp).cast("long").alias("price_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
@@ -1579,17 +1585,17 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            abs(o_totalprice - 1000.0) AS abs_diff,
            round(sqrt(o_totalprice), 6) AS sqrt_price,
-           ceil(o_totalprice) AS ceil_price,
-           floor(o_totalprice) AS floor_price,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+           CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
            round(ln(o_totalprice + 1.0), 6) AS log_price,
            upper(o_orderstatus) AS status_upper,
            substr(o_orderpriority, 1, 3) AS prio3,
-           length(o_orderpriority) AS prio_len,
+           CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
            concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
            lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
-           year(o_orderdate) AS order_year,
-           month(o_orderdate) AS order_month,
-           day(o_orderdate) AS order_day
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(day(o_orderdate) AS BIGINT) AS order_day
     FROM orders
     """,
 )
@@ -1604,10 +1610,10 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("o_totalprice") + 1.0), 6).alias("log_price"),
         F.upper("o_orderstatus").alias("status_upper"),
         F.substring("o_orderpriority", 1, 3).alias("prio3"),
-        F.length("o_orderpriority").alias("prio_len"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
         F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
     )

@@ -150,7 +150,7 @@ def q3_rank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = events.groupBy("event_type").agg(F.count("*").alias("total_events"))
     w = Window.orderBy(F.desc("total_events"))
     return (
-        counts.withColumn("event_rank", F.rank().over(w))
+        counts.withColumn("event_rank", F.rank().over(w).cast("long"))
         .filter(F.col("event_rank") <= 10)
         .orderBy("event_rank", "event_type")
     )
@@ -405,7 +405,7 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
