@@ -25,7 +25,26 @@ NANO_TS_COLUMNS: dict[str, list[str]] = {
 }
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make a FOREIGN SparkSession (e.g. the driver's own, passed into
+    ``__spark_entry__.entry``/``queries``) able to read the testdata and
+    compare against the UTC-naive oracle.  Both settings are session-scoped
+    and verified settable post-hoc:
+
+    - without ``nanosAsLong`` a vanilla session fails outright on
+      ``events.parquet`` (PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS));
+    - without a UTC session timezone every timestamp comparison against
+      the oracle shifts by the host offset.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # read-only conf (unlikely): proceed with the session as-is
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in NANO_TS_COLUMNS.get(name, []):
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
