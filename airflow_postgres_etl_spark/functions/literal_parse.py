@@ -53,7 +53,10 @@ def pyrepr_to_json(s: pd.Series) -> pd.Series:
 
 
 def _jvm_normalized(c: Column) -> Column:
-    return F.regexp_replace(F.regexp_replace(c, r"'", '"'), r"\bNone\b", "null")
+    c = F.regexp_replace(c, r"'", '"')
+    c = F.regexp_replace(c, r"\bNone\b", "null")
+    c = F.regexp_replace(c, r"\bTrue\b", "true")
+    return F.regexp_replace(c, r"\bFalse\b", "false")
 
 
 def _fast_path_safe(c: Column) -> Column:
@@ -63,22 +66,44 @@ def _fast_path_safe(c: Column) -> Column:
     - no double quote and no backslash anywhere → every string literal in
       the repr is a plain single-quoted run (``'[^']*'`` tokenization is
       exact), so the global ``'``→``"`` swap is exact;
-    - no ``None`` inside any extracted string literal → the global
-      ``None``→``null`` swap touches only real Python ``None`` values,
-      never text content.  (A plain ``'.*None.*'`` regex would be wrong:
-      it cannot tell intra-string from *between*-string regions like
-      ``': None, '``.)
+    - no ``None``/``True``/``False`` inside any extracted string literal →
+      the global keyword→JSON swaps touch only real Python keywords, never
+      text content.  (A plain ``'.*None.*'`` regex would be wrong: it cannot
+      tell intra-string from *between*-string regions like ``': None, '``.)
+    - outside string literals, only JSON-compatible syntax remains: the
+      three keywords plus ``[]{}:,`` whitespace and plain decimal numbers.
+      This provably rejects every ``ast.literal_eval``-only construct the
+      quote-swap cannot translate — tuples ``(1, 2)``, sets ``{1, 2}``
+      (enforced via ``{`` must open a string-keyed or empty dict),
+      ``Ellipsis``/``...``, and exotic numerics (``0x1f``, ``1_000``,
+      ``1j``, ``inf``, ``nan``) — all of which would otherwise survive the
+      swap as invalid JSON and null the row under PERMISSIVE ``from_json``
+      while the safe path parses them.
 
     Everything else (≈ rows whose free-text content contains quotes,
-    backslashes, or the word "None") falls back to the Python
+    backslashes, or a bare keyword) falls back to the Python
     ``ast.literal_eval`` path.  Real CDC payloads (hex ids + plain text)
     pass the gate almost always, so the Arrow/Python cost becomes rare
     instead of per-row.
     """
     no_quote_escape = ~c.rlike(r'["\\]')
     literals = F.regexp_extract_all(c, F.lit(r"'([^']*)'"), F.lit(1))
-    none_inside_string = F.exists(literals, lambda x: x.contains("None"))
-    return no_quote_escape & ~none_inside_string
+    keyword_inside_string = F.exists(
+        literals, lambda x: x.rlike(r"None|True|False")
+    )
+    # With no_quote_escape held, `'[^']*'` tokenization is exact, so removing
+    # string literals leaves exactly the structural syntax between values.
+    stripped = F.regexp_replace(c, r"'[^']*'", "")
+    stripped = F.regexp_replace(stripped, r"\b(None|True|False)\b", "")
+    json_safe_syntax = ~stripped.rlike(r"[^\[\]{}:,\s0-9eE+.\-]") & ~stripped.rlike(
+        r"\.\."
+    )
+    # Every `{` must open an empty or string-keyed dict, never a set literal.
+    # String literals are collapsed to '' (not removed) so a dict's opening
+    # brace is still followed by its string key's quote.
+    collapsed = F.regexp_replace(c, r"'[^']*'", "''")
+    dict_opens_ok = ~collapsed.rlike(r"\{\s*[^'}\s]")
+    return no_quote_escape & ~keyword_inside_string & json_safe_syntax & dict_opens_ok
 
 
 def parse_events(col: str | Column, *, mode: str = "safe") -> Column:

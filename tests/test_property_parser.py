@@ -96,6 +96,19 @@ def test_gate_classifies_tricky_payloads(spark):
         (repr([{"description": "back\\slash"}]), False),   # backslash
         (repr([{"description": "None of the above"}]), False),  # in-string None
         (repr([{"status": None, "description": "ok"}]), True),  # real None ok
+        # Python keywords OUTSIDE strings are normalized (True→true) — pass.
+        ("[{'flag': True, 'off': False}]", True),
+        # ... but inside a string literal the swap would corrupt text — fail.
+        ("[{'note': 'a True story'}]", False),
+        ("[{'note': 'False alarm'}]", False),
+        # literal_eval-only constructs the quote-swap can't translate — fail.
+        ("[(1, 2)]", False),                              # tuple
+        ("[{1, 2}]", False),                              # set literal
+        ("[{'a': 0x1f}]", False),                         # hex int
+        ("[{'a': 1_000}]", False),                        # underscore numeric
+        ("[{'a': 1j}]", False),                           # complex
+        ("[...]", False),                                 # Ellipsis
+        ("[{'a': 1e5}]", True),                           # sci-notation is JSON
     ]
     df = spark.createDataFrame(
         [(i, p) for i, (p, _) in enumerate(cases)], ["i", "array_trackingEvents"]
