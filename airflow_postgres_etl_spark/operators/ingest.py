@@ -47,14 +47,23 @@ def filter_after_high_water_mark(df: DataFrame, hwm: str | None) -> DataFrame:
 
 
 def dedup_keep_last(
-    df: DataFrame, key: str = "oid__id", order_col: str = "fileName"
+    df: DataFrame,
+    key: str = "oid__id",
+    order_col: str = "fileName",
+    pos_col: str = "__file_pos",
 ) -> DataFrame:
     """T3 (intended semantics): latest row per key wins.
 
     One shuffle on ``key``; AQE handles skew.  ``row_number`` (not
-    ``dropDuplicates``) pins *which* duplicate survives.
+    ``dropDuplicates``) pins *which* duplicate survives.  Intra-file
+    duplicates tie on ``fileName`` alone, so when the scan-order position
+    column (``csv_source.with_file_name``) is present it breaks the tie —
+    "last row in file order", deterministically.
     """
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    order = [F.col(order_col).desc()]
+    if pos_col in df.columns:
+        order.append(F.col(pos_col).desc())
+    w = Window.partitionBy(key).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -27,10 +27,21 @@ def list_files(path: str) -> list[str]:
 
 def with_file_name(df: DataFrame) -> DataFrame:
     """S4: lineage column = basename of the source file, per row,
-    executor-side (vs the reference's driver-side ``df["fileName"] = file``)."""
-    return df.withColumn(
+    executor-side (vs the reference's driver-side ``df["fileName"] = file``).
+
+    ``__file_pos`` captures scan order (monotonic within each split, splits
+    ordered by offset) so "last row in file order" is a total, deterministic
+    order — the T3 keep-last dedup uses it as the intra-file tiebreaker.
+    Streaming scans can't use ``monotonically_increasing_id`` (unsupported
+    expression) and don't need it: each micro-batch is file-bounded, so the
+    dedup falls back to fileName-only ordering there.
+    """
+    out = df.withColumn(
         "fileName", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
+    if not df.isStreaming:
+        out = out.withColumn("__file_pos", F.monotonically_increasing_id())
+    return out
 
 
 def read_tracking_csv(

@@ -47,7 +47,7 @@ def raw(spark, raw_dir):
 def test_scan_schema_and_lineage(spark, raw, raw_dir):
     assert [f.name for f in raw.schema.fields] == [
         "Op", "oid__id", "createdAt", "updatedAt", "lastSyncTracker",
-        "array_trackingEvents", "fileName",
+        "array_trackingEvents", "fileName", "__file_pos",
     ]
     names = {r.fileName for r in raw.select("fileName").distinct().collect()}
     assert names == set(list_files(raw_dir))
@@ -72,6 +72,23 @@ def test_dedup_keep_last(spark):
     out = dedup_keep_last(df)
     got = {(r.oid__id, r.v) for r in out.collect()}
     assert got == {("k1", 2), ("k2", 3)}
+
+
+def test_dedup_keep_last_intra_file(spark, tmp_path):
+    """Duplicate keys within ONE file: the later row in file order must win,
+    deterministically (ADVICE r1: fileName alone ties intra-file)."""
+    p = tmp_path / "20240101-000000000.csv"
+    header = "Op,oid__id,createdAt,updatedAt,lastSyncTracker,array_trackingEvents"
+    body = "\n".join(
+        ["I,k1,1,1,1,[]", "U,k1,2,2,2,[]", "U,k1,3,3,3,[]", "I,k2,4,4,4,[]"]
+    )
+    p.write_text(header + "\n" + body + "\n")
+    raw = read_tracking_csv(spark, str(tmp_path) + "/*.csv")
+    for _ in range(3):  # stable across repeated planning
+        got = {(r.oid__id, r.Op) for r in dedup_keep_last(raw).collect()}
+        assert got == {("k1", "U"), ("k2", "I")}
+        last_k1 = [r for r in dedup_keep_last(raw).collect() if r.oid__id == "k1"]
+        assert last_k1[0].createdAt == 3
 
 
 def test_parser_edge_cases(spark):
