@@ -750,6 +750,11 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
         SELECT user_id, ts, value,
+               -- gap > 1800 (strict): Spark merges an event landing exactly
+               -- at prev+gap into the same session (sessions merge while
+               -- new start <= current end) — verified by
+               -- test_session_window_exact_boundary; gap==duration does NOT
+               -- open a new session.
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                     THEN 1 ELSE 0 END AS new_session

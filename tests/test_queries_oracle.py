@@ -27,3 +27,39 @@ def test_query_matches_oracle(spark, name):
     spark_df = QUERIES[name](spark, SF_SMOKE)
     oracle_df = run_oracle(ORACLE[name], SF_SMOKE)
     compare(spark_df, oracle_df)
+
+
+def test_session_window_exact_boundary(spark, tmp_path):
+    """Pin the exact-boundary rule: Spark's session_window MERGES an event
+    landing exactly at prev+gap (sessions extend while new start <= current
+    end), so a new session needs gap STRICTLY > 1800 s — measured directly
+    (ADVICE r1 suggested >=, which this fixture disproves; the oracle's
+    strict > matches Spark).
+
+    Events at t0, t0+1800 (same session: gap == duration), then +1801
+    (new session: gap > duration)."""
+    import datetime as dt
+
+    import duckdb
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=1800), 7, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=1800 + 1801), 7, "click", 1.0, "{}"),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", rows)
+    path = str(tmp_path / "events.parquet")
+    con.execute(f"COPY events TO '{path}' (FORMAT PARQUET)")
+    con.close()
+
+    spark_df = QUERIES["q_session_windows"](spark, str(tmp_path))
+    oracle_df = run_oracle(ORACLE["q_session_windows"], str(tmp_path))
+    compare(spark_df, oracle_df)
+    starts = [r.session_start for r in spark_df.collect()]
+    assert len(starts) == 2  # exactly-1800 gap merged; 1801 split
