@@ -67,19 +67,25 @@ def _decode_stub(payload: bytes) -> tuple[int, str, int, int, int]:
     )
 
 
-def extract_media_features(df: DataFrame) -> DataFrame:
+def extract_media_features(
+    df: DataFrame, *, use_real_codecs: bool = False
+) -> DataFrame:
     """``mapInPandas`` feature extraction over the binary payload.
 
-    Raises ``NotImplementedError`` from the real-codec branch if real
-    decoding is requested without codecs installed.
+    The deterministic stub is the default regardless of what libraries
+    happen to be importable — real decoding is opt-in via
+    ``use_real_codecs=True`` (which raises until a codec backend is wired
+    in; ``HAVE_CODECS`` only reports availability, it never switches
+    behavior on its own).
     """
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real codec decode path not implemented in this build"
+            + ("" if HAVE_CODECS else " (and no codec libraries installed)")
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAVE_CODECS:  # pragma: no cover
-                raise NotImplementedError(
-                    "real codec decode path not implemented in this build"
-                )
             feats = pdf["payload"].map(_decode_stub)
             yield pd.DataFrame(
                 {

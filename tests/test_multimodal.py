@@ -44,3 +44,20 @@ def test_frame_sample_explodes_n_frames(spark):
     }
     assert counts == per_doc
     assert HAVE_CODECS is False  # this environment ships the stub path
+
+
+def test_real_codecs_is_explicit_opt_in(spark):
+    """The stub runs whether or not codec libs are importable; only an
+    explicit use_real_codecs=True reaches the unimplemented real branch."""
+    import pytest as _pytest
+
+    from airflow_postgres_etl_spark.operators.multimodal import (
+        attach_payload,
+        extract_media_features,
+    )
+
+    docs = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    df = attach_payload(docs)
+    assert extract_media_features(df).count() == 1  # default: stub, always
+    with _pytest.raises(NotImplementedError):
+        extract_media_features(df, use_real_codecs=True)
