@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.ingest import build_events, build_tracking, filter_after_high_water_mark
-from .sink import keyed_overwrite_parquet
+from .sink import keyed_overwrite_parquet, read_keyed_table
 from .sources.csv_source import read_tracking_csv
 
 
@@ -72,4 +72,7 @@ def incremental_load(
 def load_outputs(
     spark: SparkSession, tracking_target: str, events_target: str
 ) -> tuple[DataFrame, DataFrame]:
-    return spark.read.parquet(tracking_target), spark.read.parquet(events_target)
+    return (
+        read_keyed_table(spark, tracking_target),
+        read_keyed_table(spark, events_target),
+    )

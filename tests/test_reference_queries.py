@@ -7,7 +7,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from airflow_postgres_etl_spark.pipeline import incremental_load
+from airflow_postgres_etl_spark.pipeline import incremental_load, load_outputs
 from airflow_postgres_etl_spark.plans import reference_queries as RQ
 
 from .fixtures.gen_raw import generate
@@ -21,15 +21,25 @@ def loaded(spark, tmp_path_factory):
     generate(csv_dir)
     tr, ev = str(root / "tracking"), str(root / "events")
     incremental_load(spark, csv_dir, tr, ev)
-    return spark.read.parquet(tr), spark.read.parquet(ev), tr, ev
+    tracking, events = load_outputs(spark, tr, ev)
+    return tracking, events, tr, ev
 
 
 def oracle(sql: str, tr: str, ev: str):
+    # hive_partitioning=false keeps the internal __bucket partition dirs of
+    # the keyed-overwrite sink out of the oracle's logical schema, matching
+    # read_keyed_table on the Spark side.
     con = duckdb.connect()
     try:
         con.execute("SET TimeZone='UTC'")
-        con.execute(f"CREATE VIEW tracking AS SELECT * FROM read_parquet('{tr}/*.parquet')")
-        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{ev}/*.parquet')")
+        con.execute(
+            "CREATE VIEW tracking AS SELECT * FROM "
+            f"read_parquet('{tr}/**/*.parquet', hive_partitioning=false)"
+        )
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{ev}/**/*.parquet', hive_partitioning=false)"
+        )
         return con.execute(sql).fetchdf()
     finally:
         con.close()

@@ -15,10 +15,12 @@ from airflow_postgres_etl_spark.pipeline import (
     parquet_high_water_mark,
 )
 from airflow_postgres_etl_spark.sink import (
+    BUCKET_COL,
     create_table_sql,
     high_water_mark_sql,
     keyed_overwrite_parquet,
     merge_sql,
+    read_keyed_table,
 )
 
 from .fixtures.gen_raw import generate
@@ -44,6 +46,77 @@ def test_keyed_overwrite_idempotent(spark, tmp_path):
     keyed_overwrite_parquet(spark, batch, target)
     keyed_overwrite_parquet(spark, batch, target)
     assert spark.read.parquet(target).count() == 2
+
+
+def _bucket_file_state(target):
+    """{bucket_dir: {file: (size, mtime_ns, md5)}} snapshot of the target."""
+    import hashlib
+
+    state = {}
+    for d in os.listdir(target):
+        full = os.path.join(target, d)
+        if not (os.path.isdir(full) and d.startswith(f"{BUCKET_COL}=")):
+            continue
+        files = {}
+        for f in sorted(os.listdir(full)):
+            p = os.path.join(full, f)
+            st = os.stat(p)
+            files[f] = (
+                st.st_size,
+                st.st_mtime_ns,
+                hashlib.md5(open(p, "rb").read()).hexdigest(),
+            )
+        state[d] = files
+    return state
+
+
+def test_keyed_overwrite_rewrites_only_affected_buckets(spark, tmp_path):
+    """The scale contract: a merge must not touch buckets absent from the
+    batch — their files stay byte-identical (same inode mtime, same md5)."""
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(f"key{i}", i) for i in range(200)], ["oid__id", "v"]
+    )
+    keyed_overwrite_parquet(spark, base, target, num_buckets=8)
+    before = _bucket_file_state(target)
+    assert len(before) > 1  # keys actually spread over several buckets
+
+    batch = spark.createDataFrame([("key0", 999)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, batch, target, num_buckets=8)
+    after = _bucket_file_state(target)
+
+    from airflow_postgres_etl_spark.sink import _bucket_expr
+
+    hit = f"{BUCKET_COL}=" + str(
+        spark.createDataFrame([("key0",)], ["oid__id"])
+        .select(_bucket_expr("oid__id", 8).alias("b"))
+        .collect()[0][0]
+    )
+    assert hit in before and hit in after
+    for d in before:
+        if d == hit:
+            assert before[d] != after[d]  # the hit bucket WAS rewritten
+        else:
+            assert before[d] == after[d]  # untouched buckets byte-identical
+
+    got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
+    assert ("key0", 999) in got and ("key0", 0) not in got
+    assert len(got) == 200
+
+
+def test_keyed_overwrite_rejects_bucket_spec_change(spark, tmp_path):
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame([("a", 1)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, df, target, num_buckets=8)
+    with pytest.raises(ValueError, match="bucket"):
+        keyed_overwrite_parquet(spark, df, target, num_buckets=16)
+
+
+def test_read_keyed_table_hides_bucket_column(spark, tmp_path):
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame([("a", 1)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, df, target)
+    assert read_keyed_table(spark, target).columns == ["oid__id", "v"]
 
 
 def test_merge_sql_quotes_reserved_words():
