@@ -291,3 +291,69 @@ def simhash_dup_groups(
         .agg(F.count("*").alias("n_docs"), F.min(key).alias("keep_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_blocks(radius: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(start_pos_1based, length) of the ``radius + 1`` pigeonhole blocks.
+
+    If two signatures differ in ≤ radius bits, at most radius blocks can
+    contain a differing bit — so the pair agrees *exactly* on at least one
+    of the radius+1 blocks.  Equality on any block is an equi-join key,
+    which is what turns hamming-radius search into a linear shuffle.
+    """
+    nblocks = radius + 1
+    base, rem = divmod(bits, nblocks)
+    out, pos = [], 1
+    for i in range(nblocks):
+        ln = base + (1 if i < rem else 0)
+        out.append((pos, ln))
+        pos += ln
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame, col: str = "text", key: str = "doc_id", radius: int = 4
+) -> DataFrame:
+    """All pairs within hamming distance ≤ radius of each other's SimHash.
+
+    The scale path for near-dup grouping beyond radius 0: pigeonhole block
+    equi-join for candidate generation (complete by construction — see
+    :func:`simhash_blocks`), then **exact** verification via XOR popcount
+    on the 60-bit signatures.  Pair space = block-collision candidates, not
+    docs²; block width ``bits/(radius+1)`` controls the candidate rate.
+
+    Columns: ``doc_a, doc_b, hamming`` (key_a < key_b).
+    """
+    sig = simhash_signatures(df, col, key).withColumn(
+        "h", F.conv("simhash", 2, 10).cast("long")
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.substring("simhash", pos, ln).alias("block_bits"),
+            )
+            for i, (pos, ln) in enumerate(simhash_blocks(radius))
+        ]
+    )
+    ex = sig.select(F.col(key), F.col("h"), F.explode(blocks).alias("b")).select(
+        F.col(key), F.col("h"), F.col("b.block_idx"), F.col("b.block_bits")
+    )
+    a = ex.select(
+        F.col(key).alias("doc_a"), F.col("h").alias("ha"), "block_idx", "block_bits"
+    )
+    b = ex.select(
+        F.col(key).alias("doc_b"), F.col("h").alias("hb"), "block_idx", "block_bits"
+    )
+    cand = (
+        a.join(b, ["block_idx", "block_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= radius)
+        .select("doc_a", "doc_b", "hamming")
+    )

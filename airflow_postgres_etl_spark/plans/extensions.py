@@ -482,6 +482,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+# SimHash hamming-radius ≤ k near-dup pairs.  The Spark side generates
+# candidates with the pigeonhole block equi-join (linear); the oracle is
+# the exact quadratic definition (all-pairs XOR popcount) — if the block
+# join dropped ANY qualifying pair, the differential would catch it,
+# which is precisely the completeness property worth pinning.
+_SIMHASH_NEAR_RADIUS = 4
+_SQL_SIMHASH_LONG = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(D.SIMHASH_BITS)
+)
+
+
+@query(
+    "dedup_simhash_near",
+    f"""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS tok FROM documents
+    ), h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t
+    ), v AS (
+        SELECT doc_id, {_SQL_SIMHASH_VOTES} FROM h GROUP BY doc_id
+    ), s AS (
+        SELECT doc_id, CAST({_SQL_SIMHASH_LONG} AS BIGINT) AS h64 FROM v
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h64, b.h64)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h64, b.h64)) <= {_SIMHASH_NEAR_RADIUS}
+    """,
+)
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), radius=_SIMHASH_NEAR_RADIUS
+    )
+
+
 # Composed corpus-cleaning pipeline — the realistic training-data flow:
 # quality gate → language gate → order-insensitive dedup (keep lowest id)
 # → per-source yield stats.  One plan: Catalyst fuses the gates into the

@@ -71,3 +71,46 @@ def test_vector_math(spark):
     assert out[1]["cos"] == 0.0
     # zero vector: cosine undefined -> NULL (guarded; ANSI mode would raise)
     assert out[2]["cos"] is None
+
+
+def test_simhash_blocks_partition_the_signature():
+    from airflow_postgres_etl_spark.operators.dedup import SIMHASH_BITS, simhash_blocks
+
+    for radius in (1, 2, 4, 7):
+        blocks = simhash_blocks(radius)
+        assert len(blocks) == radius + 1
+        covered = []
+        for pos, ln in blocks:
+            covered.extend(range(pos, pos + ln))
+        # contiguous, disjoint, complete cover of the 60 positions
+        assert covered == list(range(1, SIMHASH_BITS + 1))
+
+
+def test_simhash_near_pairs_complete_vs_brute_force(spark):
+    """Pigeonhole completeness: the block equi-join must find EVERY pair
+    within the radius — checked against an in-Python all-pairs popcount."""
+    from airflow_postgres_etl_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [(i, base + f" variant {i % 7} token{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sigs = {
+        r.doc_id: int(r.simhash, 2)
+        for r in simhash_signatures(df).collect()
+    }
+    radius = 4
+    expected = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= radius
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(df, radius=radius).collect()
+    }
+    assert got == expected and len(expected) > 0
