@@ -178,3 +178,104 @@ def test_incremental_load_end_to_end(spark, staged_dirs):
     events = spark.read.parquet(ev)
     orphan = events.join(tracking.select("oid__id"), "oid__id", "left_anti")
     assert orphan.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# JDBC stage-then-merge, executed end-to-end against DuckDB as the
+# in-process database stand-in: the DELETE-USING / INSERT / DROP ordering,
+# replace-by-key semantics, replay idempotency, and mid-transaction
+# rollback are all *run*, not just string-asserted.
+# ---------------------------------------------------------------------------
+
+_MERGE_COLS = {"oid__id": "String", "from": "String", "to": "String", "ts": "DateTime"}
+
+
+def _fresh_target(con):
+    con.execute(create_table_sql("events", _MERGE_COLS))
+    con.execute(
+        """INSERT INTO "events" VALUES
+           ('k1', 'a', 'b', TIMESTAMP '2023-01-01 00:00:00'),
+           ('k1', 'c', 'd', TIMESTAMP '2023-01-02 00:00:00'),
+           ('k2', 'e', 'f', TIMESTAMP '2023-01-03 00:00:00')"""
+    )
+
+
+def _stage_batch(con):
+    con.execute('CREATE TABLE "events__stage" ("oid__id" TEXT, "from" TEXT, "to" TEXT, "ts" TIMESTAMP)')
+    con.execute(
+        """INSERT INTO "events__stage" VALUES
+           ('k1', 'x', 'y', TIMESTAMP '2023-02-01 00:00:00'),
+           ('k3', 'g', 'h', TIMESTAMP '2023-02-02 00:00:00')"""
+    )
+
+
+def _final_state(con):
+    return set(
+        map(tuple, con.execute('SELECT * FROM "events" ORDER BY 1, 2').fetchall())
+    )
+
+
+def _run_merge_transaction(con):
+    con.execute("BEGIN")
+    for stmt in merge_sql("events", "events__stage", "oid__id", list(_MERGE_COLS)):
+        con.execute(stmt)
+    con.execute("COMMIT")
+
+
+def test_jdbc_merge_executes_replace_by_key():
+    import datetime
+
+    import duckdb
+
+    con = duckdb.connect()
+    _fresh_target(con)
+    _stage_batch(con)
+    _run_merge_transaction(con)
+
+    got = _final_state(con)
+    # BOTH old k1 rows replaced by the single staged one (child-set
+    # replace); k2 untouched; k3 inserted; stage dropped.
+    assert got == {
+        ("k1", "x", "y", datetime.datetime(2023, 2, 1)),
+        ("k2", "e", "f", datetime.datetime(2023, 1, 3)),
+        ("k3", "g", "h", datetime.datetime(2023, 2, 2)),
+    }
+    assert con.execute(
+        "SELECT count(*) FROM information_schema.tables WHERE table_name = 'events__stage'"
+    ).fetchone()[0] == 0
+    # high-water-mark probe runs against the merged target
+    assert con.execute(high_water_mark_sql("events", "ts")).fetchone()[0] is not None
+
+
+def test_jdbc_merge_replay_is_idempotent():
+    import duckdb
+
+    con = duckdb.connect()
+    _fresh_target(con)
+    _stage_batch(con)
+    _run_merge_transaction(con)
+    state1 = _final_state(con)
+
+    # the retry scenario: the SAME batch is staged and merged again
+    _stage_batch(con)
+    _run_merge_transaction(con)
+    assert _final_state(con) == state1
+
+
+def test_jdbc_merge_failure_rolls_back_atomically():
+    """If the transaction dies between DELETE and INSERT, the target must
+    be unchanged — the single-transaction contract the reference relies on
+    (postgres.py:30-38 uses one engine.begin() block)."""
+    import duckdb
+
+    con = duckdb.connect()
+    _fresh_target(con)
+    _stage_batch(con)
+    before = _final_state(con)
+
+    stmts = merge_sql("events", "events__stage", "oid__id", list(_MERGE_COLS))
+    con.execute("BEGIN")
+    con.execute(stmts[0])  # DELETE ran ...
+    con.execute("ROLLBACK")  # ... then the connection died mid-transaction
+
+    assert _final_state(con) == before  # no partial delete visible
