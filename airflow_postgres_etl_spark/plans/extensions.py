@@ -323,6 +323,7 @@ _SQL_SHINGLE_CTE = f"""
     FROM pairs
     WHERE round(shared / (na + nb - shared), 6) >= 0.5
     """,
+    baseline_only=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
@@ -604,6 +605,7 @@ _SQL_COS = (
         PARTITION BY query_id ORDER BY {_SQL_COS} DESC, neighbor_id
     ) <= 10
     """,
+    baseline_only=True,
 )
 def sim_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1706,3 +1708,73 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("order_month"),
         F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
     )
+
+
+# Approximate sketches, driver-gated.  The sketch values themselves are
+# engine-specific (HLL++ / KLL registers), so the query emits for each
+# metric (a) the EXACT value — which the oracle recomputes in SQL — and
+# (b) a within_bounds verdict comparing the sketch against the exact value
+# under the documented tolerance.  The oracle asserts TRUE, so a sketch
+# drifting out of tolerance becomes a hash mismatch at the driver gate.
+# Scale note: four whole-table sketch aggregates, all map-side partial —
+# the 1x1 crossJoin just zips two scalar agg rows.
+@query(
+    "q_approx_stats",
+    """
+    WITH e AS (
+        SELECT count(DISTINCT user_id) AS du, count(DISTINCT event_type) AS det
+        FROM events
+    ), l AS (
+        SELECT quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.9) AS p90
+        FROM lineitem
+    )
+    SELECT metric, round(exact_value, 4) AS exact_value, TRUE AS within_bounds
+    FROM (
+        SELECT 'distinct_event_types' AS metric, det::DOUBLE AS exact_value FROM e
+        UNION ALL SELECT 'distinct_users', du::DOUBLE FROM e
+        UNION ALL SELECT 'p50_price', p50 FROM l
+        UNION ALL SELECT 'p90_price', p90 FROM l
+    )
+    ORDER BY metric
+    """,
+)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    events = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = events.agg(
+        F.countDistinct("user_id").cast("double").alias("du"),
+        F.approx_count_distinct("user_id", rsd=0.02).cast("double").alias("du_a"),
+        F.countDistinct("event_type").cast("double").alias("det"),
+        F.approx_count_distinct("event_type", rsd=0.02).cast("double").alias("det_a"),
+    )
+    l = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).cast("double").alias("p50_a"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).cast("double").alias("p90_a"),
+    )
+    one = e.crossJoin(l)
+
+    def verdict(metric: str, exact: str, approx: str, tol):
+        return one.select(
+            F.lit(metric).alias("metric"),
+            F.round(F.col(exact), 4).alias("exact_value"),
+            (F.abs(F.col(approx) - F.col(exact)) <= tol).alias("within_bounds"),
+        )
+
+    rows = [
+        verdict(
+            "distinct_event_types", "det", "det_a",
+            F.greatest(F.lit(3.0), F.col("det") * 0.05),
+        ),
+        verdict(
+            "distinct_users", "du", "du_a",
+            F.greatest(F.lit(3.0), F.col("du") * 0.05),
+        ),
+        verdict("p50_price", "p50", "p50_a", F.col("p50") * 0.01),
+        verdict("p90_price", "p90", "p90_a", F.col("p90") * 0.01),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("metric")

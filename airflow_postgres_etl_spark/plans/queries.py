@@ -35,14 +35,27 @@ from ..sources.parquet_source import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+#: Queries whose plan shape is deliberately quadratic (all-pairs / cross
+#: join): they exist ONLY as exactness oracles for their bucketed
+#: production twins and must never be run at scale.  Downstream users
+#: should treat membership here as "do not ship"; the scale paths are the
+#: LSH / IVF / pigeonhole variants that pass the same differentials.
+BASELINE_ONLY: set[str] = set()
 
-def query(name: str, oracle: str | None = None):
-    """Register a query callable (and its SQL oracle twin)."""
+
+def query(name: str, oracle: str | None = None, *, baseline_only: bool = False):
+    """Register a query callable (and its SQL oracle twin).
+
+    ``baseline_only=True`` flags a deliberately non-scalable exactness
+    baseline (recorded in :data:`BASELINE_ONLY`).
+    """
 
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        if baseline_only:
+            BASELINE_ONLY.add(name)
         return fn
 
     return deco

@@ -63,3 +63,10 @@ def test_session_window_exact_boundary(spark, tmp_path):
     compare(spark_df, oracle_df)
     starts = [r.session_start for r in spark_df.collect()]
     assert len(starts) == 2  # exactly-1800 gap merged; 1801 split
+
+
+def test_baseline_only_marker_names_registered_queries():
+    from airflow_postgres_etl_spark.plans import BASELINE_ONLY
+
+    assert BASELINE_ONLY == {"dedup_ngram_jaccard", "sim_knn_brute_force"}
+    assert BASELINE_ONLY <= set(QUERIES)
