@@ -1778,3 +1778,108 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdict("p90_price", "p90", "p90_a", F.col("p90") * 0.01),
     ]
     return reduce(lambda a, b: a.unionByName(b), rows).orderBy("metric")
+
+
+# Forward as-of join: for each event, the EARLIEST order at-or-after it
+# per user.  Oracle: DuckDB's native forward ASOF (ts <= orderdate picks
+# the smallest qualifying right ts).  Same one-shuffle window plan as the
+# backward direction.
+@query(
+    "q_asof_forward",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS next_orderkey
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        o,
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("o_orderkey").alias("next_orderkey")
+    )
+
+
+# Nearest as-of join under a 30-day tolerance (pandas merge_asof
+# direction='nearest' + tolerance): closest order date either side of the
+# event, ties to backward, no match beyond the tolerance.  Oracle: both
+# ASOF directions + CASE arbitration with epoch() deltas.
+_ASOF_TOL_S = 30 * 86400
+
+
+@query(
+    "q_asof_nearest_tolerance",
+    f"""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    b AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey AS bk, epoch(e.ts) - epoch(o.o_orderdate) AS bd
+        FROM events e
+        ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ),
+    f AS (
+        SELECT e.event_id,
+               o.o_orderkey AS fk, epoch(o.o_orderdate) - epoch(e.ts) AS fd
+        FROM events e
+        ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    ),
+    j AS (
+        SELECT b.event_id, b.user_id, b.ts,
+               CASE WHEN bd <= {_ASOF_TOL_S} THEN bk END AS bk,
+               CASE WHEN bd <= {_ASOF_TOL_S} THEN bd END AS bd,
+               CASE WHEN fd <= {_ASOF_TOL_S} THEN fk END AS fk,
+               CASE WHEN fd <= {_ASOF_TOL_S} THEN fd END AS fd
+        FROM b JOIN f ON b.event_id = f.event_id
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN bk IS NULL THEN fk
+                WHEN fk IS NULL THEN bk
+                WHEN bd <= fd THEN bk
+                ELSE fk END AS nearest_orderkey
+    FROM j
+    """,
+)
+def q_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        o,
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+        direction="nearest",
+        tolerance=_ASOF_TOL_S,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("o_orderkey").alias("nearest_orderkey")
+    )
