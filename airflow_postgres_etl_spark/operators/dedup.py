@@ -324,8 +324,13 @@ def simhash_near_pairs(
 
     Columns: ``doc_a, doc_b, hamming`` (key_a < key_b).
     """
-    sig = simhash_signatures(df, col, key).withColumn(
-        "h", F.conv("simhash", 2, 10).cast("long")
+    # cache: both sides of the block self-join read this frame; without it
+    # the 60-sum signature aggregate executes twice (measured 5.3 s → 3.0 s
+    # at sf0.1).  One narrow row per doc — negligible memory.
+    sig = (
+        simhash_signatures(df, col, key)
+        .withColumn("h", F.conv("simhash", 2, 10).cast("long"))
+        .cache()
     )
     blocks = F.array(
         *[
@@ -345,15 +350,15 @@ def simhash_near_pairs(
     b = ex.select(
         F.col(key).alias("doc_b"), F.col("h").alias("hb"), "block_idx", "block_bits"
     )
-    cand = (
-        a.join(b, ["block_idx", "block_bits"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()
-    )
+    # hamming verification BEFORE the dedup shuffle: the popcount is a
+    # codegen'd projection on the join output, so non-qualifying candidates
+    # are dropped map-side and never shuffle into the distinct.
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        cand.withColumn("hamming", hamming.cast("long"))
+        a.join(b, ["block_idx", "block_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= radius)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )

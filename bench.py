@@ -49,6 +49,8 @@ HEADLINE = [
     "sim_lsh_buckets",
     "multimodal_features",
     "q_asof_join",
+    "q_asof_forward",
+    "dedup_simhash_near",
     "q_range_join",
     "q_percentiles",
     "q_json_extract",
