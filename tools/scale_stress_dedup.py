@@ -1,0 +1,95 @@
+"""Dedup-stack scale stress: measure LSH candidate growth vs corpus size.
+
+The central scale claim of the dedup design (SCALE.md) is that MinHash-LSH
+candidate generation grows ~linearly with document count while the pair
+space (docs²) grows quadratically.  This probe measures it: replicate the
+sf0.1 documents table N× with
+
+- shifted doc_ids (distinct keys per copy), and
+- per-copy token salting (every inter-word gap gains a copy marker token,
+  so every 3-gram shingle differs across copies and copies can NOT
+  near-dup-match each other — each copy is an independent corpus with the
+  same internal near-dup density).
+
+Then count LSH band-collision candidate pairs and verified (jaccard ≥ 0.5)
+pairs, and record wall time.  Linear growth ⇒ candidates/docs stays flat
+as docs² explodes.
+
+Usage: python tools/scale_stress_dedup.py [n_copies ...]  (default: 1 4 16)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airflow_postgres_etl_spark.operators import dedup as D  # noqa: E402
+from airflow_postgres_etl_spark.session import get_spark  # noqa: E402
+from airflow_postgres_etl_spark.sources.parquet_source import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate_salted(docs, n: int):
+    copies = []
+    for i in range(n):
+        c = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+        ).withColumn(
+            # suffix the copy marker onto EVERY token (a bijection on the
+            # token alphabet): shingles never collide across copies, and —
+            # unlike inserting marker tokens between words — no new
+            # high-frequency shingles are created, so each copy keeps the
+            # base corpus's exact shingle frequency distribution.
+            "text",
+            F.regexp_replace(F.col("text"), r"(\S+)", f"$1cpy{i}")
+            if i
+            else F.col("text"),
+        )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    ns = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark(app_name="scale_stress_dedup")
+    results = []
+    for n in ns:
+        docs = replicate_salted(
+            load_table(spark, SF_DIR, "documents").select("doc_id", "text"), n
+        )
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        candidates = D.lsh_candidate_pairs(docs).count()
+        t_cand = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        verified = D.lsh_verified_pairs(docs).count()
+        t_ver = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()  # per-n shingle caches must not leak
+        results.append(
+            {
+                "n_copies": n,
+                "docs": n_docs,
+                "pair_space": n_docs * (n_docs - 1) // 2,
+                "lsh_candidates": candidates,
+                "verified_pairs": verified,
+                "candidates_per_doc": round(candidates / n_docs, 3),
+                "t_candidates_sec": t_cand,
+                "t_verified_sec": t_ver,
+            }
+        )
+        print(json.dumps(results[-1]), flush=True)
+    print(json.dumps({"metric": "scale_stress_dedup", "rows": results}))
+
+
+if __name__ == "__main__":
+    main()
