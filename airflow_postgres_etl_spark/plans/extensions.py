@@ -1883,3 +1883,305 @@ def q_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", F.col("o_orderkey").alias("nearest_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 relational widening: EXISTS/decorrelation-heavy TPC-H analogs
+# (the testdata has no partsupp/commitdate, so Q4/Q16/Q17/Q21/Q22 are
+# restated on the available columns with the same operator shapes).
+# ---------------------------------------------------------------------------
+
+# Q4-style: EXISTS with a non-equi correlated predicate -> left-semi join.
+# Scale: semi join shuffles on orderkey only; no payload duplication.
+@query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate)
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# Q16-style: distinct-aggregate after a filtered dim join (no partsupp:
+# lineitem is the part->supplier link).  NOT LIKE prunes at the part scan.
+@query(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type NOT LIKE 'MEDIUM%'
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (~F.col("p_type").like("MEDIUM%"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+# Q17-style: correlated scalar subquery (per-part avg threshold),
+# decorrelated into aggregate-then-join — Catalyst's own rewrite, stated
+# explicitly.  Scale: the avg frame is |parts|, joins on partkey.
+@query(
+    "tpch_q17_small_quantity",
+    """
+    WITH avgq AS (
+        SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_weekly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < a.qty_lim
+    """,
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avgq = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_lim")
+    )
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avgq.withColumnRenamed("l_partkey", "a_partkey"),
+              F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+    )
+    return joined.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly")
+    )
+
+
+# Q21-style: the EXISTS + NOT-EXISTS double correlation ("supplier kept
+# the order waiting alone"), late = shipped after the order date.  Spark
+# form: one semi join (another supplier exists in the order) + one anti
+# join (no OTHER supplier shipped late) — both shuffle on orderkey.
+@query(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH ofl AS (
+        SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+    ),
+    late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN ofl o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    ofl = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(ofl, li.l_orderkey == ofl.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    cand = late.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(s, cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+# Q22-style: global scalar subquery threshold + activity predicate via a
+# left-joined pre-aggregate (the decorrelated NOT-EXISTS-count form).
+@query(
+    "tpch_q22_low_activity",
+    """
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    ),
+    cnt AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+    rich AS (
+        SELECT c.* FROM customer c CROSS JOIN avg_bal a
+        WHERE c.c_acctbal > a.ab
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM rich c
+    LEFT JOIN cnt ON cnt.o_custkey = c.c_custkey
+    WHERE coalesce(cnt.n, 0) <= 2
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def tpch_q22_low_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    cnt = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .join(cnt, c.c_custkey == cnt.o_custkey, "left")
+        .filter(
+            (F.col("c_acctbal") > F.col("ab"))
+            & (F.coalesce(F.col("n"), F.lit(0)) <= 2)
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows + hypertable-style rollup cascade
+# ---------------------------------------------------------------------------
+
+# Sliding 15-minute window every 5 minutes: each event lands in exactly 3
+# windows.  The oracle expands events x [0,1,2] and re-buckets — the
+# relational definition of Spark's F.window(slide).
+@query(
+    "q_sliding_15m_5m",
+    """
+    WITH s AS (
+        SELECT time_bucket(INTERVAL 5 MINUTE, e.ts) - k.k * INTERVAL 5 MINUTE
+                   AS window_start,
+               e.value
+        FROM events e CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+    )
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def q_sliding_15m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+# Hypertable-style rollup cascade: minute -> hour -> day, each level
+# aggregated FROM THE PREVIOUS LEVEL (continuous-aggregate shape), one
+# scan of the fact table total.  Decimal sums make the cascade exactly
+# associative, so the oracle can aggregate each level directly.
+@query(
+    "q_rollup_cascade",
+    """
+    WITH m AS (
+        SELECT date_trunc('minute', ts) AS bucket,
+               count(*) AS n_events,
+               sum(value::DECIMAL(18, 6)) AS sv
+        FROM events GROUP BY 1
+    ),
+    h AS (
+        SELECT date_trunc('hour', bucket) AS bucket,
+               CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
+        FROM m GROUP BY 1
+    ),
+    d AS (
+        SELECT date_trunc('day', bucket) AS bucket,
+               CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
+        FROM h GROUP BY 1
+    )
+    SELECT level, bucket, n_events,
+           CAST(round(sv, 2) AS DOUBLE) AS total_value
+    FROM (
+        SELECT 'minute' AS level, * FROM m
+        UNION ALL SELECT 'hour', * FROM h
+        UNION ALL SELECT 'day', * FROM d
+    )
+    ORDER BY level, bucket
+    """,
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    minute = events.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket")).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sv").alias("sv"),
+    )
+    day = hour.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sv").alias("sv"),
+    )
+    out = (
+        minute.select(F.lit("minute").alias("level"), "bucket", "n_events", "sv")
+        .unionByName(hour.select(F.lit("hour").alias("level"), "bucket", "n_events", "sv"))
+        .unionByName(day.select(F.lit("day").alias("level"), "bucket", "n_events", "sv"))
+    )
+    return out.select(
+        "level",
+        "bucket",
+        "n_events",
+        F.round("sv", 2).cast("double").alias("total_value"),
+    ).orderBy("level", "bucket")
