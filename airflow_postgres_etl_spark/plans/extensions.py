@@ -2160,16 +2160,20 @@ def q_sliding_15m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # each level is MATERIALIZED (cache here; a table per level at real
+    # scale — that is what a continuous aggregate is): without it every
+    # union branch re-derives its input subtree and the fact table is
+    # scanned once per level (3 scans, plan-gated down to 1).
     minute = events.groupBy(
         F.date_trunc("minute", "ts").alias("bucket")
     ).agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
-    )
+    ).cache()
     hour = minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket")).agg(
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("sv").alias("sv"),
-    )
+    ).cache()
     day = hour.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("sv").alias("sv"),

@@ -94,3 +94,38 @@ def test_lsh_buckets_no_shuffle_before_agg(spark):
     (for the bucket groupBy), none for the projections."""
     plan = plan_of(spark, "sim_lsh_buckets")
     assert plan.count("Exchange") <= 2  # bucket agg (+ AQE artifacts)
+
+
+def test_q4_exists_plans_semi_join(spark):
+    assert "LeftSemi" in plan_of(spark, "tpch_q4_order_priority")
+
+
+def test_q21_double_correlation_plans_semi_plus_anti(spark):
+    plan = plan_of(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_directions_single_sort_no_python(spark):
+    for name in ("q_asof_join", "q_asof_forward", "q_asof_nearest_tolerance"):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_simhash_near_no_cartesian_no_python(spark):
+    plan = plan_of(spark, "dedup_simhash_near")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_rollup_cascade_materializes_levels(spark):
+    """Continuous-aggregate shape: minute and hour levels are cached, so
+    the hour/day branches read the materialized level below them instead
+    of re-deriving the whole subtree (re-scanning the fact table).
+    (Plan-string scan counts are unusable here: InMemoryRelation prints
+    its originating plan, scans included — assert the cache reuse marker.)"""
+    df = QUERIES["q_rollup_cascade"](spark, SF_SMOKE)
+    df.collect()  # populate the level caches
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
