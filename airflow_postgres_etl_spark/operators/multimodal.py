@@ -109,3 +109,54 @@ def sample_frames(features: DataFrame) -> DataFrame:
     return features.select("doc_id", "checksum", "n_frames", idx).withColumn(
         "frame_hash", F.md5(F.concat_ws(":", F.col("checksum"), F.col("frame_idx")))
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    *,
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """Resize plumbing: binary in → binary out with new dimensions.
+
+    The stub "resize" truncates the payload to the byte budget
+    ``target_width * target_height // 64`` (deterministic, shape-checked);
+    a real backend would decode → resample → re-encode inside the same
+    ``mapInPandas`` iterator — the Spark-side contract (binary → binary,
+    schema, Arrow batching, no shuffle) is identical and is what's tested.
+    Real decoding is opt-in via ``use_real_codecs=True`` and raises until
+    a codec backend is wired in.
+    """
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real codec resize path not implemented in this build"
+            + ("" if HAVE_CODECS else " (and no codec libraries installed)")
+        )
+    budget = target_width * target_height // 64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["payload"].map(lambda b: bytes(b)[:budget])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": target_width,
+                    "height": target_height,
+                    "n_bytes": out.map(len),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)

@@ -2189,3 +2189,25 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sv", 2).cast("double").alias("total_value"),
     ).orderBy("level", "bucket")
+
+
+# Multimodal resize plumbing: binary -> binary through mapInPandas with a
+# deterministic stub codec.  The oracle reproduces the numeric metadata
+# (byte budget arithmetic); the binary contract itself is unit-tested.
+@query(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(224 AS BIGINT) AS width,
+           CAST(224 AS BIGINT) AS height,
+           CAST(least(octet_length(encode(text)), 784) AS BIGINT) AS n_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_payload, resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_media(attach_payload(docs), 224, 224)
+    return resized.select("doc_id", "width", "height", "n_bytes").orderBy("doc_id")

@@ -61,3 +61,27 @@ def test_real_codecs_is_explicit_opt_in(spark):
     assert extract_media_features(df).count() == 1  # default: stub, always
     with _pytest.raises(NotImplementedError):
         extract_media_features(df, use_real_codecs=True)
+
+
+def test_resize_media_binary_contract(spark):
+    import pytest
+
+    from airflow_postgres_etl_spark.operators.multimodal import (
+        attach_payload,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 2000), (2, "short"), (3, "")], ["doc_id", "text"]
+    )
+    out = resize_media(attach_payload(docs), 224, 224).collect()
+    by_id = {r.doc_id: r for r in out}
+    budget = 224 * 224 // 64
+    assert by_id[1].n_bytes == budget and len(by_id[1].payload) == budget
+    assert by_id[1].payload == b"x" * budget  # prefix-truncation, not garbage
+    assert by_id[2].n_bytes == 5 and by_id[2].payload == b"short"
+    assert by_id[3].n_bytes == 0
+    assert all(r.width == 224 and r.height == 224 for r in out)
+
+    with pytest.raises(NotImplementedError):
+        resize_media(attach_payload(docs), use_real_codecs=True).collect()
