@@ -43,3 +43,60 @@ def test_windowed_counts_match_batch_q1(spark):
     a = {(r.minute, r.n_events) for r in streaming_form.collect()}
     b = {(r.minute, r.n_events) for r in batch_form.collect()}
     assert a == b
+
+
+def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
+    """Pin the late-data contract of windowed_event_counts: a row arriving
+    behind the persisted watermark is DROPPED, and append mode only emits
+    windows the watermark has passed.
+
+    Two checkpointed availableNow runs (the deployment pattern — the
+    watermark is restored from the checkpoint at plan time; within a
+    single multi-batch run Spark plans the data-drop filter with the
+    run-initial watermark, so a one-run test would show drops only for
+    data late relative to the PREVIOUS run):
+
+    Run 1: rows at 10:00:30 and 10:30 -> checkpointed watermark 10:20.
+    Run 2: late row 9:00 (< 10:20: dropped, numRowsDroppedByWatermark=1)
+           + row 10:40 (watermark -> 10:30).
+    Emitted = windows with end <= final watermark minus dropped rows:
+    exactly ([10:00], 1); a kept 9:00 row would have emitted ([9:00], 1)."""
+    import datetime as dt
+
+    from airflow_postgres_etl_spark.streaming import windowed_event_counts
+
+    def t(h, m, s=0):
+        return dt.datetime(2024, 1, 1, h, m, s)
+
+    src, ck, outd = (str(tmp_path / d) for d in ("src", "ck", "out"))
+
+    def run_once():
+        stream = spark.readStream.schema("event_id long, ts timestamp").parquet(src)
+        out = windowed_event_counts(stream, window="1 minute", watermark="10 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outd)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    b1 = spark.createDataFrame([(1, t(10, 0, 30)), (2, t(10, 30))], ["event_id", "ts"])
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    run_once()
+
+    b2 = spark.createDataFrame([(3, t(9, 0)), (4, t(10, 40))], ["event_id", "ts"])
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = run_once()
+
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q2.recentProgress
+        for so in (p.get("stateOperators") or [])
+    )
+    assert dropped == 1
+    got = {(r.minute, r.n_events) for r in spark.read.parquet(outd).collect()}
+    assert got == {(t(10, 0), 1)}
