@@ -189,3 +189,109 @@ def lsh_bucket_sizes(
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"), F.min(id_col).alias("min_vec_id"))
     )
+
+
+# Measured sweep at sf0.1 (2000 vecs, 50 queries, k=10, recall vs brute
+# force — tools/ann_recall.py): finer cells beat more probes at equal
+# scan: 16c/2p → 0.51, 32c/4p → 0.73, 64c/8p → 0.94, all ≈12.5% scanned.
+# At real scale pick n_cells ≈ √N and keep probes/n_cells ≈ the scan
+# budget.
+N_IVF_CELLS = 64
+IVF_PROBES = 8
+
+
+def _centroids(
+    emb: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Coarse centroids: the first ``n_cells`` vectors by id (IVF-Flat
+    with deterministically sampled centroids — no k-means state to ship;
+    any fixed, reproducible sample works as a quantizer)."""
+    return emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("__cvv")
+    )
+
+
+def _centroid_sims(df: DataFrame, cent: DataFrame, vec_col: str) -> DataFrame:
+    """Per-(vector, centroid) rounded cosine: the IVF assignment frame.
+
+    Centroids stay DATA and broadcast-cross-join against the corpus
+    (N × n_cells rows) — inlining n_cells × dim literals into the plan
+    instead blows up expression canonicalization (measured: driver OOM at
+    16 × 64 inside zip_with trees).  This is also the 100 TB shape: the
+    centroid table broadcasts, the corpus never moves.
+    """
+    sim = F.round(cosine_similarity_expr(F.col(vec_col), F.col("__cvv")), 6)
+    return df.crossJoin(F.broadcast(cent)).withColumn("csim", sim)
+
+
+def ivf_cells(
+    emb: DataFrame,
+    n_cells: int = N_IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid (``cell``).
+
+    argmax = max over (csim, c_id) structs — ties break to the larger
+    c_id, mirrored exactly by the oracle's ``ORDER BY csim DESC, c_id
+    DESC``.  One hash aggregate over the assignment frame, no window.
+    """
+    sims = _centroid_sims(emb, _centroids(emb, n_cells, id_col, vec_col), vec_col)
+    best = sims.groupBy(id_col).agg(
+        F.max(F.struct(F.col("csim"), F.col("c_id"))).alias("__best")
+    )
+    return emb.join(best, id_col).withColumn(
+        "cell", F.col("__best.c_id")
+    ).drop("__best")
+
+
+def knn_ivf_centroids(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = N_IVF_CELLS,
+    probes: int = IVF_PROBES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Real IVF ANN: geometric coarse quantizer + multi-probe.
+
+    Each query scans the ``probes`` cells whose centroids are nearest it;
+    candidates come from an equi-join on the cell id.  Scanned fraction
+    ≈ probes / n_cells of the corpus instead of all of it; recall is
+    measured (not assumed) by ``tools/ann_recall.py``.
+
+    Columns: ``query_id, neighbor_id, cosine_sim`` (rounded 6).
+    """
+    cand = ivf_cells(emb, n_cells, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
+    )
+    qsims = _centroid_sims(
+        emb.filter(F.col(id_col).isin(query_ids)),
+        _centroids(emb, n_cells, id_col, vec_col),
+        vec_col,
+    )
+    wq = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.desc("c_id"))
+    q = (
+        qsims.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= probes)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("c_id").alias("cell"),
+        )
+    )
+    sim = F.round(cosine_similarity_expr(F.col("__qv"), F.col("__cv")), 6)
+    pairs = (
+        q.join(cand, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )

@@ -2211,3 +2211,51 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     resized = resize_media(attach_payload(docs), 224, 224)
     return resized.select("doc_id", "width", "height", "n_bytes").orderBy("doc_id")
+
+
+# Real IVF ANN: geometric coarse quantizer (sampled centroids, inlined as
+# plan literals) + multi-probe.  The label-cell variant above answers
+# "nearest within my class"; THIS is the global-ANN scale path, and its
+# recall vs brute force is measured, not assumed (tools/ann_recall.py:
+# recall@10 recorded in SCALE.md).  Oracle reproduces the assignment
+# argmax (sim DESC, cid DESC) and the probe top-2 exactly.
+@query(
+    "sim_knn_ivf_mp",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS c_id, v AS cvv FROM e WHERE vec_id < {S.N_IVF_CELLS}),
+    csims AS (
+        SELECT e.vec_id, c.c_id,
+               round(list_dot_product(e.v, c.cvv) /
+                     nullif(sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(c.cvv, c.cvv)), 0.0), 6) AS csim
+        FROM e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, c_id AS cell FROM csims
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, c_id DESC) = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, c_id AS cell FROM csims
+        WHERE vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, c_id DESC) <= {S.IVF_PROBES}
+    ),
+    pairs AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, qe.v AS qv, e2.v AS cv
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell
+        JOIN e qe ON qe.vec_id = p.query_id
+        JOIN e e2 ON e2.vec_id = a.vec_id
+        WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, {_SQL_COS} AS cosine_sim
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY {_SQL_COS} DESC, neighbor_id) <= 10
+    """,
+)
+def sim_knn_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_ivf_centroids(emb, KNN_QUERY_IDS, k=10)
