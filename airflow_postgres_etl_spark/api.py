@@ -37,10 +37,13 @@ class Engine:
             os.path.join(out_dir, "events"),
         )
         # keep the SQL surface in sync with the freshly loaded tables
+        # (read_keyed_table hides the sink's internal bucket column)
+        from .sink import read_keyed_table
+
         for name in ("tracking", "events"):
             path = os.path.join(out_dir, name)
             if os.path.isdir(path):
-                self.spark.read.parquet(path).createOrReplaceTempView(name)
+                read_keyed_table(self.spark, path).createOrReplaceTempView(name)
         return counts
 
     # -- SQL surface (reference entry point C) ------------------------------

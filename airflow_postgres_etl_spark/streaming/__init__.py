@@ -1,3 +1,3 @@
-from .file_stream import stream_ingest, windowed_event_counts
+from .file_stream import dedup_event_stream, stream_ingest, windowed_event_counts
 
-__all__ = ["stream_ingest", "windowed_event_counts"]
+__all__ = ["dedup_event_stream", "stream_ingest", "windowed_event_counts"]

@@ -81,3 +81,24 @@ def windowed_event_counts(
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("minute"), "n_events")
     )
+
+
+def dedup_event_stream(
+    events: DataFrame,
+    *,
+    id_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exactly-once event dedup: keep the first occurrence of
+    each key, with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark``).
+
+    The batch analog is T3's keyed keep-last / T13's distinct; in a
+    stream, unbounded `dropDuplicates` state grows forever — the
+    watermark bound makes dedup state O(events within the delay window),
+    the only formulation that survives an unbounded stream.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )

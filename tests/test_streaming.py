@@ -100,3 +100,47 @@ def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
     assert dropped == 1
     got = {(r.minute, r.n_events) for r in spark.read.parquet(outd).collect()}
     assert got == {(t(10, 0), 1)}
+
+
+def test_dedup_event_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a key re-delivered in a later
+    micro-batch (within the watermark window) is dropped; first
+    occurrences pass through."""
+    import datetime as dt
+
+    from airflow_postgres_etl_spark.streaming import dedup_event_stream
+
+    def t(m, s=0):
+        return dt.datetime(2024, 1, 1, 10, m, s)
+
+    src = str(tmp_path / "dd_src")
+    b1 = spark.createDataFrame([(1, t(0)), (2, t(1))], ["event_id", "ts"])
+    b2 = spark.createDataFrame([(1, t(0, 30)), (3, t(2))], ["event_id", "ts"])
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    first = {f for f in os.listdir(src) if f.endswith(".parquet")}
+    b2.coalesce(1).write.mode("append").parquet(src)
+    import time as _time
+
+    now = _time.time()
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            age = 120 if f in first else 0
+            os.utime(os.path.join(src, f), (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedup_event_stream(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_id, r.ts) for r in spark.sql("SELECT * FROM dd_out").collect()}
+    # event 1's re-delivery at 10:00:30 is dropped; its first arrival wins
+    assert got == {(1, t(0)), (2, t(1)), (3, t(2))}
