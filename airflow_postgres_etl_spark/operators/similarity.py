@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_similarity_expr
+from ..functions.vectors import cosine_similarity_expr, dot_expr, l2_norm_expr
 
 SIGN_PLANES = 8
 
@@ -205,9 +205,12 @@ def _centroids(
 ) -> DataFrame:
     """Coarse centroids: the first ``n_cells`` vectors by id (IVF-Flat
     with deterministically sampled centroids — no k-means state to ship;
-    any fixed, reproducible sample works as a quantizer)."""
+    any fixed, reproducible sample works as a quantizer).  The norm is
+    precomputed once per centroid — see :func:`_centroid_sims`."""
     return emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("__cvv")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("__cvv"),
+        l2_norm_expr(F.col(vec_col)).alias("__cnorm"),
     )
 
 
@@ -218,10 +221,18 @@ def _centroid_sims(df: DataFrame, cent: DataFrame, vec_col: str) -> DataFrame:
     (N × n_cells rows) — inlining n_cells × dim literals into the plan
     instead blows up expression canonicalization (measured: driver OOM at
     16 × 64 inside zip_with trees).  This is also the 100 TB shape: the
-    centroid table broadcasts, the corpus never moves.
+    centroid table broadcasts, the corpus never moves.  Norms are
+    computed once per ROW (not per pair): higher-order-function
+    evaluation is the per-pair cost, so cosine = dot / (norm·norm) with
+    hoisted norms does 1 fold per pair instead of 3 (measured ~2.5×).
     """
-    sim = F.round(cosine_similarity_expr(F.col(vec_col), F.col("__cvv")), 6)
-    return df.crossJoin(F.broadcast(cent)).withColumn("csim", sim)
+    with_norm = df.withColumn("__vnorm", l2_norm_expr(F.col(vec_col)))
+    sim = F.round(
+        dot_expr(F.col(vec_col), F.col("__cvv"))
+        / F.nullif(F.col("__vnorm") * F.col("__cnorm"), F.lit(0.0)),
+        6,
+    )
+    return with_norm.crossJoin(F.broadcast(cent)).withColumn("csim", sim)
 
 
 def ivf_cells(

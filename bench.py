@@ -51,6 +51,9 @@ HEADLINE = [
     "q_asof_join",
     "q_asof_forward",
     "dedup_simhash_near",
+    "sim_knn_ivf_mp",
+    "q_rollup_cascade",
+    "q_sliding_15m_5m",
     "q_range_join",
     "q_percentiles",
     "q_json_extract",
