@@ -306,3 +306,47 @@ def knn_ivf_centroids(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+
+
+def embedding_near_dup_ivf(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = N_IVF_CELLS,
+    assignments: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Global near-duplicate vector pairs via the geometric quantizer.
+
+    Each vector is multi-assigned to its ``assignments`` nearest cells;
+    candidate pairs share at least one cell (equi-join per cell, distinct
+    pairs), then the exact cosine ≥ threshold filter verifies.  Near-dup
+    pairs sit close in space, so they almost always share a top cell —
+    multi-assignment covers the Voronoi-boundary cases; like any LSH-family
+    method the candidate set is approximate by design, and the pair space
+    is per-cell quadratic instead of global.
+
+    Columns: ``vec_a, vec_b, cosine_sim``.
+    """
+    sims = _centroid_sims(emb, _centroids(emb, n_cells, id_col, vec_col), vec_col)
+    wv = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.desc("c_id"))
+    assigned = (
+        sims.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") <= assignments)
+        .select(F.col(id_col), F.col(vec_col), F.col("c_id").alias("cell"))
+    )
+    a = assigned.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"), "cell"
+    )
+    sim = F.round(cosine_similarity_expr(F.col("__va"), F.col("__vb")), 6)
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
+        .distinct()
+    )

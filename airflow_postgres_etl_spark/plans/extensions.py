@@ -2259,3 +2259,51 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_knn_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_ivf_centroids(emb, KNN_QUERY_IDS, k=10)
+
+
+# Global embedding near-dup on the geometric quantizer: top-2 cell
+# multi-assignment -> per-cell pair join -> exact cosine verify.  The
+# label-blocked variant above is within-class; this one is corpus-global.
+@query(
+    "sim_near_dup_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+        SELECT vec_id AS c_id, v AS cvv, sqrt(list_dot_product(v, v)) AS cnorm
+        FROM e WHERE vec_id < {S.N_IVF_CELLS}
+    ),
+    vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vnorm FROM e),
+    csims AS (
+        SELECT vn.vec_id, c.c_id,
+               round(list_dot_product(vn.v, c.cvv) /
+                     nullif(vn.vnorm * c.cnorm, 0.0), 6) AS csim
+        FROM vn CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, c_id AS cell FROM csims
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, c_id DESC) <= 2
+    ),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT p.vec_a, p.vec_b,
+           round(list_dot_product(ea.v, eb.v) /
+                 nullif(sqrt(list_dot_product(ea.v, ea.v)) *
+                        sqrt(list_dot_product(eb.v, eb.v)), 0.0), 6) AS cosine_sim
+    FROM pairs p
+    JOIN e ea ON ea.vec_id = p.vec_a
+    JOIN e eb ON eb.vec_id = p.vec_b
+    WHERE round(list_dot_product(ea.v, eb.v) /
+                nullif(sqrt(list_dot_product(ea.v, ea.v)) *
+                       sqrt(list_dot_product(eb.v, eb.v)), 0.0), 6) >= 0.45
+    """,
+)
+def sim_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # synthetic embeddings top out near cosine 0.51 (measured), so the
+    # near-dup band for this data is >= 0.45 (the label-blocked variant
+    # uses 0.4)
+    return S.embedding_near_dup_ivf(emb, threshold=0.45)

@@ -71,15 +71,16 @@ def main() -> None:
     # warm the JVM + parquet footer cache outside the timed region
     QUERIES["tpch_q6_revenue_forecast"](spark, sf_dir).collect()
 
-    # best-of-2: the host is shared and load spikes of 5+ are routine;
-    # min-of-reps measures the engine, not the neighbors
+    # best-of-3: the host is shared and load spikes of 5+ are routine;
+    # min-of-reps measures the engine, not the neighbors (ambient drift of
+    # ±20% across hours was measured on identical code — see bench_diff)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
