@@ -2307,3 +2307,70 @@ def sim_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup band for this data is >= 0.45 (the label-blocked variant
     # uses 0.4)
     return S.embedding_near_dup_ivf(emb, threshold=0.45)
+
+
+# Column profiling — the data-quality report a training-data pipeline
+# runs before ingesting a new source: one pass over the table, per-column
+# null rate / distinct count / min / max.  One hash aggregate (all stats
+# partial-aggregate map-side); the unpivot to (column, stat) rows happens
+# on the single result row.
+@query(
+    "q_profile_events",
+    """
+    WITH s AS (
+        SELECT count(*) AS n,
+               count(user_id) AS nn_user, count(DISTINCT user_id) AS nd_user,
+               CAST(min(user_id) AS DOUBLE) AS mn_user,
+               CAST(max(user_id) AS DOUBLE) AS mx_user,
+               count(event_type) AS nn_type, count(DISTINCT event_type) AS nd_type,
+               count(value) AS nn_value, count(DISTINCT value) AS nd_value,
+               round(min(value), 6) AS mn_value, round(max(value), 6) AS mx_value
+        FROM events
+    )
+    SELECT col, n_rows, null_rate, n_distinct, min_value, max_value
+    FROM (
+        SELECT 'event_type' AS col, n AS n_rows,
+               round(1.0 - nn_type / n, 6) AS null_rate,
+               nd_type AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value
+        FROM s
+        UNION ALL
+        SELECT 'user_id', n, round(1.0 - nn_user / n, 6), nd_user, mn_user, mx_user FROM s
+        UNION ALL
+        SELECT 'value', n, round(1.0 - nn_value / n, 6), nd_value, mn_value, mx_value FROM s
+    )
+    ORDER BY col
+    """,
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    s = events.agg(
+        F.count("*").alias("n"),
+        F.count("user_id").alias("nn_user"),
+        F.countDistinct("user_id").alias("nd_user"),
+        F.min("user_id").cast("double").alias("mn_user"),
+        F.max("user_id").cast("double").alias("mx_user"),
+        F.count("event_type").alias("nn_type"),
+        F.countDistinct("event_type").alias("nd_type"),
+        F.count("value").alias("nn_value"),
+        F.countDistinct("value").alias("nd_value"),
+        F.round(F.min("value"), 6).alias("mn_value"),
+        F.round(F.max("value"), 6).alias("mx_value"),
+    )
+
+    def row(col, nn, nd, mn, mx):
+        return s.select(
+            F.lit(col).alias("col"),
+            F.col("n").alias("n_rows"),
+            F.round(F.lit(1.0) - F.col(nn) / F.col("n"), 6).alias("null_rate"),
+            F.col(nd).alias("n_distinct"),
+            (F.col(mn) if mn else F.lit(None)).cast("double").alias("min_value"),
+            (F.col(mx) if mx else F.lit(None)).cast("double").alias("max_value"),
+        )
+
+    out = (
+        row("event_type", "nn_type", "nd_type", None, None)
+        .unionByName(row("user_id", "nn_user", "nd_user", "mn_user", "mx_user"))
+        .unionByName(row("value", "nn_value", "nd_value", "mn_value", "mx_value"))
+    )
+    return out.orderBy("col")
