@@ -356,3 +356,105 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted MinHash index — the ingestion-time
+# shape: new batches dedup against the full historical corpus WITHOUT
+# recomputing or rescanning it.
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    df: DataFrame, path: str, col: str = "text", key: str = "doc_id", n: int = 3
+) -> None:
+    """Materialize the LSH band table for a corpus: one row per
+    (band_idx, band_key, doc) plus the doc's shingle array for exact
+    verification.  At 100 TB this table is the dedup INDEX — computed once
+    per corpus, partitioned by band for pruned candidate joins."""
+    sig = minhash_signatures(df, col, key, n)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"m{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(LSH_BANDS)
+        ]
+    )
+    exploded = sig.select(F.col(key), F.explode(bands).alias("b")).select(
+        F.col(key), F.col("b.band_idx"), F.col("b.band_key")
+    )
+    sh = _doc_shingles(df, col, key, n)
+    (
+        exploded.join(sh, key)
+        .withColumnRenamed("__sh", "shingles")
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(path)
+    )
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index_path: str,
+    col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Rows of ``batch`` that are NOT near-duplicates of the indexed
+    corpus (jaccard ≥ threshold against any indexed doc).
+
+    Cost scales with the BATCH: the batch's bands equi-join the index's
+    band table (partition-pruned by band_idx), exact verification runs on
+    candidates only via array intersect — the historical corpus is never
+    re-shingled or re-scanned beyond the matched bands.
+    """
+    spark = batch.sparkSession
+    index = spark.read.parquet(index_path)
+    sig = minhash_signatures(batch, col, key, n)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"m{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(LSH_BANDS)
+        ]
+    )
+    new_bands = sig.select(F.col(key), F.explode(bands).alias("b")).select(
+        F.col(key), F.col("b.band_idx"), F.col("b.band_key")
+    )
+    sh = _doc_shingles(batch, col, key, n)
+    candidates = (
+        new_bands.join(
+            index.select(
+                "band_idx", "band_key",
+                F.col(key).alias("__idx_id"), F.col("shingles").alias("__idx_sh"),
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select(key, "__idx_id", "__idx_sh")
+        .distinct()
+        .join(sh, key)
+    )
+    shared = F.size(F.array_intersect("__sh", "__idx_sh"))
+    jac = shared / (F.size("__sh") + F.size("__idx_sh") - shared)
+    dup_ids = (
+        candidates.withColumn("__j", F.round(jac, 6))
+        .filter(F.col("__j") >= threshold)
+        .select(key)
+        .distinct()
+    )
+    return batch.join(dup_ids, key, "left_anti")

@@ -2374,3 +2374,39 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("value", "nn_value", "nd_value", "mn_value", "mx_value"))
     )
     return out.orderBy("col")
+
+
+# Q15-style: top supplier by revenue — aggregate CTE + scalar subquery on
+# that same aggregate in the WHERE (argmax without a window).  Catalyst
+# evaluates the scalar subquery once and broadcasts the single value.
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__top"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__top"))
+        .join(s, revenue.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
