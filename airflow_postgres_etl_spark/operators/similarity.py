@@ -1,14 +1,19 @@
 """Similarity search over the ``embeddings`` table (``array<float>``).
 
-Three tiers, mirroring a production ANN stack:
+Four tiers, mirroring a production ANN stack:
 
-- **Brute-force top-k** (the exactness baseline): broadcast the (tiny)
-  query set against all vectors — a BroadcastNestedLoopJoin whose inner
-  work is a codegen'd ``zip_with``/``aggregate`` dot product.  Linear scan,
-  embarrassingly parallel; correct at any scale, O(Q·N) cost.
-- **IVF-style bucketed search**: restrict candidates to the query's coarse
-  cell (here the pre-assigned ``label`` plays the role of the quantizer
-  cell) — an equi-join on the cell id replaces the cross product.
+- **Brute-force top-k** (the exactness baseline, ``BASELINE_ONLY``):
+  broadcast the (tiny) query set against all vectors — a
+  BroadcastNestedLoopJoin whose inner work is a codegen'd
+  ``zip_with``/``aggregate`` dot product.  Linear scan, embarrassingly
+  parallel; correct at any scale, O(Q·N) cost.
+- **Label-cell search**: restrict candidates to the query's pre-assigned
+  ``label`` — answers "nearest within my class" (measured GLOBAL recall
+  is only 0.10; labels are not geometric cells — see tools/ann_recall.py).
+- **Centroid IVF with multi-probe** (the global-ANN scale path):
+  deterministically sampled centroids, broadcast as data; struct-max cell
+  assignment; each query probes its IVF_PROBES nearest cells.  Measured
+  recall@10 = 0.94 at 12.4% of the corpus scanned (64 cells, 8 probes).
 - **LSH (random-hyperplane) bucketing**: SIGN_PLANES hash-derived
   hyperplanes give each vector a sign-bit bucket; candidates share the
   bucket (equi-join).  Planes derive deterministically from md5 so the
