@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import dedup as D
 from ..operators import similarity as S
@@ -2409,4 +2410,374 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, revenue.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: Q2 / Q8 / Q11 / Q20 analogs.  The testdata has no
+# partsupp table, so (as in tpch_q16) lineitem serves as the part<->supplier
+# link and unit cost / availability are derived from its measures.  With
+# these, all 22 TPC-H query shapes have an oracle-checked analog.
+# ---------------------------------------------------------------------------
+
+# Q2-style: min-cost supplier per part within a region — the correlated
+# MIN subquery, decorrelated into an aggregate + per-part rank.  We rank
+# (row_number over partkey ordered by cost, suppkey) instead of equality-
+# joining on the float minimum: same semantics, deterministic ties, and no
+# float-equality join.  Scale: cost agg shuffles on (partkey, suppkey);
+# part filter + region dims broadcast; the window partitions on partkey —
+# no skew (each part has few suppliers).
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+        SELECT p.p_partkey, p.p_name, e.s_name, e.s_acctbal, e.n_name,
+               c.unit_cost,
+               row_number() OVER (
+                   PARTITION BY p.p_partkey
+                   ORDER BY c.unit_cost, c.l_suppkey
+               ) AS rn
+        FROM part p
+        JOIN cost c ON c.l_partkey = p.p_partkey
+        JOIN eu e ON e.s_suppkey = c.l_suppkey
+        WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 25
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, round(unit_cost, 4) AS unit_cost
+    FROM ranked WHERE rn = 1
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 25)
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              n.n_regionkey == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "l_suppkey")
+    return (
+        cost.join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(eu, cost.l_suppkey == eu.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# Q8-style: national market share — the 8-relation star join with a
+# conditional-sum / sum ratio per year.  Scale: lineitem⋈orders shuffles
+# on orderkey; every dim (part, supplier, nation x2, customer via region
+# prune, region) broadcasts; the final agg has |years| groups — total
+# map-side combine.  The ratio-of-sums is rounded because the two engines
+# sum in different orders.
+@query(
+    "tpch_q8_market_share",
+    """
+    WITH rev AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM rev GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cust_am = (
+        c.join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(cust_am), o.o_custkey == cust_am.c_custkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(0.0)
+    return (
+        rev.groupBy("o_year")
+        .agg(F.round(F.sum(nat) / F.sum("volume"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# Q11-style: "important stock" — per-part value for one nation's suppliers
+# kept only where it exceeds a global scalar-subquery threshold.  TPC-H's
+# fixed fraction (0.0001) is defined relative to SF; a constant fraction
+# here would shrink to zero rows as data grows, so the scale-invariant
+# restatement is "value > 2x the mean part value" — same plan shape
+# (aggregate + broadcast scalar), output proportional to |parts| at every
+# SF.  Scale: one agg keyed on partkey, the scalar broadcasts; no window,
+# no quadratic step.  No LIMIT: the cutoff is the only float comparison,
+# so the output set is stable without a rank over un-rounded doubles.
+@query(
+    "tpch_q11_important_parts",
+    """
+    WITH val AS (
+        SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY 1
+    ),
+    tot AS (SELECT 2.0 * avg(value) AS thr FROM val)
+    SELECT v.l_partkey AS p_partkey, round(v.value, 2) AS value
+    FROM val v CROSS JOIN tot
+    WHERE v.value > tot.thr
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                            .select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    tot = val.agg((2.0 * F.avg("value")).alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+# Q20-style: suppliers with "excess availability" — kept if, for some part
+# they ship whose name matches the prefix, their 1997 shipped quantity
+# exceeds 30% of their all-time quantity for that part.  The reference
+# shape is the doubly-nested IN subquery; here it decorrelates into one
+# conditional aggregate per (partkey, suppkey) + a semi join.  Scale: one
+# shuffle keyed (partkey, suppkey), part filter broadcasts, semi join on
+# suppkey; quantities are exact integral doubles so the 0.3 cutoff is
+# order-independent.
+@query(
+    "tpch_q20_excess_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CASE WHEN l_shipdate >= DATE '1997-01-01'
+                         AND l_shipdate < DATE '1998-01-01'
+                        THEN l_quantity ELSE 0 END) AS qty_1997,
+               sum(l_quantity) AS qty_all
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT sh.l_suppkey
+        FROM shipped sh JOIN part p ON p.p_partkey = sh.l_partkey
+        WHERE p.p_name LIKE 'small%' AND sh.qty_1997 > 0.3 * sh.qty_all
+    )
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN cand ON cand.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_1'
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    in_97 = F.col("l_shipdate").between("1997-01-01", "1997-12-31 23:59:59.999999")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(in_97, F.col("l_quantity")).otherwise(0.0)).alias("qty_1997"),
+        F.sum("l_quantity").alias("qty_all"),
+    )
+    cand = (
+        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .filter(F.col("qty_1997") > 0.3 * F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(cand, s.s_suppkey == cand.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 training-pipeline widening: repetition-ratio quality signals and
+# deterministic stratified sampling.
+# ---------------------------------------------------------------------------
+
+# Gopher-style repetition signals (Rae et al. 2021, arXiv:2112.11446 §A1.1):
+# highly repetitive documents are low-quality training data.  Per document:
+# the duplicate-bigram fraction and the most-frequent-bigram share.  Shape:
+# one explode + an agg keyed (doc_id, bigram) + an agg keyed doc_id — both
+# partial-aggregated map-side; nothing leaves the JVM.  At 100 TB the
+# (doc_id, bigram) shuffle is bounded by total token count, the same order
+# as the scan itself, and has no skew (keys are per-document).
+@query(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+    b AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bg
+        FROM t WHERE len(w) >= 2
+    ),
+    per AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(1.0 - count(*) / sum(c), 6) AS dup_bigram_frac,
+           round(max(c) / sum(c), 6) AS top_bigram_frac
+    FROM per GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", X.tokens_expr().alias("w")).filter(F.size("w") >= 2)
+    bigrams = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    per = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.lit(1.0) - F.count("*") / F.sum("c"), 6).alias(
+                "dup_bigram_frac"
+            ),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Deterministic stratified sampling: per-stratum keep-rates applied as a
+# pure narrow FILTER — md5(event_id) -> uniform bucket in [0,1000), kept
+# iff below the stratum's rate.  No shuffle, no RNG, reproducible across
+# engines and cluster sizes (the property that matters for training-data
+# lineage: re-running the pipeline yields byte-identical samples).  The
+# verification agg (per-type sampled count + Horvitz-Thompson estimate of
+# the true total) is |event_types| groups.  At 100 TB: the sample IS the
+# scan — rows drop at the source, and the filter is codegen'd.
+@query(
+    "q_stratified_sample",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CASE event_type WHEN 'view' THEN 50 WHEN 'click' THEN 100
+                    ELSE 1000 END AS rate,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 1000 AS bucket
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_sampled,
+           round(count(*) * 1000.0 / rate, 1) AS est_total
+    FROM s WHERE bucket < rate
+    GROUP BY event_type, rate
+    ORDER BY event_type
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    rate = (
+        F.when(F.col("event_type") == "view", 50)
+        .when(F.col("event_type") == "click", 100)
+        .otherwise(1000)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return (
+        events.select("event_type", rate.alias("rate"), bucket.alias("bucket"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .groupBy("event_type", "rate")
+        .agg(F.count("*").alias("n_sampled"))
+        .select(
+            "event_type",
+            "n_sampled",
+            F.round(F.col("n_sampled") * 1000.0 / F.col("rate"), 1).alias(
+                "est_total"
+            ),
+        )
+        .orderBy("event_type")
     )

@@ -59,6 +59,16 @@ HEADLINE = [
     "q_json_extract",
     "q_running_totals",
     "pipeline_clean_corpus",
+    # round-2 TPC-H completion: min-cost rank, 8-relation star, global
+    # scalar threshold, decorrelated double-nested IN
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q11_important_parts",
+    "tpch_q20_excess_suppliers",
+    # repetition-quality signals (explode + two keyed aggs) and the
+    # zero-shuffle deterministic stratified sample
+    "text_repetition",
+    "q_stratified_sample",
 ]
 
 
