@@ -129,3 +129,38 @@ def test_rollup_cascade_materializes_levels(spark):
     df.collect()  # populate the level caches
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_tpch_q8_star_join_broadcasts_every_dim(spark):
+    """8-relation star: only lineitem⋈orders shuffles; part, supplier,
+    nation x2, region-pruned customer all broadcast."""
+    plan = plan_of(spark, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_tpch_q2_min_cost_rank_windows_after_broadcasts(spark):
+    """Min-cost-per-part rank: dims broadcast into the cost aggregate,
+    then one window partitioned on partkey — no float-equality join."""
+    plan = plan_of(spark, "tpch_q2_min_cost_supplier")
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stays_jvm_side(spark):
+    """Bigram repetition: explode + two agg pairs, nothing in Python."""
+    plan = plan_of(spark, "text_repetition")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("HashAggregate") >= 3  # partial/final x two stages
+    assert "EvalPython" not in plan
+
+
+def test_stratified_sample_filters_before_shuffle(spark):
+    """The sample is a narrow codegen'd filter at the scan; the only
+    exchange is the tiny per-type verification aggregate."""
+    plan = plan_of(spark, "q_stratified_sample")
+    assert "Filter" in plan
+    assert plan.count("Exchange") <= 2
+    assert "EvalPython" not in plan
