@@ -2424,7 +2424,12 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MIN subquery, decorrelated into an aggregate + per-part rank.  We rank
 # (row_number over partkey ordered by cost, suppkey) instead of equality-
 # joining on the float minimum: same semantics, deterministic ties, and no
-# float-equality join.  Scale: cost agg shuffles on (partkey, suppkey);
+# float-equality join.  unit_cost ships UNROUNDED: min() is
+# order-independent, so both engines produce the bit-identical double,
+# whereas round() at a representational .xxxx5 boundary resolves
+# differently (Spark rounds the shortest decimal string, DuckDB the
+# binary value) — observed as a last-ulp mismatch at sf0.001.
+# Scale: cost agg shuffles on (partkey, suppkey);
 # part filter + region dims broadcast; the window partitions on partkey —
 # no skew (each part has few suppliers).
 @query(
@@ -2454,8 +2459,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN eu e ON e.s_suppkey = c.l_suppkey
         WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 25
     )
-    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
-           p_partkey, p_name, round(unit_cost, 4) AS unit_cost
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
     FROM ranked WHERE rn = 1
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100
@@ -2485,9 +2489,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
-            F.round("s_acctbal", 2).alias("s_acctbal"),
-            "s_name", "n_name", "p_partkey", "p_name",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost"
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
