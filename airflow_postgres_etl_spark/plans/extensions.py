@@ -1465,8 +1465,8 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
            round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
-           round(min(o_totalprice), 4) AS min_price,
-           round(max(o_totalprice), 4) AS max_price
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -1479,8 +1479,8 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
             F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
-            F.round(F.min("o_totalprice"), 4).alias("min_price"),
-            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -2325,7 +2325,7 @@ def sim_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(max(user_id) AS DOUBLE) AS mx_user,
                count(event_type) AS nn_type, count(DISTINCT event_type) AS nd_type,
                count(value) AS nn_value, count(DISTINCT value) AS nd_value,
-               round(min(value), 6) AS mn_value, round(max(value), 6) AS mx_value
+               min(value) AS mn_value, max(value) AS mx_value
         FROM events
     )
     SELECT col, n_rows, null_rate, n_distinct, min_value, max_value
@@ -2355,8 +2355,8 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("nd_type"),
         F.count("value").alias("nn_value"),
         F.countDistinct("value").alias("nd_value"),
-        F.round(F.min("value"), 6).alias("mn_value"),
-        F.round(F.max("value"), 6).alias("mx_value"),
+        F.min("value").alias("mn_value"),
+        F.max("value").alias("mx_value"),
     )
 
     def row(col, nn, nd, mn, mx):
@@ -2641,7 +2641,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM shipped sh JOIN part p ON p.p_partkey = sh.l_partkey
         WHERE p.p_name LIKE 'small%' AND sh.qty_1997 > 0.3 * sh.qty_all
     )
-    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    SELECT s.s_name, s.s_acctbal
     FROM supplier s
     JOIN cand ON cand.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -2667,7 +2667,7 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(cand, s.s_suppkey == cand.l_suppkey, "left_semi")
-        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
 
@@ -2697,8 +2697,8 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
     SELECT doc_id,
            CAST(sum(c) AS BIGINT) AS n_bigrams,
-           round(1.0 - count(*) / sum(c), 6) AS dup_bigram_frac,
-           round(max(c) / sum(c), 6) AS top_bigram_frac
+           1.0 - count(*) / sum(c) AS dup_bigram_frac,
+           max(c) / sum(c) AS top_bigram_frac
     FROM per GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -2721,10 +2721,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_bigrams"),
-            F.round(F.lit(1.0) - F.count("*") / F.sum("c"), 6).alias(
-                "dup_bigram_frac"
-            ),
-            F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+            (F.lit(1.0) - F.count("*") / F.sum("c")).alias("dup_bigram_frac"),
+            (F.max("c") / F.sum("c")).alias("top_bigram_frac"),
         )
         .orderBy("doc_id")
     )
@@ -2751,7 +2749,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n_sampled,
-           round(count(*) * 1000.0 / rate, 1) AS est_total
+           count(*) * 1000.0 / rate AS est_total
     FROM s WHERE bucket < rate
     GROUP BY event_type, rate
     ORDER BY event_type
@@ -2777,9 +2775,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_sampled",
-            F.round(F.col("n_sampled") * 1000.0 / F.col("rate"), 1).alias(
-                "est_total"
-            ),
+            (F.col("n_sampled") * 1000.0 / F.col("rate")).alias("est_total"),
         )
         .orderBy("event_type")
     )
