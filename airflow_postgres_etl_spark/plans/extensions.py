@@ -2779,3 +2779,68 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# TF-IDF keyword extraction: top-3 terms per document by smoothed TF-IDF
+# (idf = ln((N+1)/(df+1)) + 1, scikit-learn's smoothing).  The canonical
+# two-aggregate corpus statistic: tf shuffles on (doc, term) — bounded by
+# total token count, same order as the scan; document frequency and the
+# re-join shuffle on term; the rank window partitions on doc_id.  The
+# scalar N broadcasts.  Ranking uses the UNROUNDED score (rounded only in
+# the output): ln() may differ between engines in the last ulp, but an
+# order flip would need two distinct (tf, df) combinations within 2 ulp
+# of each other; exact ties (same tf, same df) are identical doubles on
+# both engines and fall to the term tiebreaker.
+@query(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens_expr()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("doc_id", "rnk")
+    )

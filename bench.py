@@ -69,6 +69,7 @@ HEADLINE = [
     # zero-shuffle deterministic stratified sample
     "text_repetition",
     "q_stratified_sample",
+    "text_tfidf_top_terms",
 ]
 
 

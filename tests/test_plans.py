@@ -164,3 +164,13 @@ def test_stratified_sample_filters_before_shuffle(spark):
     assert "Filter" in plan
     assert plan.count("Exchange") <= 2
     assert "EvalPython" not in plan
+
+
+def test_tfidf_stays_jvm_side_and_broadcasts_scalar(spark):
+    """TF-IDF: explode + two agg pairs + term join + doc window; the
+    corpus-size scalar broadcasts and nothing runs in Python."""
+    plan = plan_of(spark, "text_tfidf_top_terms")
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
