@@ -25,7 +25,12 @@ def parquet_high_water_mark(
     """S8 against the parquet mirror: max(fileName) already loaded."""
     if not os.path.isdir(target):
         return None
-    df = spark.read.parquet(target)
+    try:
+        df = read_keyed_table(spark, target)
+    except FileNotFoundError:
+        # directory exists but nothing was ever committed (e.g. a crash
+        # before the first manifest swap) — same as no table.
+        return None
     return df.agg(F.max(column)).collect()[0][0]
 
 

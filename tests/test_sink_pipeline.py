@@ -16,11 +16,13 @@ from airflow_postgres_etl_spark.pipeline import (
 )
 from airflow_postgres_etl_spark.sink import (
     BUCKET_COL,
+    ConcurrentWriteError,
     create_table_sql,
     high_water_mark_sql,
     keyed_overwrite_parquet,
     merge_sql,
     read_keyed_table,
+    vacuum_keyed_table,
 )
 
 from .fixtures.gen_raw import generate
@@ -36,7 +38,7 @@ def test_keyed_overwrite_replaces_all_rows_per_key(spark, tmp_path):
     # replace), k2 untouched
     batch = spark.createDataFrame([("k1", 9)], ["oid__id", "v"])
     keyed_overwrite_parquet(spark, batch, target)
-    got = {(r.oid__id, r.v) for r in spark.read.parquet(target).collect()}
+    got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
     assert got == {("k1", 9), ("k2", 3)}
 
 
@@ -45,28 +47,28 @@ def test_keyed_overwrite_idempotent(spark, tmp_path):
     batch = spark.createDataFrame([("a", 1), ("b", 2)], ["oid__id", "v"])
     keyed_overwrite_parquet(spark, batch, target)
     keyed_overwrite_parquet(spark, batch, target)
-    assert spark.read.parquet(target).count() == 2
+    assert read_keyed_table(spark, target).count() == 2
 
 
 def _bucket_file_state(target):
-    """{bucket_dir: {file: (size, mtime_ns, md5)}} snapshot of the target."""
+    """{bucket: {relpath: (size, mtime_ns, md5)}} of the LIVE (manifest-
+    referenced) files of the target."""
     import hashlib
 
+    from airflow_postgres_etl_spark.sink import _load_manifest
+
     state = {}
-    for d in os.listdir(target):
-        full = os.path.join(target, d)
-        if not (os.path.isdir(full) and d.startswith(f"{BUCKET_COL}=")):
-            continue
-        files = {}
-        for f in sorted(os.listdir(full)):
-            p = os.path.join(full, f)
+    for b, files in _load_manifest(target)["buckets"].items():
+        per = {}
+        for rel in files:
+            p = os.path.join(target, rel)
             st = os.stat(p)
-            files[f] = (
+            per[rel] = (
                 st.st_size,
                 st.st_mtime_ns,
                 hashlib.md5(open(p, "rb").read()).hexdigest(),
             )
-        state[d] = files
+        state[b] = per
     return state
 
 
@@ -87,7 +89,7 @@ def test_keyed_overwrite_rewrites_only_affected_buckets(spark, tmp_path):
 
     from airflow_postgres_etl_spark.sink import _bucket_expr
 
-    hit = f"{BUCKET_COL}=" + str(
+    hit = str(
         spark.createDataFrame([("key0",)], ["oid__id"])
         .select(_bucket_expr("oid__id", 8).alias("b"))
         .collect()[0][0]
@@ -164,7 +166,7 @@ def test_incremental_load_end_to_end(spark, staged_dirs):
     assert 0 < c2["tracking"] < c1["tracking"] + c2["tracking"]
     assert parquet_high_water_mark(spark, tr) == all_files[-1]
 
-    tracking = spark.read.parquet(tr)
+    tracking = read_keyed_table(spark, tr)
     # still exactly one row per key after the merge
     assert tracking.count() == tracking.select("oid__id").distinct().count()
     # final state == a single full load (same keys, same chosen fileName)
@@ -172,10 +174,10 @@ def test_incremental_load_end_to_end(spark, staged_dirs):
     full_ev = str(os.path.dirname(ev)) + "/events_full"
     incremental_load(spark, csv_dir, full_tr, full_ev)
     a = tracking.select("oid__id", "fileName")
-    b = spark.read.parquet(full_tr).select("oid__id", "fileName")
+    b = read_keyed_table(spark, full_tr).select("oid__id", "fileName")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     # events table consistent with parents
-    events = spark.read.parquet(ev)
+    events = read_keyed_table(spark, ev)
     orphan = events.join(tracking.select("oid__id"), "oid__id", "left_anti")
     assert orphan.count() == 0
 
@@ -281,46 +283,122 @@ def test_jdbc_merge_failure_rolls_back_atomically():
     assert _final_state(con) == before  # no partial delete visible
 
 
-def test_keyed_overwrite_heals_partial_swap_on_replay(spark, tmp_path):
-    """Crash-mid-swap simulation: if only SOME affected buckets were
-    swapped before a failure, replaying the same batch converges to the
-    correct final state (replace-by-key is idempotent per bucket)."""
-    import shutil as sh
+def test_crash_before_manifest_commit_preserves_old_state(spark, tmp_path, monkeypatch):
+    """The object-store contract: until the single-file manifest replace
+    lands, readers see the OLD snapshot — no matter how many new data
+    files were already written.  Replaying the batch then converges, and
+    vacuum collects the crash's orphan files."""
+    import airflow_postgres_etl_spark.sink as sink
 
     target = str(tmp_path / "t")
     base = spark.createDataFrame(
         [(f"key{i}", i) for i in range(100)], ["oid__id", "v"]
     )
     keyed_overwrite_parquet(spark, base, target, num_buckets=8)
-
-    # snapshot the pre-merge state of every bucket dir
-    snap = str(tmp_path / "snap")
-    sh.copytree(target, snap)
+    before = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
 
     batch = spark.createDataFrame(
         [("key0", 1000), ("key1", 1001), ("key2", 1002)], ["oid__id", "v"]
     )
-    keyed_overwrite_parquet(spark, batch, target, num_buckets=8)
 
-    from airflow_postgres_etl_spark.sink import _bucket_expr
+    # crash AFTER all merged data files are written, BEFORE the commit
+    real_commit = sink._commit_manifest
 
-    hit = [
-        r.b
-        for r in batch.select(_bucket_expr("oid__id", 8).alias("b")).distinct().collect()
+    def crash(*a, **k):
+        raise OSError("simulated crash before manifest swap")
+
+    monkeypatch.setattr(sink, "_commit_manifest", crash)
+    with pytest.raises(OSError, match="simulated crash"):
+        keyed_overwrite_parquet(spark, batch, target, num_buckets=8)
+
+    # the uncommitted files exist on disk ...
+    orphans = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(target, "data"))
+        for f in fs
+        if f.endswith(".parquet")
     ]
-    assert len(hit) >= 2  # the scenario needs several affected buckets
+    assert len(orphans) > 8  # base commit's files plus the orphaned ones
+    # ... but a reader still sees exactly the old committed state
+    assert {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()} == before
 
-    # simulate the crash: roll ONE affected bucket back to its pre-merge
-    # content (as if the process died before swapping it)
-    rollback = f"{BUCKET_COL}={hit[0]}"
-    sh.rmtree(os.path.join(target, rollback))
-    sh.copytree(os.path.join(snap, rollback), os.path.join(target, rollback))
-
-    # replay the same batch — the retry path
+    # the retry path: replay the same batch for real
+    monkeypatch.setattr(sink, "_commit_manifest", real_commit)
     keyed_overwrite_parquet(spark, batch, target, num_buckets=8)
-
     got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
     expected = {(f"key{i}", i) for i in range(3, 100)} | {
         ("key0", 1000), ("key1", 1001), ("key2", 1002)
     }
     assert got == expected
+    # post-commit vacuum collected the crash's orphans: every remaining
+    # parquet file is manifest-referenced
+    live = {
+        os.path.normpath(f)
+        for fs in sink._load_manifest(target)["buckets"].values()
+        for f in fs
+    }
+    on_disk = {
+        os.path.normpath(os.path.relpath(os.path.join(r, f), target))
+        for r, _d, fs in os.walk(target)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_concurrent_writer_is_detected(spark, tmp_path, monkeypatch):
+    """If another writer commits between this merge's snapshot read and
+    its manifest swap, the optimistic version check aborts the commit
+    (the local analog of a conditional PUT)."""
+    import airflow_postgres_etl_spark.sink as sink
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([("a", 1), ("b", 2)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, base, target, num_buckets=4)
+
+    # interloper lands a commit while our merge is writing its data files
+    real_write = sink._write_bucketed
+    state = {"fired": False}
+
+    def write_then_interlope(df, path, n):
+        real_write(df, path, n)
+        if not state["fired"]:
+            state["fired"] = True
+            m = sink._load_manifest(target)
+            m["version"] += 1
+            sink._commit_manifest(target, m, expected_version=None)
+
+    monkeypatch.setattr(sink, "_write_bucketed", write_then_interlope)
+    batch = spark.createDataFrame([("a", 9)], ["oid__id", "v"])
+    with pytest.raises(ConcurrentWriteError):
+        keyed_overwrite_parquet(spark, batch, target, num_buckets=4)
+    # target state is whatever the interloper committed — our merge left
+    # no visible trace, and its files are vacuumable orphans
+    got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
+    assert got == {("a", 1), ("b", 2)}
+    assert vacuum_keyed_table(target) > 0
+
+
+def test_legacy_unmanifested_layout_is_adopted(spark, tmp_path):
+    """A pre-manifest target (bucket dirs at the root, no _manifest.json)
+    reads correctly and the first merge migrates it — no data rewrite."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    import airflow_postgres_etl_spark.sink as sink
+
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["oid__id", "v"])
+    df.withColumn(BUCKET_COL, sink._bucket_expr("oid__id", 4)).repartition(
+        4, F.col(BUCKET_COL)
+    ).write.partitionBy(BUCKET_COL).parquet(target)
+    sink._write_spec(target, "oid__id", 4)
+    assert not os.path.exists(os.path.join(target, "_manifest.json"))
+
+    got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+    batch = spark.createDataFrame([("a", 9), ("d", 4)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, batch, target, num_buckets=4)
+    assert os.path.exists(os.path.join(target, "_manifest.json"))
+    got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
+    assert got == {("a", 9), ("b", 2), ("c", 3), ("d", 4)}
