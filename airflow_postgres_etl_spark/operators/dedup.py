@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import register_cache
 from .text import tokens_expr
 
 N_MINHASH = 12
@@ -85,14 +86,16 @@ def _doc_shingles(df: DataFrame, col: str, key: str, n: int) -> DataFrame:
       single-evaluated; the LSH/Jaccard self-joins then reuse one copy for
       both sides.  Spark's CacheManager dedups by canonicalized plan, so
       repeated query calls share the entry.  At real scale this frame is
-      corpus-sized: materialize it to storage once (it is the classic
-      intermediate "shingle table") instead of memory-caching.
+      corpus-sized: materialize it to storage once (``build_minhash_index``
+      is that shape) instead of memory-caching.  The cache is registered
+      with :mod:`..caching` so callers can release it
+      (``release_caches()`` / ``cache_scope()``) instead of leaking it for
+      the session's lifetime.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    return (
+    return register_cache(
         df.repartition(parallelism)
         .select(F.col(key), shingles_expr(col, n).alias("__sh"))
-        .cache()
     )
 
 
@@ -320,11 +323,11 @@ def simhash_near_pairs(
     """
     # cache: both sides of the block self-join read this frame; without it
     # the 60-sum signature aggregate executes twice (measured 5.3 s → 3.0 s
-    # at sf0.1).  One narrow row per doc — negligible memory.
-    sig = (
+    # at sf0.1).  One narrow row per doc — negligible memory.  Registered
+    # for release via ..caching (no session-lifetime leak).
+    sig = register_cache(
         simhash_signatures(df, col, key)
         .withColumn("h", F.conv("simhash", 2, 10).cast("long"))
-        .cache()
     )
     blocks = F.array(
         *[

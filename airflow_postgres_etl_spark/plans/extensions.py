@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import register_cache
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as X
@@ -2165,16 +2166,18 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale — that is what a continuous aggregate is): without it every
     # union branch re-derives its input subtree and the fact table is
     # scanned once per level (3 scans, plan-gated down to 1).
-    minute = events.groupBy(
-        F.date_trunc("minute", "ts").alias("bucket")
-    ).agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
-    ).cache()
-    hour = minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket")).agg(
-        F.sum("n_events").cast("long").alias("n_events"),
-        F.sum("sv").alias("sv"),
-    ).cache()
+    minute = register_cache(
+        events.groupBy(F.date_trunc("minute", "ts").alias("bucket")).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+    )
+    hour = register_cache(
+        minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket")).agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sv").alias("sv"),
+        )
+    )
     day = hour.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("sv").alias("sv"),

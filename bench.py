@@ -15,6 +15,7 @@ import os
 import re
 import time
 
+from airflow_postgres_etl_spark.caching import release_caches
 from airflow_postgres_etl_spark.plans.queries import QUERIES
 from airflow_postgres_etl_spark.session import get_spark
 
@@ -96,6 +97,12 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # release operator-internal caches between queries: no memory
+        # accumulation across the suite, and query N+1 can't silently
+        # reuse query N's materialized intermediate.  (Within one query's
+        # reps the cache stays — same semantics as rounds 1-2, so
+        # per-query numbers remain comparable.)
+        release_caches()
 
     print(
         json.dumps(

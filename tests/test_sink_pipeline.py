@@ -283,6 +283,130 @@ def test_jdbc_merge_failure_rolls_back_atomically():
     assert _final_state(con) == before  # no partial delete visible
 
 
+def _duck_stage_writer(con):
+    """Test stand-in for ``batch.write.jdbc``: land the Spark batch in the
+    same DuckDB the merge transaction will run on (Arrow hop, no JDBC)."""
+
+    def write(df, stage_table):
+        pdf = df.toPandas()
+        con.register("__stage_src", pdf)
+        con.execute(
+            f'CREATE OR REPLACE TABLE "{stage_table}" AS SELECT * FROM __stage_src'
+        )
+        con.unregister("__stage_src")
+
+    return write
+
+
+def _jdbc_batch(spark):
+    import datetime
+
+    return spark.createDataFrame(
+        [
+            ("k1", "x", "y", datetime.datetime(2023, 2, 1)),
+            ("k3", "g", "h", datetime.datetime(2023, 2, 2)),
+        ],
+        ["oid__id", "from", "to", "ts"],
+    )
+
+
+def test_keyed_overwrite_jdbc_executes_end_to_end(spark):
+    """The FUNCTION (not just its SQL): ensure-target → stage → one-
+    transaction merge, with DuckDB injected through the production seams."""
+    import datetime
+
+    import duckdb
+
+    from airflow_postgres_etl_spark.sink import keyed_overwrite_jdbc
+
+    con = duckdb.connect()
+    _fresh_target(con)
+    batch = _jdbc_batch(spark)
+
+    keyed_overwrite_jdbc(
+        batch,
+        url="",
+        table="events",
+        key="oid__id",
+        columns_dict=_MERGE_COLS,
+        connection_factory=lambda: con,
+        stage_writer=_duck_stage_writer(con),
+    )
+    state1 = _final_state(con)
+    assert state1 == {
+        ("k1", "x", "y", datetime.datetime(2023, 2, 1)),
+        ("k2", "e", "f", datetime.datetime(2023, 1, 3)),
+        ("k3", "g", "h", datetime.datetime(2023, 2, 2)),
+    }
+    # stage dropped inside the transaction
+    assert con.execute(
+        "SELECT count(*) FROM information_schema.tables WHERE table_name = 'events__stage'"
+    ).fetchone()[0] == 0
+
+    # the retry scenario: the SAME batch replayed through the function
+    keyed_overwrite_jdbc(
+        batch,
+        url="",
+        table="events",
+        key="oid__id",
+        columns_dict=_MERGE_COLS,
+        connection_factory=lambda: con,
+        stage_writer=_duck_stage_writer(con),
+    )
+    assert _final_state(con) == state1
+
+
+def test_keyed_overwrite_jdbc_creates_missing_target(spark):
+    """S6+S7 inside the sink: an absent target is created from the 3-type
+    column dict before the first merge."""
+    import duckdb
+
+    from airflow_postgres_etl_spark.sink import keyed_overwrite_jdbc
+
+    con = duckdb.connect()  # no events table at all
+    keyed_overwrite_jdbc(
+        _jdbc_batch(spark),
+        url="",
+        table="events",
+        key="oid__id",
+        columns_dict=_MERGE_COLS,
+        connection_factory=lambda: con,
+        stage_writer=_duck_stage_writer(con),
+    )
+    assert len(_final_state(con)) == 2
+
+
+def test_keyed_overwrite_jdbc_failure_rolls_back(spark):
+    """A failure mid-transaction (INSERT dies after DELETE ran) leaves the
+    target exactly as it was — through the function's own rollback path."""
+    import duckdb
+    import pytest as _pytest
+
+    from airflow_postgres_etl_spark.sink import keyed_overwrite_jdbc
+
+    con = duckdb.connect()
+    _fresh_target(con)
+    before = _final_state(con)
+
+    class FailOnInsert:
+        def execute(self, sql):
+            if sql.startswith("INSERT INTO"):
+                raise RuntimeError("connection lost mid-transaction")
+            con.execute(sql)
+
+    with _pytest.raises(RuntimeError, match="connection lost"):
+        keyed_overwrite_jdbc(
+            _jdbc_batch(spark),
+            url="",
+            table="events",
+            key="oid__id",
+            columns_dict=_MERGE_COLS,
+            connection_factory=lambda: FailOnInsert(),
+            stage_writer=_duck_stage_writer(con),
+        )
+    assert _final_state(con) == before  # DELETE was rolled back
+
+
 def test_crash_before_manifest_commit_preserves_old_state(spark, tmp_path, monkeypatch):
     """The object-store contract: until the single-file manifest replace
     lands, readers see the OLD snapshot — no matter how many new data
