@@ -50,6 +50,32 @@ def test_keyed_overwrite_idempotent(spark, tmp_path):
     assert read_keyed_table(spark, target).count() == 2
 
 
+def test_empty_batch_merge_is_a_true_noop(spark, tmp_path):
+    """A zero-row batch must not bump the manifest version, write a commit
+    dir, or touch any live file — otherwise every empty streaming
+    micro-batch churns the table."""
+    from airflow_postgres_etl_spark.sink import table_version
+
+    target = str(tmp_path / "t")
+    batch = spark.createDataFrame([("a", 1), ("b", 2)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, batch, target)
+    v1 = table_version(target)
+    before = _bucket_file_state(target)
+
+    empty = batch.where(F.lit(False))
+    keyed_overwrite_parquet(spark, empty, target)
+    assert table_version(target) == v1
+    assert _bucket_file_state(target) == before
+    assert read_keyed_table(spark, target).count() == 2
+
+    # empty FIRST batch: nothing is created at all (no manifest, no spec)
+    fresh = str(tmp_path / "fresh")
+    keyed_overwrite_parquet(spark, empty, fresh)
+    assert table_version(fresh) is None
+    with pytest.raises(FileNotFoundError):
+        read_keyed_table(spark, fresh)
+
+
 def _bucket_file_state(target):
     """{bucket: {relpath: (size, mtime_ns, md5)}} of the LIVE (manifest-
     referenced) files of the target."""

@@ -7,6 +7,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from airflow_postgres_etl_spark.sink import read_keyed_table, table_version
 from airflow_postgres_etl_spark.sources.parquet_source import load_table
 from airflow_postgres_etl_spark.streaming import stream_ingest, windowed_event_counts
 
@@ -22,15 +23,27 @@ def test_stream_ingest_checkpointed(spark, tmp_path):
     q = stream_ingest(spark, csv_dir, tr, ev, ck)
     q.awaitTermination(120)
 
-    tracking = spark.read.parquet(tr)
-    assert tracking.count() == tracking.select("oid__id").distinct().count() > 0
-    events = spark.read.parquet(ev)
-    assert events.count() > tracking.count()  # ~10 events per tracking
+    # the manifest IS the committed snapshot — read_keyed_table is the
+    # only supported read path for a keyed target (bare
+    # spark.read.parquet sees live files across several commit dirs and
+    # fails partition-dir inference; asserted below).
+    tracking = read_keyed_table(spark, tr)
+    n_tracking = tracking.count()
+    assert n_tracking == tracking.select("oid__id").distinct().count() > 0
+    events = read_keyed_table(spark, ev)
+    n_events = events.count()
+    assert n_events > n_tracking  # ~10 events per tracking
+    v_tr, v_ev = table_version(tr), table_version(ev)
+    assert v_tr is not None and v_ev is not None
 
-    # restart with no new files: checkpoint (the built-in HWM) skips all
+    # restart with no new files: checkpoint (the built-in HWM) skips all —
+    # row counts AND manifest versions are unchanged (no empty-batch
+    # commit on either table).
     q2 = stream_ingest(spark, csv_dir, tr, ev, ck)
     q2.awaitTermination(120)
-    assert spark.read.parquet(tr).count() == tracking.count()
+    assert read_keyed_table(spark, tr).count() == n_tracking
+    assert read_keyed_table(spark, ev).count() == n_events
+    assert (table_version(tr), table_version(ev)) == (v_tr, v_ev)
 
 
 def test_windowed_counts_match_batch_q1(spark):
