@@ -22,18 +22,29 @@ single-job case where the cache is an intra-query reuse buffer.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
+#: registry of live operator caches.  Guarded by _LOCK: concurrent query
+#: threads on one driver (a Spark driver is routinely multi-threaded)
+#: must not corrupt the list.  Scope NESTING is still a per-thread
+#: notion: caches another thread registers inside this thread's
+#: ``cache_scope`` block are released with the scope — safe (unpersist
+#: is idempotent and the frame recomputes), just earlier than that
+#: thread intended.  Threads needing isolated lifecycles should use
+#: their own explicit marks.
 _ACTIVE: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def register_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` with an owner: the returned frame is tracked and
     released by the next :func:`release_caches` / enclosing scope."""
     df.cache()
-    _ACTIVE.append(df)
+    with _LOCK:
+        _ACTIVE.append(df)
     return df
 
 
@@ -42,9 +53,13 @@ def release_caches(from_mark: int = 0) -> int:
     all).  Returns the number released.  Safe to call repeatedly —
     unpersist on an already-released frame is a no-op."""
     released = 0
-    while len(_ACTIVE) > from_mark:
-        df = _ACTIVE.pop()
+    while True:
+        with _LOCK:
+            if len(_ACTIVE) <= from_mark:
+                break
+            df = _ACTIVE.pop()
         try:
+            # unpersist outside the lock: it can block on the JVM
             df.unpersist()
             released += 1
         except Exception:
@@ -56,7 +71,8 @@ def release_caches(from_mark: int = 0) -> int:
 @contextmanager
 def cache_scope():
     """Release exactly the operator caches created inside the block."""
-    mark = len(_ACTIVE)
+    with _LOCK:
+        mark = len(_ACTIVE)
     try:
         yield
     finally:

@@ -355,7 +355,7 @@ def test_keyed_overwrite_jdbc_executes_end_to_end(spark):
         table="events",
         key="oid__id",
         columns_dict=_MERGE_COLS,
-        connection_factory=lambda: con,
+        connection=con,
         stage_writer=_duck_stage_writer(con),
     )
     state1 = _final_state(con)
@@ -376,7 +376,7 @@ def test_keyed_overwrite_jdbc_executes_end_to_end(spark):
         table="events",
         key="oid__id",
         columns_dict=_MERGE_COLS,
-        connection_factory=lambda: con,
+        connection=con,
         stage_writer=_duck_stage_writer(con),
     )
     assert _final_state(con) == state1
@@ -396,7 +396,7 @@ def test_keyed_overwrite_jdbc_creates_missing_target(spark):
         table="events",
         key="oid__id",
         columns_dict=_MERGE_COLS,
-        connection_factory=lambda: con,
+        connection=con,
         stage_writer=_duck_stage_writer(con),
     )
     assert len(_final_state(con)) == 2
@@ -415,11 +415,30 @@ def test_keyed_overwrite_jdbc_failure_rolls_back(spark):
     before = _final_state(con)
 
     class FailOnInsert:
+        """DB-API-shaped wrapper over the DuckDB connection that dies on
+        INSERT; begin/commit/rollback delegate so the sink's DB-API
+        transaction control drives the real engine."""
+
+        closed = False
+
         def execute(self, sql):
             if sql.startswith("INSERT INTO"):
                 raise RuntimeError("connection lost mid-transaction")
             con.execute(sql)
 
+        def begin(self):
+            con.begin()
+
+        def commit(self):
+            con.commit()
+
+        def rollback(self):
+            con.rollback()
+
+        def close(self):
+            self.closed = True
+
+    fake = FailOnInsert()
     with _pytest.raises(RuntimeError, match="connection lost"):
         keyed_overwrite_jdbc(
             _jdbc_batch(spark),
@@ -427,10 +446,63 @@ def test_keyed_overwrite_jdbc_failure_rolls_back(spark):
             table="events",
             key="oid__id",
             columns_dict=_MERGE_COLS,
-            connection_factory=lambda: FailOnInsert(),
+            connection_factory=lambda: fake,
             stage_writer=_duck_stage_writer(con),
         )
     assert _final_state(con) == before  # DELETE was rolled back
+    assert fake.closed  # factory-created connections are closed by the sink
+
+
+def test_keyed_overwrite_jdbc_validates_connection_before_staging(spark):
+    """A call with no merge connection must fail BEFORE staging — otherwise
+    a misconfigured call leaves an orphan <table>__stage in the database."""
+    from airflow_postgres_etl_spark.sink import keyed_overwrite_jdbc
+
+    staged = []
+    with pytest.raises(RuntimeError, match="DB-API connection"):
+        keyed_overwrite_jdbc(
+            _jdbc_batch(spark),
+            url="",
+            table="events",
+            key="oid__id",
+            columns_dict=_MERGE_COLS,
+            stage_writer=lambda df, t: staged.append(t),
+        )
+    assert staged == []  # nothing was staged
+
+
+def test_keyed_overwrite_jdbc_rollback_failure_keeps_original_error(spark):
+    """If the rollback itself fails (connection genuinely lost), the
+    ORIGINAL merge error propagates, not the rollback's."""
+    from airflow_postgres_etl_spark.sink import keyed_overwrite_jdbc
+
+    class DeadAfterDelete:
+        def execute(self, sql):
+            if sql.startswith("DELETE"):
+                raise RuntimeError("server closed the connection")
+
+        def begin(self):
+            pass
+
+        def commit(self):
+            pass
+
+        def rollback(self):
+            raise OSError("rollback on a dead connection")
+
+        def close(self):
+            pass
+
+    with pytest.raises(RuntimeError, match="server closed"):
+        keyed_overwrite_jdbc(
+            _jdbc_batch(spark),
+            url="",
+            table="events",
+            key="oid__id",
+            columns_dict=_MERGE_COLS,
+            connection_factory=DeadAfterDelete,
+            stage_writer=lambda df, t: None,
+        )
 
 
 def test_crash_before_manifest_commit_preserves_old_state(spark, tmp_path, monkeypatch):
