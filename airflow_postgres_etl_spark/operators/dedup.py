@@ -164,16 +164,10 @@ def minhash_signatures(
     return sh.groupBy(key).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    df: DataFrame, col: str = "text", key: str = "doc_id", n: int = 3
-) -> DataFrame:
-    """MinHash-LSH candidate pairs (key_a < key_b), via band equi-join.
-
-    Bands: LSH_BANDS bands of LSH_ROWS rows; band key = md5 of the
-    concatenated row signatures.
-    """
-    sig = minhash_signatures(df, col, key, n)
-    bands = F.array(
+def _bands_expr() -> Column:
+    """Array of (band_idx, band_key) structs from the m0..m11 signature
+    columns; band key = md5 of the concatenated row signatures."""
+    return F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band_idx"),
@@ -187,9 +181,87 @@ def lsh_candidate_pairs(
             for bi in range(LSH_BANDS)
         ]
     )
-    exploded = sig.select(F.col(key), F.explode(bands).alias("b")).select(
+
+
+def _band_table(sig: DataFrame, key: str) -> DataFrame:
+    """(key, band_idx, band_key) — one row per document per band."""
+    return sig.select(F.col(key), F.explode(_bands_expr()).alias("b")).select(
         F.col(key), F.col("b.band_idx"), F.col("b.band_key")
     )
+
+
+def _drop_hot_groups(
+    table: DataFrame, group_cols: list[str], max_size: int
+) -> DataFrame:
+    """Remove every row of groups with more than ``max_size`` members.
+
+    THE hot-band mitigation: a band (or simhash block) shared by m
+    documents emits m(m-1)/2 candidates — one boilerplate-heavy band with
+    m=10⁶ is a 5·10¹¹-pair straggler that stalls the join at corpus
+    scale.  Oversized groups are overwhelmingly boilerplate (banner
+    pages, templated spam) whose members collide on *many* bands, so
+    dropping the hot ones costs little recall while bounding the
+    candidate join at groups × max_size².  The oversized-group set is
+    tiny by construction (≤ |rows| / max_size groups), so the exclusion
+    is a broadcast anti-join — no extra shuffle on the big side beyond
+    the occupancy count's, which shares the join's own key partitioning.
+    Measure first with :func:`lsh_band_stats` / :func:`simhash_block_stats`.
+    """
+    counts = table.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+    hot = counts.filter(F.col("__n") > max_size).select(*group_cols)
+    return table.join(F.broadcast(hot), group_cols, "left_anti")
+
+
+def lsh_band_stats(
+    df: DataFrame, col: str = "text", key: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """One-row occupancy summary of the LSH band table — the measurement
+    that decides whether a corpus needs ``max_band_size``.
+
+    Columns: ``n_bands`` (distinct (band_idx, band_key) groups),
+    ``max_band_docs`` (hottest band's occupancy), ``n_colliding_bands``
+    (occupancy ≥ 2), ``candidate_pairs_upper`` (Σ m(m-1)/2 — the exact
+    pre-distinct candidate join output, i.e. the cost the cap bounds).
+    """
+    occ = (
+        _band_table(minhash_signatures(df, col, key, n), key)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("__m"))
+    )
+    pairs = F.col("__m") * (F.col("__m") - F.lit(1)) / F.lit(2)
+    return occ.agg(
+        F.count("*").alias("n_bands"),
+        F.max("__m").alias("max_band_docs"),
+        F.sum(F.when(F.col("__m") > 1, 1).otherwise(0)).alias("n_colliding_bands"),
+        F.sum(pairs).cast("long").alias("candidate_pairs_upper"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (key_a < key_b), via band equi-join.
+
+    Bands: LSH_BANDS bands of LSH_ROWS rows; band key = md5 of the
+    concatenated row signatures.  ``max_band_size`` drops bands with more
+    members (boilerplate skew guard — see :func:`_drop_hot_groups`);
+    ``None`` keeps every band (the exact-recall default).
+    """
+    exploded = _band_table(minhash_signatures(df, col, key, n), key)
+    if max_band_size is not None:
+        # the capped plan reads the band table four times (occupancy
+        # count, anti-join probe, both join sides) — cache the narrow
+        # (key, band_idx, band_key) rows so the signature aggregate runs
+        # once.  At corpus scale this is the materialized band INDEX
+        # (build_minhash_index); registered for release via ..caching.
+        exploded = register_cache(exploded)
+        exploded = _drop_hot_groups(
+            exploded, ["band_idx", "band_key"], max_band_size
+        )
     a = exploded.select(
         F.col(key).alias("doc_a"), "band_idx", "band_key"
     )
@@ -308,8 +380,52 @@ def simhash_blocks(radius: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int
     return out
 
 
-def simhash_near_pairs(
+def _block_table(sig: DataFrame, key: str, radius: int) -> DataFrame:
+    """(key, h, block_idx, block_bits) — one row per doc per pigeonhole
+    block, from a cached signature frame carrying ``simhash`` + ``h``."""
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.substring("simhash", pos, ln).alias("block_bits"),
+            )
+            for i, (pos, ln) in enumerate(simhash_blocks(radius))
+        ]
+    )
+    return sig.select(F.col(key), F.col("h"), F.explode(blocks).alias("b")).select(
+        F.col(key), F.col("h"), F.col("b.block_idx"), F.col("b.block_bits")
+    )
+
+
+def simhash_block_stats(
     df: DataFrame, col: str = "text", key: str = "doc_id", radius: int = 4
+) -> DataFrame:
+    """One-row occupancy summary of the SimHash pigeonhole block table
+    (same columns/semantics as :func:`lsh_band_stats`, for the
+    ``simhash_near_pairs`` candidate join)."""
+    sig = simhash_signatures(df, col, key).withColumn(
+        "h", F.conv("simhash", 2, 10).cast("long")
+    )
+    occ = (
+        _block_table(sig, key, radius)
+        .groupBy("block_idx", "block_bits")
+        .agg(F.count("*").alias("__m"))
+    )
+    pairs = F.col("__m") * (F.col("__m") - F.lit(1)) / F.lit(2)
+    return occ.agg(
+        F.count("*").alias("n_bands"),
+        F.max("__m").alias("max_band_docs"),
+        F.sum(F.when(F.col("__m") > 1, 1).otherwise(0)).alias("n_colliding_bands"),
+        F.sum(pairs).cast("long").alias("candidate_pairs_upper"),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    col: str = "text",
+    key: str = "doc_id",
+    radius: int = 4,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """All pairs within hamming distance ≤ radius of each other's SimHash.
 
@@ -318,6 +434,9 @@ def simhash_near_pairs(
     :func:`simhash_blocks`), then **exact** verification via XOR popcount
     on the 60-bit signatures.  Pair space = block-collision candidates, not
     docs²; block width ``bits/(radius+1)`` controls the candidate rate.
+    ``max_block_size`` drops blocks with more members (boilerplate skew
+    guard — see :func:`_drop_hot_groups`); ``None`` keeps every block
+    (complete by construction).
 
     Columns: ``doc_a, doc_b, hamming`` (key_a < key_b).
     """
@@ -329,18 +448,9 @@ def simhash_near_pairs(
         simhash_signatures(df, col, key)
         .withColumn("h", F.conv("simhash", 2, 10).cast("long"))
     )
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("block_idx"),
-                F.substring("simhash", pos, ln).alias("block_bits"),
-            )
-            for i, (pos, ln) in enumerate(simhash_blocks(radius))
-        ]
-    )
-    ex = sig.select(F.col(key), F.col("h"), F.explode(blocks).alias("b")).select(
-        F.col(key), F.col("h"), F.col("b.block_idx"), F.col("b.block_bits")
-    )
+    ex = _block_table(sig, key, radius)
+    if max_block_size is not None:
+        ex = _drop_hot_groups(ex, ["block_idx", "block_bits"], max_block_size)
     a = ex.select(
         F.col(key).alias("doc_a"), F.col("h").alias("ha"), "block_idx", "block_bits"
     )
@@ -375,24 +485,7 @@ def build_minhash_index(
     (band_idx, band_key, doc) plus the doc's shingle array for exact
     verification.  At 100 TB this table is the dedup INDEX — computed once
     per corpus, partitioned by band for pruned candidate joins."""
-    sig = minhash_signatures(df, col, key, n)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"m{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)],
-                    )
-                ).alias("band_key"),
-            )
-            for bi in range(LSH_BANDS)
-        ]
-    )
-    exploded = sig.select(F.col(key), F.explode(bands).alias("b")).select(
-        F.col(key), F.col("b.band_idx"), F.col("b.band_key")
-    )
+    exploded = _band_table(minhash_signatures(df, col, key, n), key)
     sh = _doc_shingles(df, col, key, n)
     (
         exploded.join(sh, key)
@@ -421,24 +514,7 @@ def dedup_against_index(
     """
     spark = batch.sparkSession
     index = spark.read.parquet(index_path)
-    sig = minhash_signatures(batch, col, key, n)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"m{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)],
-                    )
-                ).alias("band_key"),
-            )
-            for bi in range(LSH_BANDS)
-        ]
-    )
-    new_bands = sig.select(F.col(key), F.explode(bands).alias("b")).select(
-        F.col(key), F.col("b.band_idx"), F.col("b.band_key")
-    )
+    new_bands = _band_table(minhash_signatures(batch, col, key, n), key)
     sh = _doc_shingles(batch, col, key, n)
     candidates = (
         new_bands.join(

@@ -2,13 +2,20 @@
 metadata, decoded/feature-extracted via Arrow-batched pandas on
 ``mapInPandas``.
 
-The real codecs (image/audio/video) are NOT in this environment, so the
-actual decode is stubbed: :data:`HAVE_CODECS` gates the real path (PIL
-etc.) and the shipped path computes **deterministic** features from the
-raw bytes (length, md5 checksum, fake dimensions/frame counts derived
-arithmetically).  Everything around the stub is real and tested: the
-binary schema, the Arrow batch transfer, the ``mapInPandas`` iterator
-shape, the per-batch vectorization, and the downstream explode.
+Two codec tiers:
+
+- **Stub** (default): deterministic features from the raw bytes (length,
+  md5 checksum, fake dimensions/frame counts derived arithmetically) —
+  exercises every Spark-side contract (binary schema, Arrow batch
+  transfer, ``mapInPandas`` iterator shape, downstream explode) with no
+  image libraries at all.
+- **Real** (``use_real_codecs=True``): an actual decode → resample →
+  re-encode chain through the dependency-free 24-bit BMP codec
+  (:mod:`.codecs`).  PIL/libav are NOT in this environment
+  (:data:`HAVE_CODECS` reports their availability); the BMP path is the
+  real-branch stand-in a production build swaps for them — same
+  iterator, same schema discipline, genuinely parsing and emitting
+  pixel bytes.
 
 Scale notes: ``mapInPandas`` is a narrow per-partition transform — no
 shuffle; Arrow moves each partition to Python in columnar batches
@@ -23,10 +30,13 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import codecs
 
 try:  # pragma: no cover - codecs absent in this environment
     import PIL.Image  # noqa: F401
@@ -54,6 +64,31 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
 
 
+def attach_bmp_payload(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic BMP payload per document — the fixture for
+    the real-codec branch.  Dimensions ``(4 + id % 13) × (4 + id % 11)``,
+    filled with the constant RGB color taken from the first three bytes
+    of ``md5(str(id))`` — every derived quantity (dims, encoded size,
+    channel means) is therefore reproducible in the DuckDB oracle from
+    ``doc_id`` alone, while the payload itself is a genuine BMP the
+    decoder must actually parse."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[key]:
+                did = int(did)
+                w, h = 4 + did % 13, 4 + did % 11
+                color = np.frombuffer(
+                    hashlib.md5(str(did).encode()).digest()[:3], dtype=np.uint8
+                )
+                px = np.ascontiguousarray(np.broadcast_to(color, (h, w, 3)))
+                payloads.append(codecs.encode_bmp(px))
+            yield pd.DataFrame({key: pdf[key], "payload": payloads})
+
+    return docs.select(key).mapInPandas(run, f"{key} long, payload binary")
+
+
 def _decode_stub(payload: bytes) -> tuple[int, str, int, int, int]:
     """Deterministic fake decode.  Real decode would dispatch on magic
     bytes to PIL/av/soundfile — unavailable here (see HAVE_CODECS)."""
@@ -67,21 +102,58 @@ def _decode_stub(payload: bytes) -> tuple[int, str, int, int, int]:
     )
 
 
+REAL_MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
 def extract_media_features(
     df: DataFrame, *, use_real_codecs: bool = False
 ) -> DataFrame:
     """``mapInPandas`` feature extraction over the binary payload.
 
-    The deterministic stub is the default regardless of what libraries
-    happen to be importable — real decoding is opt-in via
-    ``use_real_codecs=True`` (which raises until a codec backend is wired
-    in; ``HAVE_CODECS`` only reports availability, it never switches
-    behavior on its own).
+    The deterministic stub is the default; ``use_real_codecs=True``
+    routes through the BMP decoder (:mod:`.codecs`) and returns REAL
+    dimensions parsed from the pixel data
+    (:data:`REAL_MEDIA_FEATURE_SCHEMA` — ``width``/``height`` instead of
+    the stub's ``fake_*``).  A payload the decoder rejects raises — a
+    corrupt-input policy belongs in the caller (filter first), not in a
+    silently-null decode.
     """
     if use_real_codecs:
-        raise NotImplementedError(
-            "real codec decode path not implemented in this build"
-            + ("" if HAVE_CODECS else " (and no codec libraries installed)")
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    raw = bytes(payload)
+                    px = codecs.decode_bmp(raw)
+                    rows.append(
+                        (
+                            int(did),
+                            len(raw),
+                            hashlib.md5(raw).hexdigest(),
+                            px.shape[1],
+                            px.shape[0],
+                            1,
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "n_bytes", "checksum", "width", "height", "n_frames",
+                    ],
+                )
+
+        return df.select("doc_id", "payload").mapInPandas(
+            run_real, REAL_MEDIA_FEATURE_SCHEMA
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -133,17 +205,30 @@ def resize_media(
 
     The stub "resize" truncates the payload to the byte budget
     ``target_width * target_height // 64`` (deterministic, shape-checked);
-    a real backend would decode → resample → re-encode inside the same
-    ``mapInPandas`` iterator — the Spark-side contract (binary → binary,
-    schema, Arrow batching, no shuffle) is identical and is what's tested.
-    Real decoding is opt-in via ``use_real_codecs=True`` and raises until
-    a codec backend is wired in.
+    ``use_real_codecs=True`` runs the genuine chain through the BMP codec
+    — decode → nearest-neighbor resample → re-encode — inside the same
+    ``mapInPandas`` iterator.  Both paths share the Spark-side contract
+    (binary → binary, schema, Arrow batching, no shuffle).
     """
     if use_real_codecs:
-        raise NotImplementedError(
-            "real codec resize path not implemented in this build"
-            + ("" if HAVE_CODECS else " (and no codec libraries installed)")
-        )
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_rows = []
+                for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    px = codecs.decode_bmp(bytes(payload))
+                    resized = codecs.resize_nearest(px, target_width, target_height)
+                    enc = codecs.encode_bmp(np.ascontiguousarray(resized))
+                    out_rows.append(
+                        (int(did), enc, target_width, target_height, len(enc))
+                    )
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=["doc_id", "payload", "width", "height", "n_bytes"],
+                )
+
+        return df.select("doc_id", "payload").mapInPandas(run_real, RESIZED_SCHEMA)
+
     budget = target_width * target_height // 64
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -160,3 +245,52 @@ def resize_media(
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_r", T.LongType()),
+        T.StructField("mean_g", T.LongType()),
+        T.StructField("mean_b", T.LongType()),
+    ]
+)
+
+
+def media_pixel_stats(df: DataFrame) -> DataFrame:
+    """Real-decode content statistics: dimensions, encoded size, and
+    per-channel rounded pixel means, all parsed from the BMP payload.
+
+    Chained after :func:`resize_media` (real path) this closes the full
+    encode → decode → resample → re-encode → **re-decode** loop — the
+    channel means come from pixels that survived the whole chain, which
+    is what the oracle twin pins (constant-fill fixtures make the means
+    exact integers)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                px = codecs.decode_bmp(raw)
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        int(did),
+                        px.shape[1],
+                        px.shape[0],
+                        len(raw),
+                        int(round(float(means[0]))),
+                        int(round(float(means[1]))),
+                        int(round(float(means[2]))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_bytes", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, PIXEL_STATS_SCHEMA)

@@ -372,6 +372,58 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# Hot-band occupancy summary — the measurement that decides whether a
+# corpus needs the max_band_size skew cap (SCALE.md "hot bands").
+@query(
+    "dedup_lsh_band_stats",
+    f"""
+    WITH {_SQL_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM ex GROUP BY doc_id),
+    bands AS ({_SQL_BANDS}),
+    occ AS (SELECT band_idx, band_key, count(*) AS m FROM bands GROUP BY 1, 2)
+    SELECT count(*) AS n_bands,
+           max(m) AS max_band_docs,
+           CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding_bands,
+           CAST(sum(m * (m - 1) / 2) AS BIGINT) AS candidate_pairs_upper
+    FROM occ
+    """,
+)
+def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_band_stats(load_table(spark, sf_dir, "documents"))
+
+
+# The capped variant IS the 100 TB configuration: bands larger than
+# max_band_size are dropped before the candidate join (m(m-1)/2 blowup
+# guard).  cap=2 exercises the exclusion on this corpus (22 vs 25 pairs
+# at sf0.01) so the differential pins the drop semantics, not a no-op.
+_LSH_MAX_BAND = 2
+
+
+@query(
+    "dedup_lsh_pairs_capped",
+    f"""
+    WITH {_SQL_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM ex GROUP BY doc_id),
+    bands AS ({_SQL_BANDS}),
+    kept AS (
+        SELECT b.* FROM bands b
+        JOIN (
+            SELECT band_idx, band_key FROM bands
+            GROUP BY 1, 2 HAVING count(*) <= {_LSH_MAX_BAND}
+        ) ok USING (band_idx, band_key)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM kept a
+    JOIN kept b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), max_band_size=_LSH_MAX_BAND
+    )
+
+
 @query(
     "dedup_lsh_verified",
     f"""
@@ -517,6 +569,43 @@ _SQL_SIMHASH_LONG = " + ".join(
 )
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), radius=_SIMHASH_NEAR_RADIUS
+    )
+
+
+# Pigeonhole-block occupancy summary for the simhash candidate join —
+# the companion measurement to dedup_lsh_band_stats.  On THIS corpus the
+# blocks are the skewed ones (max occupancy 167 docs at sf0.01 / 1656 at
+# sf0.1 vs 3-4 for LSH bands): templated documents agree on whole 12-bit
+# blocks far more often than on full minhash bands.
+_SQL_SIMHASH_BLOCKS = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS block_idx, substr(simhash, {pos}, {ln}) AS block_bits FROM s"
+    for i, (pos, ln) in enumerate(D.simhash_blocks(_SIMHASH_NEAR_RADIUS))
+)
+
+
+@query(
+    "dedup_simhash_block_stats",
+    f"""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS tok FROM documents
+    ), h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t
+    ), v AS (
+        SELECT doc_id, {_SQL_SIMHASH_VOTES} FROM h GROUP BY doc_id
+    ), s AS (
+        SELECT doc_id, {_SQL_SIMHASH_CONCAT} AS simhash FROM v
+    ), blocks AS ({_SQL_SIMHASH_BLOCKS}),
+    occ AS (SELECT block_idx, block_bits, count(*) AS m FROM blocks GROUP BY 1, 2)
+    SELECT count(*) AS n_bands,
+           max(m) AS max_band_docs,
+           CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding_bands,
+           CAST(sum(m * (m - 1) / 2) AS BIGINT) AS candidate_pairs_upper
+    FROM occ
+    """,
+)
+def dedup_simhash_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_block_stats(
         load_table(spark, sf_dir, "documents"), radius=_SIMHASH_NEAR_RADIUS
     )
 
@@ -2215,6 +2304,62 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     resized = resize_media(attach_payload(docs), 224, 224)
     return resized.select("doc_id", "width", "height", "n_bytes").orderBy("doc_id")
+
+
+# REAL decode path (operators/codecs.py: dependency-free 24-bit BMP):
+# synthetic per-doc BMPs — dims (4+id%13)×(4+id%11), constant fill color
+# md5(str(id))[:3] — are genuinely parsed by the decoder; the oracle
+# reproduces the header arithmetic (54-byte headers + 4-byte-padded BGR
+# rows) and the md5-derived dims from doc_id alone.
+@query(
+    "multimodal_real_decode",
+    """
+    SELECT doc_id,
+           CAST(4 + doc_id % 13 AS BIGINT) AS width,
+           CAST(4 + doc_id % 11 AS BIGINT) AS height,
+           CAST(54 + (4 + doc_id % 11) * ((3 * (4 + doc_id % 13) + 3) // 4 * 4)
+                AS BIGINT) AS n_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_bmp_payload, extract_media_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(attach_bmp_payload(docs), use_real_codecs=True)
+    return feats.select("doc_id", "width", "height", "n_bytes").orderBy("doc_id")
+
+
+# The full chain — encode → decode → nearest-neighbor resample → re-encode
+# → re-decode — with content verification: the constant fill color must
+# survive to the channel means of the re-decoded 16×16 output (exact
+# integers for constant-fill fixtures).  16×16 stride is 48 (already
+# 4-aligned): n_bytes = 54 + 16*48 = 822 for every doc.
+@query(
+    "multimodal_resize_real",
+    """
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(822 AS BIGINT) AS n_bytes,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS mean_r,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS BIGINT) AS mean_g,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 2) AS BIGINT) AS mean_b
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_bmp_payload,
+        media_pixel_stats,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_media(attach_bmp_payload(docs), 16, 16, use_real_codecs=True)
+    return media_pixel_stats(resized).orderBy("doc_id")
 
 
 # Real IVF ANN: geometric coarse quantizer (sampled centroids, inlined as

@@ -1,0 +1,57 @@
+"""ANN quality regression gate.
+
+An approximate index is only done when its quality is measured — and
+only SAFE when that measurement is a failing test, not a one-off probe.
+This pins recall@10 of the production IVF configuration (64 cells /
+8 probes ≈ 12.5% scan budget) against the exact brute-force baseline on
+the fixed sf0.1 embeddings corpus (5000 vectors — large enough that
+cells hold ~78 vectors and the quantizer's geometry, not sampling noise,
+determines recall; measured 0.94 across rounds, gated at ≥ 0.9).  If a
+change to the quantizer, the probe ranking, or the candidate join
+degrades recall, this fails before the bench ever runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from airflow_postgres_etl_spark.operators import similarity as S
+from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+N_QUERIES = 30
+K = 10
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="sf0.1 testdata absent")
+def test_ivf_multiprobe_recall_at_10_stays_above_0_9(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    try:
+        query_ids = [
+            r.vec_id
+            for r in emb.select("vec_id").orderBy("vec_id").limit(N_QUERIES).collect()
+        ]
+
+        def topk(df):
+            out: dict[int, set[int]] = {}
+            for r in df.collect():
+                out.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return out
+
+        exact = topk(S.knn_brute_force(emb, query_ids, k=K))
+        approx = topk(
+            S.knn_ivf_centroids(
+                emb, query_ids, k=K, n_cells=S.N_IVF_CELLS, probes=S.IVF_PROBES
+            )
+        )
+        num = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        den = sum(len(exact[q]) for q in exact)
+        recall = num / den
+        assert recall >= 0.9, (
+            f"IVF recall@{K} degraded to {recall:.3f} "
+            f"({S.N_IVF_CELLS} cells / {S.IVF_PROBES} probes, {len(exact)} queries)"
+        )
+    finally:
+        emb.unpersist()

@@ -48,7 +48,8 @@ def test_frame_sample_explodes_n_frames(spark):
 
 def test_real_codecs_is_explicit_opt_in(spark):
     """The stub runs whether or not codec libs are importable; only an
-    explicit use_real_codecs=True reaches the unimplemented real branch."""
+    explicit use_real_codecs=True reaches the real (BMP) decode branch —
+    which rejects a payload that isn't an image rather than guessing."""
     import pytest as _pytest
 
     from airflow_postgres_etl_spark.operators.multimodal import (
@@ -56,11 +57,16 @@ def test_real_codecs_is_explicit_opt_in(spark):
         extract_media_features,
     )
 
-    docs = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
-    df = attach_payload(docs)
+    # > 54 bytes so the decoder reaches the magic check, not the
+    # truncated-header guard
+    docs = spark.createDataFrame(
+        [(1, "hello, this is definitely not an image payload " * 4)],
+        ["doc_id", "text"],
+    )
+    df = attach_payload(docs)  # utf-8 text bytes, NOT a BMP
     assert extract_media_features(df).count() == 1  # default: stub, always
-    with _pytest.raises(NotImplementedError):
-        extract_media_features(df, use_real_codecs=True)
+    with _pytest.raises(Exception, match="not a BMP"):
+        extract_media_features(df, use_real_codecs=True).collect()
 
 
 def test_resize_media_binary_contract(spark):
@@ -83,5 +89,82 @@ def test_resize_media_binary_contract(spark):
     assert by_id[3].n_bytes == 0
     assert all(r.width == 224 and r.height == 224 for r in out)
 
-    with pytest.raises(NotImplementedError):
+    # the real branch demands genuine image bytes ("not a BMP" for the
+    # long payload, "truncated BMP" for the sub-header-size ones —
+    # whichever partition fails first)
+    with pytest.raises(Exception, match="BMP"):
         resize_media(attach_payload(docs), use_real_codecs=True).collect()
+
+
+def test_bmp_codec_roundtrip_and_rejects_corruption():
+    """Pure-codec unit tests: encode→decode identity, exact size
+    arithmetic, nearest-neighbor semantics, corrupt-input rejection."""
+    import numpy as np
+    import pytest
+
+    from airflow_postgres_etl_spark.operators import codecs
+
+    rng_bytes = hashlib.md5(b"fixture").digest() * 12  # deterministic "noise"
+    px = np.frombuffer(rng_bytes[: 7 * 9 * 3], dtype=np.uint8).reshape(9, 7, 3).copy()
+    data = codecs.encode_bmp(px)
+    assert len(data) == codecs.bmp_size(7, 9)
+    assert (codecs.decode_bmp(data) == px).all()
+
+    # nearest-neighbor: 2x2 checkerboard upsampled 2x keeps exact quadrants
+    quad = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    up = codecs.resize_nearest(quad, 4, 4)
+    assert (up[:2, :2] == quad[0, 0]).all() and (up[2:, 2:] == quad[1, 1]).all()
+    # downsample back: picks the pixel-center samples
+    down = codecs.resize_nearest(up, 2, 2)
+    assert (down == quad).all()
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        codecs.decode_bmp(b"PNG" + data[3:])
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_bmp(data[:40])
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_bmp(data[:-10])
+    with pytest.raises(ValueError, match="only 24-bit"):
+        bad = bytearray(data)
+        bad[28] = 8  # bpp field
+        codecs.decode_bmp(bytes(bad))
+
+
+def test_real_decode_resize_chain(spark):
+    """encode → decode → resample → re-encode → re-decode, end to end on
+    the synthetic BMP fixtures: dimensions and sizes follow the fixture
+    arithmetic, and the constant fill color survives the whole chain."""
+    import numpy as np
+
+    from airflow_postgres_etl_spark.operators.multimodal import (
+        attach_bmp_payload,
+        extract_media_features,
+        media_pixel_stats,
+        resize_media,
+    )
+    from airflow_postgres_etl_spark.operators import codecs
+
+    docs = spark.createDataFrame([(i,) for i in range(25)], ["doc_id"])
+    bmp = attach_bmp_payload(docs)
+
+    feats = {r.doc_id: r for r in extract_media_features(bmp, use_real_codecs=True).collect()}
+    for i in range(25):
+        w, h = 4 + i % 13, 4 + i % 11
+        assert (feats[i].width, feats[i].height) == (w, h)
+        assert feats[i].n_bytes == codecs.bmp_size(w, h)
+        assert feats[i].n_frames == 1
+
+    stats = {
+        r.doc_id: r
+        for r in media_pixel_stats(
+            resize_media(bmp, 16, 16, use_real_codecs=True)
+        ).collect()
+    }
+    for i in range(25):
+        color = np.frombuffer(hashlib.md5(str(i).encode()).digest()[:3], dtype=np.uint8)
+        r = stats[i]
+        assert (r.width, r.height) == (16, 16)
+        assert r.n_bytes == codecs.bmp_size(16, 16) == 822
+        assert (r.mean_r, r.mean_g, r.mean_b) == tuple(int(c) for c in color)

@@ -544,9 +544,11 @@ def test_crash_before_manifest_commit_preserves_old_state(spark, tmp_path, monke
     # ... but a reader still sees exactly the old committed state
     assert {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()} == before
 
-    # the retry path: replay the same batch for real
+    # the retry path: replay the same batch for real.  retention_s=0:
+    # single-process test, immediate collection (the default 1 h window
+    # would — correctly — keep the fresh orphans for in-flight readers).
     monkeypatch.setattr(sink, "_commit_manifest", real_commit)
-    keyed_overwrite_parquet(spark, batch, target, num_buckets=8)
+    keyed_overwrite_parquet(spark, batch, target, num_buckets=8, retention_s=0)
     got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
     expected = {(f"key{i}", i) for i in range(3, 100)} | {
         ("key0", 1000), ("key1", 1001), ("key2", 1002)
@@ -566,6 +568,60 @@ def test_crash_before_manifest_commit_preserves_old_state(spark, tmp_path, monke
         if f.endswith(".parquet")
     }
     assert on_disk == live
+
+
+def test_vacuum_retention_protects_in_flight_readers(spark, tmp_path):
+    """The reader-safety contract: a reader that resolved the manifest
+    BEFORE a merge can still read every file of its snapshot afterwards —
+    the merge's vacuum keeps superseded files for retention_s.  Once the
+    window elapses (simulated with retention_s=0), they are collected."""
+    import airflow_postgres_etl_spark.sink as sink
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(f"key{i}", i) for i in range(50)], ["oid__id", "v"]
+    )
+    keyed_overwrite_parquet(spark, base, target, num_buckets=4)
+
+    # reader resolves the manifest now (the old snapshot)
+    old_manifest = sink._load_manifest(target)
+    old_files = [
+        os.path.join(target, f)
+        for fs in old_manifest["buckets"].values()
+        for f in fs
+    ]
+
+    # a merge with the DEFAULT retention supersedes some of those files
+    batch = spark.createDataFrame([("key0", 999)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, batch, target, num_buckets=4)
+
+    # the reader's snapshot is fully intact: every old file readable
+    assert all(os.path.exists(f) for f in old_files)
+    old_df = spark.read.option("recursiveFileLookup", "true").parquet(*old_files)
+    assert old_df.count() == 50  # the PRE-merge state, complete
+
+    # retirees are stamped in the manifest, and survive a 0-retention...
+    m = sink._load_manifest(target)
+    assert len(m["retired"]) > 0 and all("ts" in e for e in m["retired"])
+    # ...only until the window elapses: collect them and re-check
+    removed = vacuum_keyed_table(target, retention_s=0)
+    assert removed == len(
+        [e for e in m["retired"]]
+    ) and not all(os.path.exists(f) for f in old_files)
+    # current snapshot unaffected by the vacuum
+    got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
+    assert ("key0", 999) in got and len(got) == 50
+    # the next merge prunes collected retirees from the manifest
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([("key1", 888)], ["oid__id", "v"]),
+        target,
+        num_buckets=4,
+        retention_s=0,
+    )
+    m2 = sink._load_manifest(target)
+    collected = {e["path"] for e in m["retired"]}
+    assert not collected & {e["path"] for e in m2["retired"]}
 
 
 def test_concurrent_writer_is_detected(spark, tmp_path, monkeypatch):

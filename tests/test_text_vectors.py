@@ -114,3 +114,48 @@ def test_simhash_near_pairs_complete_vs_brute_force(spark):
         for r in simhash_near_pairs(df, radius=radius).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_hot_band_cap_drops_oversized_groups_only(spark):
+    """max_band_size / max_block_size: a boilerplate group whose bands
+    exceed the cap stops emitting candidates; small true near-dup groups
+    are untouched.  The cap only ever REMOVES pairs (capped ⊆ uncapped)."""
+    from airflow_postgres_etl_spark.operators.dedup import (
+        lsh_band_stats,
+        lsh_candidate_pairs,
+        simhash_near_pairs,
+    )
+
+    boiler = "subscribe to our newsletter terms of service all rights reserved"
+    pair = "the quiet mountain valley held a hidden waterfall beyond the pines"
+    rows = (
+        # 10 identical boilerplate docs: every band has occupancy 10
+        [(i, boiler) for i in range(10)]
+        # one true near-dup pair (identical): bands have occupancy 2
+        + [(100, pair), (101, pair)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    stats = lsh_band_stats(df).collect()[0]
+    assert stats.max_band_docs == 10
+
+    uncapped = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(df).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(df, max_band_size=5).collect()
+    }
+    assert capped <= uncapped
+    assert (100, 101) in capped          # small group survives
+    assert (0, 1) in uncapped and (0, 1) not in capped  # hot group dropped
+    assert capped == {(100, 101)}
+
+    sim_uncapped = {
+        (r.doc_a, r.doc_b) for r in simhash_near_pairs(df, radius=2).collect()
+    }
+    sim_capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(df, radius=2, max_block_size=5).collect()
+    }
+    assert sim_capped <= sim_uncapped
+    assert (100, 101) in sim_capped
+    assert (0, 1) not in sim_capped

@@ -74,6 +74,17 @@ def main() -> None:
         t0 = time.perf_counter()
         verified = D.lsh_verified_pairs(docs).count()
         t_ver = round(time.perf_counter() - t0, 2)
+        # hot-band occupancy: the skew measurement behind max_band_size /
+        # max_block_size (SCALE.md "hot bands").  LSH band keys are md5
+        # over 3 minhashes (huge keyspace — occupancy tracks true dup
+        # groups); simhash pigeonhole blocks live in a 2^12 keyspace and
+        # SATURATE as the corpus grows — the block join's documented
+        # scale cliff, bounded by the cap.
+        band = D.lsh_band_stats(docs).collect()[0].asDict()
+        block = D.simhash_block_stats(docs).collect()[0].asDict()
+        t0 = time.perf_counter()
+        sim_capped = D.simhash_near_pairs(docs, max_block_size=1000).count()
+        t_sim_capped = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()  # per-n shingle caches must not leak
         results.append(
             {
@@ -85,6 +96,12 @@ def main() -> None:
                 "candidates_per_doc": round(candidates / n_docs, 3),
                 "t_candidates_sec": t_cand,
                 "t_verified_sec": t_ver,
+                "lsh_max_band_docs": band["max_band_docs"],
+                "lsh_cand_upper": band["candidate_pairs_upper"],
+                "simhash_max_block_docs": block["max_band_docs"],
+                "simhash_cand_upper": block["candidate_pairs_upper"],
+                "simhash_capped_pairs_1000": sim_capped,
+                "t_simhash_capped_sec": t_sim_capped,
             }
         )
         print(json.dumps(results[-1]), flush=True)
