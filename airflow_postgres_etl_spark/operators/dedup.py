@@ -40,9 +40,18 @@ LSH_ROWS = 3  # N_MINHASH = LSH_BANDS * LSH_ROWS
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed 64-bit exactly
 
 
-def shingles_expr(col: str | Column = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized token stream."""
-    w = tokens_expr(col)
+def shingles_from_tokens(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an already-bound token-array
+    column.
+
+    ``w`` MUST be a plain column reference (an attribute), not an inline
+    expression tree: every reference to ``w`` inside the ``transform``
+    lambda re-evaluates whatever expression ``w`` is — with the tokenizer
+    inlined that is one full regexp split PER SHINGLE POSITION, i.e.
+    O(tokens²) per document (measured: 125 s vs 2.9 s for 64 × 10k-token
+    docs — the long-document cliff, see SCALE.md).  Binding the tokens to
+    a column first makes the lambda body O(n) total.
+    """
     count = F.size(w) - (n - 1)
     # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
     return F.when(
@@ -54,6 +63,15 @@ def shingles_expr(col: str | Column = "text", n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_expr(col: str | Column = "text", n: int = 3) -> Column:
+    """Single-expression form of :func:`shingles_from_tokens` (tokenizer
+    inlined).  Fine for short documents and for expression-level tests;
+    long documents MUST go through the two-step form — see the O(tokens²)
+    warning above.  :func:`_doc_shingles` (what every dedup operator
+    uses) always takes the two-step path."""
+    return shingles_from_tokens(tokens_expr(col), n)
 
 
 def exact_dedup_groups(df: DataFrame, col: str = "text", key: str = "doc_id") -> DataFrame:
@@ -93,9 +111,14 @@ def _doc_shingles(df: DataFrame, col: str, key: str, n: int) -> DataFrame:
       the session's lifetime.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # two-step select: tokens bound to an attribute BEFORE the shingle
+    # transform references them — the lambda then reads a materialized
+    # array instead of re-running the tokenizer per shingle position
+    # (O(n) vs O(n²); 43× at 10k tokens/doc, see shingles_from_tokens).
     return register_cache(
         df.repartition(parallelism)
-        .select(F.col(key), shingles_expr(col, n).alias("__sh"))
+        .select(F.col(key), tokens_expr(col).alias("__w"))
+        .select(F.col(key), shingles_from_tokens(F.col("__w"), n).alias("__sh"))
     )
 
 

@@ -1,0 +1,114 @@
+"""Commit-object storage seam for the keyed-table sink.
+
+The sink's whole crash-safety story rests on ONE primitive: atomically
+replacing the single manifest object if and only if it still holds the
+version the writer started from.  On a POSIX filesystem that's
+``os.replace`` plus a re-read version check; on S3/GCS it's a
+conditional PUT (``If-Match`` / ``x-goods-if-generation-match``).  This
+module isolates that primitive behind :class:`ManifestStore` so
+
+- the sink's commit protocol (``sink.keyed_overwrite_parquet``) contains
+  no filesystem calls of its own and runs unchanged over any store, and
+- the protocol is testable against a fake conditional-PUT store with
+  injectable races (tests/test_storage_protocol.py) — including the
+  lost-conditional-PUT case a local filesystem can't easily produce.
+
+Data files are written by Spark's own parquet writer through whatever
+Hadoop filesystem the path implies; only the tiny commit/spec objects go
+through this seam.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this merge's snapshot read and its
+    manifest swap (the optimistic-concurrency check failed)."""
+
+
+class LocalManifestStore:
+    """POSIX implementation: ``os.replace`` is the atomic swap; the
+    version check re-reads immediately before it — the local analog of a
+    conditional PUT.  (A true TOCTOU window remains between check and
+    replace on a shared filesystem; on object stores the conditional PUT
+    closes it server-side.  Single-writer-per-table deployments — the
+    reference's model — are unaffected.)"""
+
+    def read_json(self, path: str) -> dict | None:
+        """The object at ``path``, or None if it doesn't exist."""
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def write_json(self, path: str, obj: dict) -> None:
+        """Unconditional durable write (used for the immutable spec)."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(obj, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def replace_if_version(
+        self, path: str, manifest: dict, expected_version: int | None
+    ) -> None:
+        """THE commit: atomically replace the manifest object, failing
+        with :class:`ConcurrentWriteError` if its on-store version moved
+        past ``expected_version``.  ``None`` expected version = initial
+        commit (no predecessor to check)."""
+        if expected_version is not None:
+            on_disk = self.read_json(path)
+            if on_disk is not None and on_disk.get("version", 0) != expected_version:
+                raise ConcurrentWriteError(
+                    f"manifest moved from version {expected_version} to "
+                    f"{on_disk.get('version')} during this merge; "
+                    "replay the batch against the new snapshot"
+                )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
+
+class FakeConditionalStore:
+    """In-memory store with object-store conditional-PUT semantics, for
+    protocol tests: the version check and the swap are ONE atomic step
+    (as on S3/GCS), and a test can interleave a competing commit at the
+    exact lost-race point via ``on_replace`` hooks."""
+
+    def __init__(self) -> None:
+        self.objects: dict[str, dict] = {}
+        self.on_replace = None  # callable fired just before the CAS check
+
+    def read_json(self, path: str) -> dict | None:
+        obj = self.objects.get(path)
+        return json.loads(json.dumps(obj)) if obj is not None else None
+
+    def write_json(self, path: str, obj: dict) -> None:
+        self.objects[path] = json.loads(json.dumps(obj))
+
+    def replace_if_version(
+        self, path: str, manifest: dict, expected_version: int | None
+    ) -> None:
+        if self.on_replace is not None:
+            hook, self.on_replace = self.on_replace, None
+            hook()  # a competing writer lands here — before OUR check
+        if expected_version is not None:
+            current = self.objects.get(path)
+            if current is not None and current.get("version", 0) != expected_version:
+                raise ConcurrentWriteError(
+                    f"conditional PUT failed: version "
+                    f"{current.get('version')} != expected {expected_version}"
+                )
+        self.objects[path] = json.loads(json.dumps(manifest))
+
+
+#: the default store — the sink uses this unless one is injected.
+LOCAL_STORE = LocalManifestStore()

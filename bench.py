@@ -71,6 +71,13 @@ HEADLINE = [
     "text_repetition",
     "q_stratified_sample",
     "text_tfidf_top_terms",
+    # round-4: hot-band occupancy diagnostics + the capped (100 TB
+    # default) LSH path, and the real-codec decode/resize chain
+    "dedup_lsh_band_stats",
+    "dedup_simhash_block_stats",
+    "dedup_lsh_pairs_capped",
+    "multimodal_real_decode",
+    "multimodal_resize_real",
 ]
 
 
