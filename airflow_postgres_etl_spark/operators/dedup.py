@@ -502,13 +502,28 @@ def simhash_near_pairs(
 
 
 def build_minhash_index(
-    df: DataFrame, path: str, col: str = "text", key: str = "doc_id", n: int = 3
+    df: DataFrame,
+    path: str,
+    col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    max_band_size: int | None = None,
 ) -> None:
     """Materialize the LSH band table for a corpus: one row per
     (band_idx, band_key, doc) plus the doc's shingle array for exact
     verification.  At 100 TB this table is the dedup INDEX — computed once
-    per corpus, partitioned by band for pruned candidate joins."""
+    per corpus, partitioned by band for pruned candidate joins.
+
+    ``max_band_size`` applies the hot-band cap at BUILD time (see
+    :func:`_drop_hot_groups`): an oversized boilerplate band in the index
+    would otherwise blow up *every* incremental batch that touches it —
+    capping once here bounds every future :func:`dedup_against_index`
+    join, with no per-batch cost."""
     exploded = _band_table(minhash_signatures(df, col, key, n), key)
+    if max_band_size is not None:
+        exploded = _drop_hot_groups(
+            exploded, ["band_idx", "band_key"], max_band_size
+        )
     sh = _doc_shingles(df, col, key, n)
     (
         exploded.join(sh, key)

@@ -355,3 +355,106 @@ def embedding_near_dup_ivf(
         .select("vec_a", "vec_b", "cosine_sim")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — the ingestion-time ANN shape, symmetric to
+# dedup.build_minhash_index: quantize the corpus ONCE, store it
+# cell-partitioned, and answer every later query batch against the files —
+# the corpus is never re-embedded, re-assigned, or fully re-scanned.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = N_IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: vectors with precomputed norms,
+    partitioned by assigned ``cell`` (``<path>/vectors``), plus the tiny
+    centroid table (``<path>/centroids``).
+
+    The cell partitioning is what makes queries cheap at 100 TB: a probe
+    touches only its cells' files (dynamic partition pruning on the cell
+    equi-join), ~probes/n_cells of the corpus; norms are paid once at
+    build instead of per query."""
+    cent = _centroids(emb, n_cells, id_col, vec_col)
+    cent.select(
+        "c_id", F.col("__cvv").alias("cvec"), F.col("__cnorm").alias("cnorm")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        ivf_cells(emb, n_cells, id_col, vec_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm_expr(F.col(vec_col)).alias("vnorm"),
+            "cell",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def knn_against_index(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    probes: int = IVF_PROBES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k for a query batch against a persisted IVF index.
+
+    Centroids (tiny) broadcast against the query batch to rank probe
+    cells; candidates come from the cell equi-join against the
+    partitioned vector files — Spark's dynamic partition pruning keeps
+    unprobed cells unread.  Cost scales with the QUERY batch × probed
+    fraction; returns exactly :func:`knn_ivf_centroids`'s answer for the
+    same corpus/config (pinned by test).
+
+    Columns: ``query_id, neighbor_id, cosine_sim`` (rounded 6).
+    """
+    spark = queries.sparkSession
+    cent = spark.read.parquet(f"{index_path}/centroids").select(
+        "c_id", F.col("cvec").alias("__cvv"), F.col("cnorm").alias("__cnorm")
+    )
+    qsims = _centroid_sims(queries, cent, vec_col)
+    wq = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.desc("c_id"))
+    probe = (
+        qsims.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= probes)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("__vnorm").alias("__qnorm"),
+            F.col("c_id").alias("cell"),
+        )
+    )
+    index = spark.read.parquet(f"{index_path}/vectors").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("vnorm").alias("__cvnorm"),
+        "cell",
+    )
+    # hoisted norms: dot / (qnorm * vnorm), one fold per pair
+    sim = F.round(
+        dot_expr(F.col("__qv"), F.col("__cv"))
+        / F.nullif(F.col("__qnorm") * F.col("__cvnorm"), F.lit(0.0)),
+        6,
+    )
+    pairs = (
+        probe.join(index, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )

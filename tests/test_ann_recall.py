@@ -55,3 +55,26 @@ def test_ivf_multiprobe_recall_at_10_stays_above_0_9(spark):
         )
     finally:
         emb.unpersist()
+
+
+def test_persisted_ivf_index_matches_in_memory_ann(spark, tmp_path):
+    """build_ivf_index + knn_against_index returns EXACTLY
+    knn_ivf_centroids' answer for the same corpus and config — the
+    persisted index is a materialization, not an approximation of the
+    approximation."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx)
+
+    query_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(20).collect()]
+    queries = emb.filter(emb.vec_id.isin(query_ids))
+
+    from_index = {
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in S.knn_against_index(queries, idx, k=10).collect()
+    }
+    in_memory = {
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in S.knn_ivf_centroids(emb, query_ids, k=10).collect()
+    }
+    assert from_index == in_memory and len(from_index) == 20 * 10

@@ -53,3 +53,40 @@ def test_dedup_against_index_idempotent_for_clean_batch(spark, tmp_path):
         ["doc_id", "text"],
     )
     assert dedup_against_index(batch, idx).count() == 1
+
+
+def test_index_build_cap_drops_hot_bands(spark, tmp_path):
+    """max_band_size at index BUILD time: a boilerplate group's oversized
+    bands never enter the index, so incremental batches matching that
+    boilerplate generate no candidates against it — while normal docs
+    still dedup exactly."""
+    from pyspark.sql import functions as F
+
+    boiler = "subscribe to the newsletter all rights reserved terms apply here"
+    hist = spark.createDataFrame(
+        [(i, boiler) for i in range(10)]
+        + [(50, "a unique historical document about spark shuffle tuning details")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "capped_index")
+    build_minhash_index(hist, idx, max_band_size=5)
+
+    # the boilerplate bands (occupancy 10) are absent from the index
+    index = spark.read.parquet(idx)
+    max_band = (
+        index.groupBy("band_idx", "band_key").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_band <= 5
+
+    batch = spark.createDataFrame(
+        [
+            (600, boiler),  # matches only capped-away bands -> SURVIVES (by design)
+            (601, "a unique historical document about spark shuffle tuning details"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id for r in dedup_against_index(batch, idx).collect()}
+    # 601 deduped against the (uncapped) unique doc; 600 passes because its
+    # only matches were dropped as boilerplate-skew bands — the documented
+    # recall trade of the cap
+    assert got == {600}
