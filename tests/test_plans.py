@@ -174,3 +174,45 @@ def test_tfidf_stays_jvm_side_and_broadcasts_scalar(spark):
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_capped_lsh_excludes_hot_bands_via_broadcast_anti_join(spark):
+    """The skew cap must not add a second big shuffle: the oversized-band
+    set is tiny, so its exclusion plans as a broadcast LeftAnti — the
+    band table itself shuffles only for the candidate join."""
+    plan = plan_of(spark, "dedup_lsh_pairs_capped")
+    assert "LeftAnti" in plan
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert any("Broadcast" in ln for ln in anti_lines)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_band_stats_are_two_hash_aggregates(spark):
+    """Occupancy diagnostics: per-band count then one global summary —
+    two hash-aggregate pairs, nothing quadratic, nothing Python."""
+    for name in ("dedup_lsh_band_stats", "dedup_simhash_block_stats"):
+        plan = plan_of(spark, name)
+        assert plan.count("HashAggregate") >= 4, name  # 2 levels x partial/final
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_persisted_ivf_probe_prunes_index_partitions(spark, tmp_path):
+    """knn_against_index: the probe side broadcasts (tiny query batch),
+    and the cell equi-join carries dynamic partition pruning against the
+    cell-partitioned index files — unprobed cells stay unread."""
+    from airflow_postgres_etl_spark.operators import similarity as S
+    from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, n_cells=8)
+    queries = emb.filter(emb.vec_id < 5)
+    df = S.knn_against_index(queries, idx, k=5, probes=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan and "BatchEvalPython" not in plan
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the index scan is partitioned by cell and the join key reaches it
+    assert "PartitionFilters" in formatted or "dynamicpruning" in formatted.lower()
