@@ -519,19 +519,39 @@ def build_minhash_index(
     would otherwise blow up *every* incremental batch that touches it —
     capping once here bounds every future :func:`dedup_against_index`
     join, with no per-batch cost."""
+    _index_frame(df, col, key, n, max_band_size).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx").parquet(path)
+
+
+def append_to_minhash_index(
+    df: DataFrame,
+    path: str,
+    col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    max_band_size: int | None = None,
+) -> None:
+    """Append a batch's band rows to an existing index — the
+    accepted-documents side of streaming ingest.  ``max_band_size`` caps
+    within THIS batch only; cumulative growth of a band across appends is
+    bounded by re-running :func:`build_minhash_index` periodically (index
+    compaction), the same rhythm as vacuum."""
+    _index_frame(df, col, key, n, max_band_size).write.mode(
+        "append"
+    ).partitionBy("band_idx").parquet(path)
+
+
+def _index_frame(
+    df: DataFrame, col: str, key: str, n: int, max_band_size: int | None
+) -> DataFrame:
     exploded = _band_table(minhash_signatures(df, col, key, n), key)
     if max_band_size is not None:
         exploded = _drop_hot_groups(
             exploded, ["band_idx", "band_key"], max_band_size
         )
     sh = _doc_shingles(df, col, key, n)
-    (
-        exploded.join(sh, key)
-        .withColumnRenamed("__sh", "shingles")
-        .write.mode("overwrite")
-        .partitionBy("band_idx")
-        .parquet(path)
-    )
+    return exploded.join(sh, key).withColumnRenamed("__sh", "shingles")
 
 
 def dedup_against_index(

@@ -110,3 +110,41 @@ def tokenset_fingerprint_expr(col: str | Column = "text") -> Column:
     set — catches shuffled/bag-of-words duplicates."""
     sorted_toks = F.array_sort(distinct_tokens_expr(col))
     return F.md5(F.array_join(sorted_toks, " "))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction — the compliance pass every training-data
+# pipeline runs before release.  Pattern-based (regex), deliberately
+# conservative, and dialect-portable: every pattern below parses
+# identically under Java regex (Spark) and RE2 (DuckDB) so the oracle
+# twin is exact — no lookaround, no backreferences.
+# ---------------------------------------------------------------------------
+
+#: detection patterns, applied (and redacted) in this order.  URL before
+#: email (a URL may embed '@'); phone last (digit runs appear inside the
+#: other patterns' matches).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9 ()./-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_count_exprs(col: str | Column = "text") -> list[Column]:
+    """One count column per PII class (``n_<kind>``), JVM-side regexp."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii_expr(col: str | Column = "text") -> Column:
+    """All PII classes replaced by typed placeholders, in the fixed
+    :data:`PII_PATTERNS` order (order matters: phone-like digit runs
+    inside URLs must already be gone when the phone pass runs)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _kind, pat, placeholder in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, placeholder)
+    return out

@@ -22,6 +22,84 @@ from ..sources.parquet_source import load_table
 from .queries import query
 
 # ---------------------------------------------------------------------------
+# PII detection / redaction (operators/text.py PII_PATTERNS).  The corpus
+# itself is PII-free synthetic text, so each document gets a deterministic
+# injected tail (one URL, email, IP, phone derived from doc_id) — the
+# differential then verifies the patterns MATCH and the redaction chain
+# REWRITES, not that zero equals zero.  Patterns are generated from the
+# same PII_PATTERNS list on both sides; DuckDB regexp_replace needs the
+# explicit 'g' flag to match Spark's replace-all semantics.
+# ---------------------------------------------------------------------------
+_SQL_PII_INJECTED = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com see https://ex' || CAST(doc_id AS VARCHAR) || "
+    "'.org/page ip 10.0.' || CAST(doc_id % 9 AS VARCHAR) || "
+    "'.7 call +1 (555) 010-99' || CAST(doc_id % 10 AS VARCHAR)"
+)
+
+
+def _pii_injected_col():
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did,
+        F.lit("@example.com see https://ex"), did,
+        F.lit(".org/page ip 10.0."), (F.col("doc_id") % 9).cast("string"),
+        F.lit(".7 call +1 (555) 010-99"), (F.col("doc_id") % 10).cast("string"),
+    )
+
+
+@query(
+    "text_pii_flags",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_PII_INJECTED} AS s FROM documents)
+    SELECT doc_id,
+           {", ".join(f"CAST(len(regexp_extract_all(s, '{pat}')) AS BIGINT) AS n_{kind}" for kind, pat, _ in X.PII_PATTERNS)},
+           ({" + ".join(f"len(regexp_extract_all(s, '{pat}'))" for _k, pat, _ in X.PII_PATTERNS)}) > 0 AS has_pii
+    FROM t
+    """,
+)
+def text_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__s", _pii_injected_col()
+    )
+    counts = docs.select("doc_id", *X.pii_count_exprs("__s"))
+    total = sum(
+        (F.col(f"n_{kind}") for kind, _p, _r in X.PII_PATTERNS[1:]),
+        F.col(f"n_{X.PII_PATTERNS[0][0]}"),
+    )
+    return counts.withColumn("has_pii", total > 0)
+
+
+@query(
+    "text_pii_redacted",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_PII_INJECTED} AS s FROM documents),
+    r AS (
+        SELECT doc_id,
+               {"".join(["regexp_replace("] * len(X.PII_PATTERNS))}s
+               {"".join(f", '{pat}', '{repl}', 'g')" for _k, pat, repl in X.PII_PATTERNS)}
+               AS red
+        FROM t
+    )
+    SELECT doc_id, md5(red) AS redacted_fp,
+           CAST(length(red) AS BIGINT) AS n_chars
+    FROM r
+    """,
+)
+def text_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__s", _pii_injected_col()
+    )
+    red = X.redact_pii_expr("__s")
+    return docs.select(
+        "doc_id",
+        F.md5(red).alias("redacted_fp"),
+        F.length(red).cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Shared SQL fragments (must mirror operators.text exactly)
 # ---------------------------------------------------------------------------
 SQL_TOKS = (

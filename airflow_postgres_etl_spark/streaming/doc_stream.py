@@ -1,0 +1,116 @@
+"""Streaming corpus ingest with cross-batch near-dup filtering — the
+training-data acquisition flow: documents arrive continuously, and a
+document is accepted only if it near-duplicates NOTHING accepted before
+it (in any earlier micro-batch or earlier in its own batch).
+
+Composition of existing pieces, no new state machinery: the file-source
+checkpoint tracks which files were processed (the reference's high-water
+mark, S8/T1), the persisted MinHash index IS the dedup state
+(``operators.dedup.build_minhash_index``), and each micro-batch runs
+in-batch dedup → index dedup → append survivors to the index + corpus.
+
+Delivery semantics: the index is appended BEFORE the corpus.  A crash
+between the two appends means a replayed batch finds its survivors
+already indexed and drops them — at-most-once into the corpus, never
+duplicates.  For training data that is the right side of the trade: a
+lost document costs a little coverage; a duplicated one biases the
+distribution every epoch.  (Appending corpus-first would flip this to
+at-least-once.)
+
+At 100 TB: per-batch cost is the batch's own shingling plus a
+band-partition-pruned join against the index (see
+``dedup_against_index``); the accepted corpus is never re-scanned.
+Index bands grow monotonically — re-run ``build_minhash_index`` over the
+accepted corpus periodically (compaction) to re-apply the hot-band cap
+and drop tombstoned docs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import (
+    append_to_minhash_index,
+    build_minhash_index,
+    dedup_against_index,
+    exact_dedup,
+    lsh_verified_pairs,
+)
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def self_dedup(batch: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """In-batch dedup: exact content dedup (keep min id), then drop every
+    doc that LSH-verified-near-dups a LOWER id in the same batch.
+
+    Greedy by id: in a similarity chain a<b<c with pairs (a,b),(b,c),
+    both b and c are dropped even if (a,c) alone wouldn't qualify —
+    conservative over-dropping, never under-dropping, and deterministic
+    without an iterative clustering pass per micro-batch."""
+    b = exact_dedup(batch)
+    drop = (
+        lsh_verified_pairs(b, threshold=threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return b.join(drop, "doc_id", "left_anti")
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    index_path: str,
+    corpus_out: str,
+    checkpoint_dir: str,
+    *,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Continuous dedup ingest: parquet file stream of (doc_id, text) →
+    in-batch dedup → dedup against the persisted index → append survivors
+    to the index, then the corpus (order = at-most-once, see module doc).
+    """
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        survivors = self_dedup(batch, threshold)
+        had_index = os.path.isdir(index_path)
+        if had_index:
+            survivors = dedup_against_index(
+                survivors, index_path, threshold=threshold
+            )
+        # EAGER lineage truncation, not persist(): survivors' plan READS
+        # index_path, and the index append below triggers Spark's
+        # refreshByPath(index_path), which invalidates any cache built
+        # over it — a lazy/persisted frame would then be RECOMPUTED
+        # against the just-updated index for the corpus write, where each
+        # survivor matches its own freshly-appended bands and anti-joins
+        # itself away (observed: index gained the doc, corpus stayed
+        # empty).  localCheckpoint materializes the rows NOW and cuts the
+        # plan back to the stored partitions, immune to the refresh.
+        survivors = survivors.localCheckpoint(eager=True)
+        try:
+            if survivors.take(1):
+                if had_index:
+                    append_to_minhash_index(survivors, index_path)
+                else:
+                    build_minhash_index(survivors, index_path)
+                survivors.write.mode("append").parquet(corpus_out)
+        finally:
+            survivors.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

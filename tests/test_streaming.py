@@ -157,3 +157,53 @@ def test_dedup_event_stream_drops_cross_batch_duplicates(spark, tmp_path):
     got = {(r.event_id, r.ts) for r in spark.sql("SELECT * FROM dd_out").collect()}
     # event 1's re-delivery at 10:00:30 is dropped; its first arrival wins
     assert got == {(1, t(0)), (2, t(1)), (3, t(2))}
+
+
+def test_stream_dedup_ingest_drops_cross_batch_near_dups(spark, tmp_path):
+    """Streaming corpus ingest: a doc near-duplicating anything accepted
+    in an EARLIER micro-batch run is dropped (the persisted MinHash index
+    is the dedup state); genuinely new docs are accepted and indexed."""
+    from airflow_postgres_etl_spark.streaming import stream_dedup_ingest
+
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    other = "completely different content about spark physical plans and shuffles"
+
+    b1 = spark.createDataFrame(
+        [
+            (1, base + " first"),
+            (2, other + " alpha"),
+            (3, base + " first"),       # exact dup of 1 (same batch)
+            (4, base + " first extra"), # near-dup of 1 (same batch)
+        ],
+        ["doc_id", "text"],
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = stream_dedup_ingest(spark, src, idx, out, ck)
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " first again"),      # near-dup of accepted doc 1
+            (11, "a totally novel document describing manifest commit protocols"),
+        ],
+        ["doc_id", "text"],
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_dedup_ingest(spark, src, idx, out, ck)
+    q2.awaitTermination(120)
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 2, 11}  # 10 dropped against the index
+
+    # the index covers exactly the accepted corpus
+    indexed = {r.doc_id for r in spark.read.parquet(idx).select("doc_id").distinct().collect()}
+    assert indexed == {1, 2, 11}
+
+    # restart with no new files: nothing appended anywhere
+    q3 = stream_dedup_ingest(spark, src, idx, out, ck)
+    q3.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}

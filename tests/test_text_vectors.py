@@ -159,3 +159,45 @@ def test_hot_band_cap_drops_oversized_groups_only(spark):
     assert sim_capped <= sim_uncapped
     assert (100, 101) in sim_capped
     assert (0, 1) not in sim_capped
+
+
+def test_pii_redaction_order_and_placeholders(spark):
+    """URL redacts before email (URLs may embed '@'); phone runs last so
+    digit spans inside already-redacted matches can't re-match; output is
+    idempotent (re-redacting a redacted text is a no-op)."""
+    from airflow_postgres_etl_spark.operators.text import (
+        pii_count_exprs,
+        redact_pii_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob.smith+tag@corp.example.org today"),
+            (2, "see https://u:p@host.example.com/a?b=1 for details"),
+            (3, "server at 192.168.001.042 port open"),
+            (4, "call +44 (0) 20 7946-0958 now"),
+            (5, "clean text with the year 2024 only"),
+        ],
+        ["doc_id", "text"],
+    )
+    red = {r.doc_id: r.red for r in df.select("doc_id", redact_pii_expr().alias("red")).collect()}
+    assert red[1] == "write to <EMAIL> today"
+    # the URL (including its embedded '@') went as ONE url, not an email
+    assert red[2] == "see <URL> for details"
+    assert red[3] == "server at <IP> port open"
+    assert red[4] == "call <PHONE> now"
+    assert red[5] == "clean text with the year 2024 only"
+
+    # idempotent: placeholders contain no PII-shaped substrings
+    twice = {
+        r.doc_id: r.red2
+        for r in df.select(
+            "doc_id", redact_pii_expr(redact_pii_expr()).alias("red2")
+        ).collect()
+    }
+    assert twice == red
+
+    counts = df.select("doc_id", *pii_count_exprs()).collect()
+    by_id = {r.doc_id: (r.n_url, r.n_email, r.n_ip, r.n_phone) for r in counts}
+    assert by_id[5] == (0, 0, 0, 0)
+    assert by_id[1][1] == 1 and by_id[3][2] == 1
