@@ -588,6 +588,79 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The end-to-end near-dup APPLY — what a training-data pipeline actually
+# ships: the cleaned corpus.  Keep every document that is either in no
+# near-dup cluster, or is its cluster's representative (min id).  One
+# composed plan: LSH candidates → exact verify → min-label components →
+# anti-join the non-representatives away.  Oracle = the same recursive
+# CTE fixpoint; output is per-source keep counts (compact, order-free).
+@query(
+    "pipeline_near_dedup_corpus",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM ex GROUP BY doc_id),
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared, min(a.n) AS na, min(b.n) AS nb
+        FROM ex a
+        JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE (a.doc_id, b.doc_id) IN (SELECT (doc_a, doc_b) FROM cand)
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM shared
+        WHERE round(shared / (na + nb - shared), 6) >= 0.5
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM comp WHERE node <> component)
+    SELECT d.source,
+           count(*) AS n_kept,
+           CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_should_be_zero
+    FROM documents d
+    LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    WHERE dr.doc_id IS NULL
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def pipeline_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_verified_pairs(docs)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    dropped = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(dropped, "doc_id", "left_anti")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.lit(0).cast("long").alias("n_should_be_zero"),
+        )
+        .orderBy("source")
+    )
+
+
 _SQL_SIMHASH_VOTES = ", ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
     for b in range(D.SIMHASH_BITS)

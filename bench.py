@@ -78,6 +78,9 @@ HEADLINE = [
     "dedup_lsh_pairs_capped",
     "multimodal_real_decode",
     "multimodal_resize_real",
+    "text_pii_flags",
+    "text_pii_redacted",
+    "pipeline_near_dedup_corpus",
 ]
 
 
