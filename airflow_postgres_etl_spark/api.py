@@ -62,3 +62,39 @@ class Engine:
 
     def oracle(self, name: str) -> str | None:
         return ORACLE.get(name)
+
+    # -- streaming surface ----------------------------------------------------
+    def stream_ingest(self, csv_dir: str, out_dir: str, checkpoint_dir: str):
+        """Continuous variant of :meth:`ingest`: file-source checkpoint as
+        the high-water mark, replace-by-key merge per micro-batch."""
+        from .streaming import stream_ingest
+
+        return stream_ingest(
+            self.spark,
+            csv_dir,
+            os.path.join(out_dir, "tracking"),
+            os.path.join(out_dir, "events"),
+            checkpoint_dir,
+        )
+
+    def stream_dedup_ingest(
+        self,
+        docs_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        *,
+        threshold: float = 0.5,
+    ):
+        """Continuous corpus acquisition with cross-batch near-dup
+        filtering: accepted docs land in ``<out_dir>/corpus``, their LSH
+        bands in ``<out_dir>/index`` (the dedup state)."""
+        from .streaming import stream_dedup_ingest
+
+        return stream_dedup_ingest(
+            self.spark,
+            docs_dir,
+            os.path.join(out_dir, "index"),
+            os.path.join(out_dir, "corpus"),
+            checkpoint_dir,
+            threshold=threshold,
+        )

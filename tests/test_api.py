@@ -55,3 +55,24 @@ def test_extract_zip_rejects_escape(tmp_path):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_engine_streaming_surfaces(spark, tmp_path):
+    """The facade's streaming methods wire the same operators the batch
+    surface uses: dedup ingest accepts the unique doc, drops the
+    near-dup, and leaves the index next to the corpus."""
+    from airflow_postgres_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    src = str(tmp_path / "docs")
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "an unrelated text about parquet manifests and buckets")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(src)
+
+    q = eng.stream_dedup_ingest(src, str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out" / "corpus")).collect()}
+    assert kept == {1, 3}
+    assert spark.read.parquet(str(tmp_path / "out" / "index")).count() > 0
