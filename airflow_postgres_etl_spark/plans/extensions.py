@@ -22,6 +22,58 @@ from ..sources.parquet_source import load_table
 from .queries import query
 
 # ---------------------------------------------------------------------------
+# Shared SQL fragments (must mirror operators.text exactly)
+# ---------------------------------------------------------------------------
+SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+SQL_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(w)-2), "
+    "i -> array_to_string(w[i:i+2], ' '))) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+# Corpus-LM fluency scoring (the CCNet-style quality signal, Wenzek et
+# al. 2020): score each document by the average negative log-probability
+# of its tokens under the corpus's own add-one-smoothed unigram model.
+# Out-of-distribution / junk documents score high, fluent in-domain text
+# low.  Shape: one token explode, one vocab aggregate, one broadcast
+# scalar (N, |V|), one per-doc aggregate — two shuffles total, all JVM.
+# The avg is a double accumulation (engine-order-dependent) — rounded,
+# per the sums-only rounding rule.
+@query(
+    "text_unigram_logprob",
+    f"""
+    WITH t AS (
+        SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+    ),
+    v AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+    g AS (SELECT (SELECT count(*) FROM t) AS n, (SELECT count(*) FROM v) AS vs)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln((v.cnt + 1.0) / (g.n + g.vs))), 6) AS avg_neg_logprob
+    FROM t JOIN v USING (term) CROSS JOIN g
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens_expr()).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    totals = toks.agg(F.count("*").alias("n")).crossJoin(
+        vocab.agg(F.count("*").alias("vs"))
+    )
+    scored = toks.join(vocab, "term").crossJoin(F.broadcast(totals))
+    neg_logp = -F.log((F.col("cnt") + 1.0) / (F.col("n") + F.col("vs")))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(neg_logp), 6).alias("avg_neg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII detection / redaction (operators/text.py PII_PATTERNS).  The corpus
 # itself is PII-free synthetic text, so each document gets a deterministic
 # injected tail (one URL, email, IP, phone derived from doc_id) — the
@@ -97,20 +149,6 @@ def text_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(red).alias("redacted_fp"),
         F.length(red).cast("long").alias("n_chars"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Shared SQL fragments (must mirror operators.text exactly)
-# ---------------------------------------------------------------------------
-SQL_TOKS = (
-    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
-)
-SQL_SHINGLES = (
-    "CASE WHEN len(w) >= 3 THEN "
-    "list_distinct(list_transform(generate_series(1, len(w)-2), "
-    "i -> array_to_string(w[i:i+2], ' '))) "
-    "ELSE []::VARCHAR[] END"
-)
 
 
 # ---------------------------------------------------------------------------

@@ -81,6 +81,7 @@ HEADLINE = [
     "text_pii_flags",
     "text_pii_redacted",
     "pipeline_near_dedup_corpus",
+    "text_unigram_logprob",
 ]
 
 
