@@ -62,3 +62,35 @@ def test_nested_cache_scopes_release_only_their_own(spark):
     assert not _cache_empty(spark)
     assert release_caches() == 1  # exactly the outer entry remained
     assert _cache_empty(spark)
+
+
+def test_register_and_release_from_concurrent_threads(spark):
+    """The registry survives concurrent query threads (the multi-threaded
+    driver case the lock exists for): no lost registrations, no
+    corruption, and a full release empties the registry."""
+    import threading
+
+    from airflow_postgres_etl_spark import caching
+
+    caching.release_caches()
+    errors = []
+
+    def work(i):
+        try:
+            for j in range(5):
+                caching.register_cache(spark.range(i * 100 + j, i * 100 + j + 10))
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    with caching._LOCK:
+        n = len(caching._ACTIVE)
+    assert n == 20
+    assert caching.release_caches() == 20
+    with caching._LOCK:
+        assert len(caching._ACTIVE) == 0
