@@ -305,15 +305,20 @@ def lsh_verified_pairs(
     key: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """The production near-dup pipeline: LSH candidate generation (linear,
     equi-join) followed by **exact** Jaccard verification on candidates
     only.  Combines the scale path with the exactness of the all-pairs
     baseline — the pair space is |candidates|, not |docs|².
 
+    ``max_band_size`` reaches the candidate stage's hot-band cap (see
+    :func:`_drop_hot_groups`) so the top-level cleaner can run the capped
+    configuration; ``None`` keeps every band.
+
     Columns: ``doc_a, doc_b, jaccard`` (rounded 6, ≥ threshold).
     """
-    candidates = lsh_candidate_pairs(df, col, key, n)
+    candidates = lsh_candidate_pairs(df, col, key, n, max_band_size)
     # verification joins the CANDIDATE PAIRS back to the per-doc shingle
     # arrays and intersects arrays per pair — never the exploded shingle
     # self-join, whose cost is Σ count(shingle)² over common shingles and

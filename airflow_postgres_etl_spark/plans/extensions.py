@@ -632,6 +632,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # composed plan: LSH candidates → exact verify → min-label components →
 # anti-join the non-representatives away.  Oracle = the same recursive
 # CTE fixpoint; output is per-source keep counts (compact, order-free).
+#
+# The shipped cleaner runs the CAPPED configuration: max_band_size=64 is
+# threaded down to the LSH candidate join's hot-band guard.  Measured
+# band occupancy never exceeds 5 docs at any test SF (dedup_lsh_band_stats:
+# max 4 at sf0.001, 3 at sf0.01, 4-5 at 64x sf0.1 — SCALE.md), so the cap
+# is a no-op here and the oracle needs no exclusion clause; the drop
+# semantics under a forced hot band are pinned by a unit test
+# (tests/test_graph.py).  At 100 TB the cap is the bound that keeps one
+# boilerplate band from stalling the candidate join.
+_PIPELINE_MAX_BAND = 64
 @query(
     "pipeline_near_dedup_corpus",
     f"""
@@ -683,7 +693,7 @@ def pipeline_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.lsh_verified_pairs(docs)
+    pairs = D.lsh_verified_pairs(docs, max_band_size=_PIPELINE_MAX_BAND)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     dropped = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -759,6 +769,60 @@ _SQL_SIMHASH_LONG = " + ".join(
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
         load_table(spark, sf_dir, "documents"), radius=_SIMHASH_NEAR_RADIUS
+    )
+
+
+# The capped variant IS the 100 TB configuration for simhash — the analog
+# of dedup_lsh_pairs_capped, and the fix for the one measured scale cliff
+# on the dedup path: SCALE.md's 64x sweep shows 12-bit pigeonhole blocks
+# SATURATE (candidate pairs superlinear, 434.5M at 320k docs), unlike LSH
+# bands.  Blocks larger than max_block_size are dropped before the
+# candidate join (broadcast anti-join, no extra big shuffle); recall loss
+# is confined to boilerplate-heavy blocks whose members collide on many
+# blocks anyway.  cap=32 bites on THIS corpus (910 vs 6244 pairs at
+# sf0.001; 562 vs 5295 at sf0.01) so the differential pins the drop
+# semantics, not a no-op.  Unlike the uncapped twin the oracle must also
+# reproduce the block construction + exclusion, not just the quadratic
+# hamming definition.
+_SIMHASH_MAX_BLOCK = 32
+_SQL_SIMHASH_BLOCKS_H64 = " UNION ALL ".join(
+    f"SELECT doc_id, h64, {i} AS block_idx, substr(simhash, {pos}, {ln}) AS block_bits FROM s"
+    for i, (pos, ln) in enumerate(D.simhash_blocks(_SIMHASH_NEAR_RADIUS))
+)
+
+
+@query(
+    "dedup_simhash_near_capped",
+    f"""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS tok FROM documents
+    ), h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t
+    ), v AS (
+        SELECT doc_id, {_SQL_SIMHASH_VOTES} FROM h GROUP BY doc_id
+    ), s AS (
+        SELECT doc_id, {_SQL_SIMHASH_CONCAT} AS simhash,
+               CAST({_SQL_SIMHASH_LONG} AS BIGINT) AS h64 FROM v
+    ), blocks AS ({_SQL_SIMHASH_BLOCKS_H64}),
+    kept AS (
+        SELECT b.* FROM blocks b
+        JOIN (SELECT block_idx, block_bits FROM blocks
+              GROUP BY 1, 2 HAVING count(*) <= {_SIMHASH_MAX_BLOCK}) ok
+        USING (block_idx, block_bits)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h64, b.h64)) AS BIGINT) AS hamming
+    FROM kept a
+    JOIN kept b ON a.block_idx = b.block_idx AND a.block_bits = b.block_bits
+                AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h64, b.h64)) <= {_SIMHASH_NEAR_RADIUS}
+    """,
+)
+def dedup_simhash_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"),
+        radius=_SIMHASH_NEAR_RADIUS,
+        max_block_size=_SIMHASH_MAX_BLOCK,
     )
 
 

@@ -180,12 +180,13 @@ def test_capped_lsh_excludes_hot_bands_via_broadcast_anti_join(spark):
     """The skew cap must not add a second big shuffle: the oversized-band
     set is tiny, so its exclusion plans as a broadcast LeftAnti — the
     band table itself shuffles only for the candidate join."""
-    plan = plan_of(spark, "dedup_lsh_pairs_capped")
-    assert "LeftAnti" in plan
-    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
-    assert any("Broadcast" in ln for ln in anti_lines)
-    assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
+    for name in ("dedup_lsh_pairs_capped", "dedup_simhash_near_capped"):
+        plan = plan_of(spark, name)
+        assert "LeftAnti" in plan, name
+        anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert any("Broadcast" in ln for ln in anti_lines), name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_band_stats_are_two_hash_aggregates(spark):

@@ -161,6 +161,27 @@ def test_hot_band_cap_drops_oversized_groups_only(spark):
     assert (0, 1) not in sim_capped
 
 
+def test_verified_pairs_cap_threads_to_candidate_stage(spark):
+    """max_band_size on the top-level verified-pairs cleaner reaches the
+    candidate join's hot-band guard: a forced hot band stops emitting
+    verified pairs while the small true near-dup group still verifies."""
+    from airflow_postgres_etl_spark.operators.dedup import lsh_verified_pairs
+
+    boiler = "subscribe to our newsletter terms of service all rights reserved"
+    pair = "the quiet mountain valley held a hidden waterfall beyond the pines"
+    rows = [(i, boiler) for i in range(10)] + [(100, pair), (101, pair)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {(r.doc_a, r.doc_b) for r in lsh_verified_pairs(df).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_verified_pairs(df, max_band_size=5).collect()
+    }
+    assert capped <= uncapped
+    assert (0, 1) in uncapped
+    assert capped == {(100, 101)}
+
+
 def test_pii_redaction_order_and_placeholders(spark):
     """URL redacts before email (URLs may embed '@'); phone runs last so
     digit spans inside already-redacted matches can't re-match; output is
