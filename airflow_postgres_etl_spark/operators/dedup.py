@@ -503,7 +503,80 @@ def simhash_near_pairs(
 # Incremental dedup against a persisted MinHash index — the ingestion-time
 # shape: new batches dedup against the full historical corpus WITHOUT
 # recomputing or rescanning it.
+#
+# The index is committed through the same single-object-manifest protocol
+# as the keyed sink (storage.py): `_index_manifest.json` names the one
+# live data directory; rebuild/compaction writes a NEW directory and
+# atomically swaps the manifest (conditional PUT on object stores), so
+# readers never see a half-written index and a crash mid-compaction
+# leaves the old index live.  Superseded directories are retired with a
+# timestamp and reclaimed by vacuum_minhash_index after a retention
+# window.  Existence probes go through the manifest (store seam), never
+# os.path — correct on s3://-style paths where a directory listing is not
+# a thing (an injected object-store ManifestStore serves the probe).
 # ---------------------------------------------------------------------------
+
+INDEX_MANIFEST_NAME = "_index_manifest.json"
+
+
+def _index_manifest_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{INDEX_MANIFEST_NAME}"
+
+
+def minhash_index_exists(path: str, store=None) -> bool:
+    """Whether a committed index lives at ``path`` — a manifest probe
+    through the storage seam, NOT a filesystem listing (os.path.isdir is
+    always False on non-local URIs, which would silently turn every
+    streaming micro-batch into a full index rebuild)."""
+    from ..storage import LOCAL_STORE
+
+    return (store or LOCAL_STORE).read_json(_index_manifest_path(path)) is not None
+
+
+def _index_data_dir(path: str, store) -> str:
+    manifest = store.read_json(_index_manifest_path(path))
+    if manifest is None:
+        raise FileNotFoundError(f"no MinHash index committed at {path}")
+    return f"{path.rstrip('/')}/{manifest['data_dir']}"
+
+
+def read_minhash_index(spark, path: str, store=None):
+    """The committed index snapshot (band table + shingles), resolved
+    through the manifest — the only supported read path."""
+    from ..storage import LOCAL_STORE
+
+    return spark.read.parquet(_index_data_dir(path, store or LOCAL_STORE))
+
+
+def _commit_index_dir(
+    path: str, new_dir: str, store, *, expected_manifest: dict | None
+) -> None:
+    """Swap the manifest to ``new_dir``, retiring the previous data dir
+    (if any) with a retirement timestamp.  Retirement times are the
+    committing writer's clock — with multiple writers on shared storage,
+    skew can shorten the effective retention window (same caveat as the
+    keyed sink's retired list)."""
+    import time
+
+    if expected_manifest is None:
+        manifest = {"version": 1, "data_dir": new_dir, "retired": []}
+        store.replace_if_version(
+            _index_manifest_path(path), manifest, expected_version=None
+        )
+        return
+    retired = list(expected_manifest.get("retired", [])) + [
+        {"dir": expected_manifest["data_dir"], "ts": time.time()}
+    ]
+    manifest = {
+        "version": expected_manifest["version"] + 1,
+        "data_dir": new_dir,
+        "retired": retired,
+    }
+    store.replace_if_version(
+        _index_manifest_path(path),
+        manifest,
+        expected_version=expected_manifest["version"],
+    )
 
 
 def build_minhash_index(
@@ -513,20 +586,35 @@ def build_minhash_index(
     key: str = "doc_id",
     n: int = 3,
     max_band_size: int | None = None,
+    store=None,
 ) -> None:
     """Materialize the LSH band table for a corpus: one row per
     (band_idx, band_key, doc) plus the doc's shingle array for exact
     verification.  At 100 TB this table is the dedup INDEX — computed once
     per corpus, partitioned by band for pruned candidate joins.
 
+    The data lands in a fresh uniquely-named directory and becomes
+    visible only when the manifest swap commits it; rebuilding over an
+    existing index retires the old directory (reclaimed by
+    :func:`vacuum_minhash_index` after retention) instead of overwriting
+    it in place.
+
     ``max_band_size`` applies the hot-band cap at BUILD time (see
     :func:`_drop_hot_groups`): an oversized boilerplate band in the index
     would otherwise blow up *every* incremental batch that touches it —
     capping once here bounds every future :func:`dedup_against_index`
     join, with no per-batch cost."""
+    import uuid
+
+    from ..storage import LOCAL_STORE
+
+    store = store or LOCAL_STORE
+    current = store.read_json(_index_manifest_path(path))
+    new_dir = f"data-{uuid.uuid4().hex[:12]}"
     _index_frame(df, col, key, n, max_band_size).write.mode(
         "overwrite"
-    ).partitionBy("band_idx").parquet(path)
+    ).partitionBy("band_idx").parquet(f"{path.rstrip('/')}/{new_dir}")
+    _commit_index_dir(path, new_dir, store, expected_manifest=current)
 
 
 def append_to_minhash_index(
@@ -536,15 +624,86 @@ def append_to_minhash_index(
     key: str = "doc_id",
     n: int = 3,
     max_band_size: int | None = None,
+    store=None,
 ) -> None:
-    """Append a batch's band rows to an existing index — the
-    accepted-documents side of streaming ingest.  ``max_band_size`` caps
-    within THIS batch only; cumulative growth of a band across appends is
-    bounded by re-running :func:`build_minhash_index` periodically (index
-    compaction), the same rhythm as vacuum."""
+    """Append a batch's band rows into the committed data directory — the
+    accepted-documents side of streaming ingest.  Appends are visible on
+    the next directory listing without a manifest bump (single-writer
+    streams; the manifest swap protects REPLACEMENT, which appends never
+    do).  ``max_band_size`` caps within THIS batch only; cumulative
+    growth of a band across appends is bounded by
+    :func:`compact_minhash_index`, the same rhythm as vacuum."""
+    from ..storage import LOCAL_STORE
+
+    data_dir = _index_data_dir(path, store or LOCAL_STORE)
     _index_frame(df, col, key, n, max_band_size).write.mode(
         "append"
-    ).partitionBy("band_idx").parquet(path)
+    ).partitionBy("band_idx").parquet(data_dir)
+
+
+def compact_minhash_index(
+    spark,
+    index_path: str,
+    corpus_path: str,
+    col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    max_band_size: int | None = None,
+    store=None,
+) -> None:
+    """Rebuild the index from the ACCEPTED corpus and atomically swap it
+    in — the compaction the streaming ingest docstring promises.
+
+    Appends grow a band's row set monotonically: a band capped away at
+    build time can re-grow past the cap batch-by-batch (each append caps
+    only within itself), and tombstoned/rewritten corpus docs linger in
+    the band table forever.  Compacting re-derives the whole band table
+    from the current accepted corpus with ``max_band_size`` re-applied
+    globally, writes it to a fresh directory, and commits via the
+    manifest swap — concurrent readers keep the old snapshot (retired
+    under retention), a concurrent compactor loses the conditional PUT
+    and raises ConcurrentWriteError instead of clobbering."""
+    corpus = spark.read.parquet(corpus_path)
+    build_minhash_index(
+        corpus, index_path, col, key, n, max_band_size, store=store
+    )
+
+
+def vacuum_minhash_index(
+    path: str, retention_s: float | None = None, store=None
+) -> int:
+    """Delete retired index directories older than ``retention_s``
+    (default: the sink's DEFAULT_RETENTION_S reader-safety window) and
+    prune them from the manifest.  Returns the number of directories
+    removed.  Pass ``retention_s=0`` only where no concurrent readers
+    exist (tests, single-process pipelines)."""
+    import shutil
+    import time
+
+    from ..sink import DEFAULT_RETENTION_S
+    from ..storage import LOCAL_STORE
+
+    store = store or LOCAL_STORE
+    if retention_s is None:
+        retention_s = DEFAULT_RETENTION_S
+    manifest = store.read_json(_index_manifest_path(path))
+    if manifest is None:
+        return 0
+    now = time.time()
+    keep, removed = [], 0
+    for entry in manifest.get("retired", []):
+        if now - entry["ts"] >= retention_s:
+            shutil.rmtree(f"{path.rstrip('/')}/{entry['dir']}", ignore_errors=True)
+            removed += 1
+        else:
+            keep.append(entry)
+    if removed:
+        store.replace_if_version(
+            _index_manifest_path(path),
+            {**manifest, "version": manifest["version"] + 1, "retired": keep},
+            expected_version=manifest["version"],
+        )
+    return removed
 
 
 def _index_frame(
@@ -576,7 +735,7 @@ def dedup_against_index(
     re-shingled or re-scanned beyond the matched bands.
     """
     spark = batch.sparkSession
-    index = spark.read.parquet(index_path)
+    index = read_minhash_index(spark, index_path)
     new_bands = _band_table(minhash_signatures(batch, col, key, n), key)
     sh = _doc_shingles(batch, col, key, n)
     candidates = (

@@ -365,21 +365,39 @@ def embedding_near_dup_ivf(
 # ---------------------------------------------------------------------------
 
 
+IVF_META_NAME = "_ivf_meta.json"
+
+#: default drift guard: once appended vectors exceed this fraction of the
+#: index, the quantizer is stale enough to re-train (appends only ASSIGN
+#: to existing centroids; they never move them, so a distribution shift
+#: in the appended stream degrades recall until a rebuild re-centers the
+#: cells).
+IVF_MAX_APPENDED_FRACTION = 0.2
+
+
+def _ivf_meta_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{IVF_META_NAME}"
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,
     n_cells: int = N_IVF_CELLS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    store=None,
 ) -> None:
     """Materialize the IVF index: vectors with precomputed norms,
     partitioned by assigned ``cell`` (``<path>/vectors``), plus the tiny
-    centroid table (``<path>/centroids``).
+    centroid table (``<path>/centroids``) and a meta object recording the
+    base size (the denominator of the append-drift guard).
 
     The cell partitioning is what makes queries cheap at 100 TB: a probe
     touches only its cells' files (dynamic partition pruning on the cell
     equi-join), ~probes/n_cells of the corpus; norms are paid once at
     build instead of per query."""
+    from ..storage import LOCAL_STORE
+
     cent = _centroids(emb, n_cells, id_col, vec_col)
     cent.select(
         "c_id", F.col("__cvv").alias("cvec"), F.col("__cnorm").alias("cnorm")
@@ -396,6 +414,93 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
     )
+    (store or LOCAL_STORE).write_json(
+        _ivf_meta_path(path),
+        {"n_cells": n_cells, "n_base": emb.count(), "n_appended": 0},
+    )
+
+
+def append_to_ivf_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    store=None,
+) -> None:
+    """Assign a batch of new vectors to the EXISTING centroids and append
+    them into the cell-partitioned store — continuous embedding ingest
+    without a corpus rebuild.
+
+    Same assignment rule as :func:`ivf_cells` (argmax over (csim, c_id)
+    structs), so for an unchanged quantizer the post-append index answers
+    queries exactly as an in-memory build over the union corpus would
+    (pinned by test).  Cost is batch × n_cells — the corpus never moves.
+    The quantizer itself is FROZEN by appends; the meta counter feeds
+    :func:`maybe_refresh_ivf_index`, which re-trains once appended mass
+    makes the frozen centroids stale."""
+    from ..storage import LOCAL_STORE
+
+    store = store or LOCAL_STORE
+    spark = new_vecs.sparkSession
+    meta = store.read_json(_ivf_meta_path(path))
+    if meta is None:
+        raise FileNotFoundError(f"no IVF index committed at {path}")
+    cent = spark.read.parquet(f"{path}/centroids").select(
+        "c_id", F.col("cvec").alias("__cvv"), F.col("cnorm").alias("__cnorm")
+    )
+    sims = _centroid_sims(new_vecs, cent, vec_col)
+    best = sims.groupBy(id_col).agg(
+        F.max(F.struct(F.col("csim"), F.col("c_id"))).alias("__best")
+    )
+    assigned = (
+        new_vecs.join(best, id_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm_expr(F.col(vec_col)).alias("vnorm"),
+            F.col("__best.c_id").alias("cell"),
+        )
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+    store.write_json(
+        _ivf_meta_path(path),
+        {**meta, "n_appended": meta["n_appended"] + new_vecs.count()},
+    )
+
+
+def ivf_appended_fraction(path: str, store=None) -> float:
+    """Fraction of the index that arrived by append since the last
+    (re)build — the staleness signal of the frozen quantizer."""
+    from ..storage import LOCAL_STORE
+
+    meta = (store or LOCAL_STORE).read_json(_ivf_meta_path(path))
+    if meta is None:
+        raise FileNotFoundError(f"no IVF index committed at {path}")
+    total = meta["n_base"] + meta["n_appended"]
+    return meta["n_appended"] / total if total else 0.0
+
+
+def maybe_refresh_ivf_index(
+    emb: DataFrame,
+    path: str,
+    max_appended_fraction: float = IVF_MAX_APPENDED_FRACTION,
+    n_cells: int = N_IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    store=None,
+) -> bool:
+    """Drift guard: when the appended fraction exceeds the threshold,
+    re-train the quantizer by rebuilding the index from ``emb`` (the
+    caller's full current corpus — source-of-truth table plus appended
+    batches; rebuilding from the index's own files would be a
+    read-modify-write on the path being overwritten).  Returns True if a
+    rebuild happened.  Re-run the recall gate (tests/test_ann_recall.py)
+    after refresh — the gate, not this guard, is what certifies the new
+    quantizer."""
+    if ivf_appended_fraction(path, store) <= max_appended_fraction:
+        return False
+    build_ivf_index(emb, path, n_cells, id_col, vec_col, store=store)
+    return True
 
 
 def knn_against_index(

@@ -45,6 +45,11 @@ class LocalManifestStore:
         with open(path) as fh:
             return json.load(fh)
 
+    def exists(self, path: str) -> bool:
+        """Whether a data object exists at ``path`` — the probe the sink's
+        retiree carry-forward uses (HEAD on an object store)."""
+        return os.path.exists(path)
+
     def write_json(self, path: str, obj: dict) -> None:
         """Unconditional durable write (used for the immutable spec)."""
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -90,6 +95,11 @@ class FakeConditionalStore:
     def read_json(self, path: str) -> dict | None:
         obj = self.objects.get(path)
         return json.loads(json.dumps(obj)) if obj is not None else None
+
+    def exists(self, path: str) -> bool:
+        # commit objects live in this store; Spark-written DATA files live
+        # on the real filesystem even when the commit seam is faked
+        return path in self.objects or os.path.exists(path)
 
     def write_json(self, path: str, obj: dict) -> None:
         self.objects[path] = json.loads(json.dumps(obj))

@@ -20,14 +20,15 @@ at-least-once.)
 At 100 TB: per-batch cost is the batch's own shingling plus a
 band-partition-pruned join against the index (see
 ``dedup_against_index``); the accepted corpus is never re-scanned.
-Index bands grow monotonically — re-run ``build_minhash_index`` over the
-accepted corpus periodically (compaction) to re-apply the hot-band cap
-and drop tombstoned docs.
+Index bands grow monotonically across appends — run
+``compact_minhash_index`` (over the accepted corpus) periodically to
+re-apply the hot-band cap and drop tombstoned docs, and
+``vacuum_minhash_index`` to reclaim the retired directories; both
+commit through the same manifest swap the readers resolve, so
+compaction is safe under concurrent micro-batches' readers.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,22 +40,28 @@ from ..operators.dedup import (
     dedup_against_index,
     exact_dedup,
     lsh_verified_pairs,
+    minhash_index_exists,
 )
 
 DOC_SCHEMA = "doc_id long, text string"
 
 
-def self_dedup(batch: DataFrame, threshold: float = 0.5) -> DataFrame:
+def self_dedup(
+    batch: DataFrame,
+    threshold: float = 0.5,
+    max_band_size: int | None = None,
+) -> DataFrame:
     """In-batch dedup: exact content dedup (keep min id), then drop every
     doc that LSH-verified-near-dups a LOWER id in the same batch.
 
     Greedy by id: in a similarity chain a<b<c with pairs (a,b),(b,c),
     both b and c are dropped even if (a,c) alone wouldn't qualify —
     conservative over-dropping, never under-dropping, and deterministic
-    without an iterative clustering pass per micro-batch."""
+    without an iterative clustering pass per micro-batch.
+    ``max_band_size`` reaches the LSH candidate join's hot-band guard."""
     b = exact_dedup(batch)
     drop = (
-        lsh_verified_pairs(b, threshold=threshold)
+        lsh_verified_pairs(b, threshold=threshold, max_band_size=max_band_size)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -70,10 +77,17 @@ def stream_dedup_ingest(
     *,
     threshold: float = 0.5,
     max_files_per_trigger: int = 10,
+    max_band_size: int | None = None,
 ) -> StreamingQuery:
     """Continuous dedup ingest: parquet file stream of (doc_id, text) →
     in-batch dedup → dedup against the persisted index → append survivors
     to the index, then the corpus (order = at-most-once, see module doc).
+
+    The build-vs-append decision probes the index MANIFEST through the
+    storage seam (``minhash_index_exists``), never the filesystem: an
+    ``os.path.isdir`` probe is always False on s3://-style paths, which
+    would rebuild (mode=overwrite) the index every micro-batch and
+    silently re-admit near-duplicates across batches.
     """
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
@@ -82,8 +96,8 @@ def stream_dedup_ingest(
     )
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        survivors = self_dedup(batch, threshold)
-        had_index = os.path.isdir(index_path)
+        survivors = self_dedup(batch, threshold, max_band_size)
+        had_index = minhash_index_exists(index_path)
         if had_index:
             survivors = dedup_against_index(
                 survivors, index_path, threshold=threshold
@@ -101,9 +115,13 @@ def stream_dedup_ingest(
         try:
             if survivors.take(1):
                 if had_index:
-                    append_to_minhash_index(survivors, index_path)
+                    append_to_minhash_index(
+                        survivors, index_path, max_band_size=max_band_size
+                    )
                 else:
-                    build_minhash_index(survivors, index_path)
+                    build_minhash_index(
+                        survivors, index_path, max_band_size=max_band_size
+                    )
                 survivors.write.mode("append").parquet(corpus_out)
         finally:
             survivors.unpersist()

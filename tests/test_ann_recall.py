@@ -78,3 +78,85 @@ def test_persisted_ivf_index_matches_in_memory_ann(spark, tmp_path):
         for r in S.knn_ivf_centroids(emb, query_ids, k=10).collect()
     }
     assert from_index == in_memory and len(from_index) == 20 * 10
+
+
+def test_append_to_ivf_index_matches_union_build(spark, tmp_path):
+    """Appending a batch to a persisted IVF index (frozen quantizer)
+    answers queries EXACTLY as an in-memory IVF over the union corpus:
+    appended ids are all ≥ n_cells, so the sampled centroids — and hence
+    every assignment — are identical in both constructions."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base, batch = emb.filter(emb.vec_id < 400), emb.filter(emb.vec_id >= 400)
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(base, idx)
+    S.append_to_ivf_index(batch, idx)
+
+    query_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(15).collect()]
+    queries = emb.filter(emb.vec_id.isin(query_ids))
+    from_index = {
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in S.knn_against_index(queries, idx, k=10).collect()
+    }
+    union_mem = {
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in S.knn_ivf_centroids(emb, query_ids, k=10).collect()
+    }
+    assert from_index == union_mem and len(from_index) == 15 * 10
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="sf0.1 testdata absent")
+def test_recall_gate_holds_after_append(spark, tmp_path):
+    """The quality gate re-run the refresh contract demands: recall@10 of
+    the POST-APPEND index (10% of the corpus appended onto a frozen
+    quantizer — inside the drift threshold) stays ≥ 0.9 against exact
+    brute force over the full corpus."""
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    try:
+        n = emb.count()
+        cut = int(n * 0.9)
+        idx = str(tmp_path / "ivf")
+        S.build_ivf_index(emb.filter(emb.vec_id < cut), idx)
+        S.append_to_ivf_index(emb.filter(emb.vec_id >= cut), idx)
+        assert 0.0 < S.ivf_appended_fraction(idx) <= S.IVF_MAX_APPENDED_FRACTION
+
+        query_ids = [
+            r.vec_id
+            for r in emb.select("vec_id").orderBy("vec_id").limit(N_QUERIES).collect()
+        ]
+        queries = emb.filter(emb.vec_id.isin(query_ids))
+
+        def topk(df):
+            out: dict[int, set[int]] = {}
+            for r in df.collect():
+                out.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return out
+
+        exact = topk(S.knn_brute_force(emb, query_ids, k=K))
+        approx = topk(S.knn_against_index(queries, idx, k=K))
+        recall = sum(len(exact[q] & approx.get(q, set())) for q in exact) / sum(
+            len(exact[q]) for q in exact
+        )
+        assert recall >= 0.9, f"post-append recall@{K} degraded to {recall:.3f}"
+    finally:
+        emb.unpersist()
+
+
+def test_ivf_drift_guard_triggers_rebuild(spark, tmp_path):
+    """maybe_refresh_ivf_index: no-op at or under the appended-fraction
+    threshold, rebuilds (and zeroes the counter) above it."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base, batch = emb.filter(emb.vec_id < 400), emb.filter(emb.vec_id >= 400)
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(base, idx)
+    S.append_to_ivf_index(batch, idx)
+    assert S.ivf_appended_fraction(idx) == pytest.approx(100 / 500)
+
+    # at the default threshold (0.2): 0.2 <= 0.2 -> frozen quantizer kept
+    assert S.maybe_refresh_ivf_index(emb, idx) is False
+    assert S.ivf_appended_fraction(idx) == pytest.approx(100 / 500)
+
+    # tighter threshold: rebuild fires, counter resets, index re-answers
+    assert S.maybe_refresh_ivf_index(emb, idx, max_appended_fraction=0.1) is True
+    assert S.ivf_appended_fraction(idx) == 0.0
+    queries = emb.filter(emb.vec_id < 5)
+    assert S.knn_against_index(queries, idx, k=5).count() == 5 * 5

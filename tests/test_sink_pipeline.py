@@ -654,7 +654,11 @@ def test_concurrent_writer_is_detected(spark, tmp_path, monkeypatch):
     # no visible trace, and its files are vacuumable orphans
     got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
     assert got == {("a", 1), ("b", 2)}
-    assert vacuum_keyed_table(target) > 0
+    # retention_s=0: single-process test, no concurrent writers — the
+    # default (DEFAULT_RETENTION_S) would correctly REFUSE to collect
+    # these fresh orphans, since a fresh orphan may be a concurrent
+    # writer's in-flight merge data
+    assert vacuum_keyed_table(target, retention_s=0) > 0
 
 
 def test_legacy_unmanifested_layout_is_adopted(spark, tmp_path):

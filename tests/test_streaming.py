@@ -200,7 +200,12 @@ def test_stream_dedup_ingest_drops_cross_batch_near_dups(spark, tmp_path):
     assert got2 == {1, 2, 11}  # 10 dropped against the index
 
     # the index covers exactly the accepted corpus
-    indexed = {r.doc_id for r in spark.read.parquet(idx).select("doc_id").distinct().collect()}
+    from airflow_postgres_etl_spark.operators.dedup import read_minhash_index
+
+    indexed = {
+        r.doc_id
+        for r in read_minhash_index(spark, idx).select("doc_id").distinct().collect()
+    }
     assert indexed == {1, 2, 11}
 
     # restart with no new files: nothing appended anywhere
