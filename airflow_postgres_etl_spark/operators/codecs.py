@@ -1,14 +1,17 @@
-"""Dependency-free raster codec: 24-bit uncompressed BMP (BI_RGB).
+"""Dependency-free media codecs: 24-bit uncompressed BMP (BI_RGB) and
+16-bit PCM WAV (RIFF/WAVE).
 
-The multimodal operators need ONE real codec so the ``use_real_codecs``
+The multimodal operators need real codecs so the ``use_real_codecs``
 branch — decode → resample → re-encode inside ``mapInPandas`` — is
-executable and testable in an environment with no PIL/av/soundfile.  BMP
-is the honest choice: the format is a public, fixed-layout spec (14-byte
-BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER + bottom-up BGR rows padded
-to 4 bytes), decodable with ``struct`` + numpy slicing, no compression,
-no entropy coding.  A production deployment swaps these three functions
-for PIL/libav calls; every Spark-side contract (binary in/out, Arrow
-batching, schema, no shuffle) is identical.
+executable and testable in an environment with no PIL/av/soundfile.
+BMP and canonical PCM WAV are the honest choices: both are public,
+fixed-layout specs (BMP: 14-byte BITMAPFILEHEADER + 40-byte
+BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes; WAV: 12-byte
+RIFF header + ``fmt `` chunk + ``data`` chunk of little-endian int16
+frames), decodable with ``struct`` + numpy slicing, no compression, no
+entropy coding.  A production deployment swaps these functions for
+PIL/libav/soundfile calls; every Spark-side contract (binary in/out,
+Arrow batching, schema, no shuffle) is identical.
 
 All functions are deterministic: same bytes in, same bytes out, on every
 executor — which is what lets the DuckDB oracle pin the real-decode
@@ -91,3 +94,90 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     yy = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
     xx = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
     return pixels[yy[:, None], xx[None, :]]
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE, 16-bit PCM) — the audio modality through the same
+# contract: encode/decode/resample, strict on the canonical subset.
+# ---------------------------------------------------------------------------
+
+_RIFF_HEADER = struct.Struct("<4sI4s")  # 'RIFF', riff size, 'WAVE'
+_CHUNK_HEADER = struct.Struct("<4sI")  # chunk id, chunk size
+_FMT_PCM16 = struct.Struct("<HHIIHH")  # fmt, channels, rate, byte rate, align, bits
+WAV_HEADERS_LEN = 12 + 8 + 16 + 8  # RIFF + 'fmt ' chunk + 'data' chunk header = 44
+
+
+def wav_size(n_samples: int, n_channels: int = 1) -> int:
+    """Exact encoded size of canonical PCM16 WAV — the arithmetic the
+    oracles reproduce: 44 header bytes + 2 bytes per sample per channel."""
+    return WAV_HEADERS_LEN + 2 * n_samples * n_channels
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (N,) or (N, channels) int16 array as canonical PCM16 WAV
+    (RIFF → ``fmt `` → ``data``, no extension chunks)."""
+    if samples.dtype != np.int16 or samples.ndim not in (1, 2):
+        raise ValueError(
+            f"expected (N,) or (N, ch) int16 array, got {samples.shape} {samples.dtype}"
+        )
+    frames = samples.reshape(len(samples), -1)
+    n_ch = frames.shape[1]
+    data = np.ascontiguousarray(frames).tobytes()  # interleaved LE int16
+    fmt = _FMT_PCM16.pack(1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16)
+    return (
+        _RIFF_HEADER.pack(b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + _CHUNK_HEADER.pack(b"fmt ", len(fmt))
+        + fmt
+        + _CHUNK_HEADER.pack(b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM16 WAV into ((N, channels) int16 array, sample_rate).
+
+    Walks the RIFF chunk list (skipping unknown chunks, as real encoders
+    emit LIST/INFO/fact chunks) but is strict about the sample format:
+    only uncompressed 16-bit PCM decodes; anything else raises
+    ``ValueError`` — a decoder that silently mis-reads bytes is worse
+    than one that refuses them.
+    """
+    if len(data) < 12:
+        raise ValueError("truncated WAV: missing RIFF header")
+    magic, _riff_size, wave = _RIFF_HEADER.unpack_from(data, 0)
+    if magic != b"RIFF" or wave != b"WAVE":
+        raise ValueError(f"not a WAV (magic {magic!r}/{wave!r})")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, csize = _CHUNK_HEADER.unpack_from(data, pos)
+        body = data[pos + 8 : pos + 8 + csize]
+        if len(body) < csize:
+            raise ValueError(f"truncated WAV: chunk {cid!r} short")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("unsupported WAV: fmt chunk too short")
+            fmt = _FMT_PCM16.unpack_from(body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + csize + (csize & 1)  # RIFF chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("truncated WAV: missing fmt or data chunk")
+    audio_format, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (format={audio_format}, bits={bits})")
+    if n_ch < 1:
+        raise ValueError(f"bad channel count {n_ch}")
+    frames = np.frombuffer(pcm, dtype="<i2", count=len(pcm) // (2 * n_ch) * n_ch)
+    return frames.reshape(-1, n_ch).copy(), rate
+
+
+def resample_nearest_audio(
+    samples: np.ndarray, src_rate: int, dst_rate: int
+) -> np.ndarray:
+    """Nearest-neighbor (sample-and-hold) resample of (N, channels) int16
+    frames — the same sample-center index mapping as :func:`resize_nearest`,
+    in one dimension.  Output length = floor(N * dst / src)."""
+    n = len(samples)
+    n_out = n * dst_rate // src_rate
+    idx = np.minimum(((np.arange(n_out) + 0.5) * n / n_out).astype(np.int64), n - 1)
+    return samples[idx]

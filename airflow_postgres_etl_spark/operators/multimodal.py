@@ -247,6 +247,121 @@ def resize_media(
     return df.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Audio modality — the same mapInPandas binary contract through the
+# dependency-free PCM16 WAV codec (codecs.py), making "multimodal" plural:
+# attach fixture → decode → resample → re-encode → re-decode stats, every
+# derived quantity reproducible in the DuckDB oracle from doc_id alone
+# while the payload is a genuine RIFF/WAVE stream the decoder must parse.
+# ---------------------------------------------------------------------------
+
+#: fixture sample rate; resample targets divide it exactly in the oracles
+AUDIO_FIXTURE_RATE = 8000
+
+
+def attach_wav_payload(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic WAV payload per document — the fixture for
+    the real-audio branch.  Mono PCM16 at AUDIO_FIXTURE_RATE,
+    ``64 + id % 97`` samples, constant amplitude taken from the first two
+    bytes of ``md5(str(id))`` shifted into int16 — so sample count,
+    encoded size, and mean amplitude are all reproducible in the DuckDB
+    oracle from ``doc_id`` alone."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[key]:
+                did = int(did)
+                n = 64 + did % 97
+                amp = (
+                    int.from_bytes(hashlib.md5(str(did).encode()).digest()[:2], "big")
+                    - 32768
+                )
+                samples = np.full(n, amp, dtype=np.int16)
+                payloads.append(codecs.encode_wav(samples, AUDIO_FIXTURE_RATE))
+            yield pd.DataFrame({key: pdf[key], "payload": payloads})
+
+    return docs.select(key).mapInPandas(run, f"{key} long, payload binary")
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("mean_amp", T.LongType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Real-decode audio statistics: byte size, rate, frame count,
+    channel count, and rounded mean amplitude, all parsed from the WAV
+    payload.  A payload the decoder rejects raises — corrupt-input policy
+    belongs in the caller, not a silently-null decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                frames, rate = codecs.decode_wav(raw)
+                rows.append(
+                    (
+                        int(did),
+                        len(raw),
+                        rate,
+                        frames.shape[0],
+                        frames.shape[1],
+                        int(round(float(frames.mean()))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "sample_rate", "n_samples", "n_channels", "mean_amp",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+RESAMPLED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
+    """The genuine audio chain — decode → nearest-neighbor resample →
+    re-encode — inside one ``mapInPandas`` iterator: binary in, binary
+    out, Arrow-batched, no shuffle (the same contract as the raster
+    ``resize_media`` real path; a production build swaps the codec for
+    libav/soundfile)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, rate = codecs.decode_wav(bytes(payload))
+                out = codecs.resample_nearest_audio(frames, rate, target_rate)
+                enc = codecs.encode_wav(out, target_rate)
+                rows.append((int(did), enc, target_rate, out.shape[0], len(enc)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "payload", "sample_rate", "n_samples", "n_bytes"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESAMPLED_AUDIO_SCHEMA)
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

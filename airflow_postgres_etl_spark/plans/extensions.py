@@ -2615,6 +2615,64 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_pixel_stats(resized).orderBy("doc_id")
 
 
+# AUDIO modality through the REAL PCM16 WAV codec (operators/codecs.py):
+# synthetic per-doc mono WAVs — 64+id%97 samples at 8 kHz, constant
+# amplitude md5(str(id))[:2]-32768 — genuinely parsed by the RIFF chunk
+# walker; the oracle reproduces the header arithmetic (44 canonical
+# header bytes + 2 bytes/sample) and the md5-derived amplitude from
+# doc_id alone.
+@query(
+    "multimodal_audio_decode",
+    """
+    SELECT doc_id,
+           CAST(44 + 2 * (64 + doc_id % 97) AS BIGINT) AS n_bytes,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(64 + doc_id % 97 AS BIGINT) AS n_samples,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) - 32768
+               AS mean_amp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_wav_payload, extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(attach_wav_payload(docs)).orderBy("doc_id")
+
+
+# The full audio chain — encode → decode → nearest-neighbor resample
+# (8 kHz → 4 kHz, sample-and-hold) → re-encode → re-decode — with content
+# verification: the constant amplitude must survive to the mean of the
+# re-decoded stream.  n_out = floor(n/2); constant fill makes the mean
+# exact.
+@query(
+    "multimodal_audio_resample",
+    """
+    SELECT doc_id,
+           CAST(44 + 2 * ((64 + doc_id % 97) // 2) AS BIGINT) AS n_bytes,
+           CAST(4000 AS BIGINT) AS sample_rate,
+           CAST((64 + doc_id % 97) // 2 AS BIGINT) AS n_samples,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) - 32768
+               AS mean_amp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_wav_payload,
+        extract_audio_features,
+        resample_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    resampled = resample_audio(attach_wav_payload(docs), 4000)
+    return extract_audio_features(resampled).orderBy("doc_id")
+
+
 # Real IVF ANN: geometric coarse quantizer (sampled centroids, inlined as
 # plan literals) + multi-probe.  The label-cell variant above answers
 # "nearest within my class"; THIS is the global-ANN scale path, and its

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 from airflow_postgres_etl_spark.operators.multimodal import (
     HAVE_CODECS,
     attach_payload,
@@ -168,3 +170,99 @@ def test_real_decode_resize_chain(spark):
         assert (r.width, r.height) == (16, 16)
         assert r.n_bytes == codecs.bmp_size(16, 16) == 822
         assert (r.mean_r, r.mean_g, r.mean_b) == tuple(int(c) for c in color)
+
+
+def test_wav_codec_roundtrip_and_rejects_corruption():
+    """Pure-codec properties: encode→decode is the identity on samples
+    and rate (mono and stereo), chunk walking skips unknown chunks, and
+    corrupt/unsupported inputs raise instead of mis-decoding."""
+    import pytest
+
+    from airflow_postgres_etl_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-32768, 32767, size=100, dtype=np.int16)
+    data = codecs.encode_wav(mono, 8000)
+    assert len(data) == codecs.wav_size(100) == 44 + 200
+    frames, rate = codecs.decode_wav(data)
+    assert rate == 8000 and frames.shape == (100, 1)
+    assert (frames[:, 0] == mono).all()
+
+    stereo = rng.integers(-32768, 32767, size=(50, 2), dtype=np.int16)
+    frames2, rate2 = codecs.decode_wav(codecs.encode_wav(stereo, 44100))
+    assert rate2 == 44100 and frames2.shape == (50, 2) and (frames2 == stereo).all()
+
+    # unknown chunks between fmt and data are skipped (real encoders emit
+    # LIST/fact chunks), including odd-sized ones (word-aligned padding)
+    d = codecs.encode_wav(mono, 8000)
+    fmt_chunk = d[12:36]
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    patched = d[:12] + fmt_chunk + extra + d[36:]
+    frames3, _ = codecs.decode_wav(patched)
+    assert (frames3[:, 0] == mono).all()
+
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"RIFF")  # truncated
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"JUNK" + data[4:])  # bad magic
+    with pytest.raises(ValueError):
+        codecs.decode_wav(data[:40])  # missing data chunk
+    # 8-bit PCM refused, not mis-read
+    bad_fmt = bytearray(data)
+    bad_fmt[34] = 8
+    with pytest.raises(ValueError):
+        codecs.decode_wav(bytes(bad_fmt))
+    with pytest.raises(ValueError):
+        codecs.encode_wav(mono.astype(np.int32), 8000)
+
+
+def test_wav_resample_arithmetic():
+    """Nearest-neighbor resample: exact output length floor(n*dst/src),
+    sample-and-hold picks, identity at equal rates, upsampling repeats."""
+    from airflow_postgres_etl_spark.operators import codecs
+
+    ramp = np.arange(10, dtype=np.int16).reshape(-1, 1)
+    down = codecs.resample_nearest_audio(ramp, 8000, 4000)
+    assert down.shape == (5, 1)
+    # centers 0.5,1.5,2.5,3.5,4.5 of 5 map to src 1,3,5,7,9
+    assert down[:, 0].tolist() == [1, 3, 5, 7, 9]
+    same = codecs.resample_nearest_audio(ramp, 8000, 8000)
+    assert (same == ramp).all()
+    up = codecs.resample_nearest_audio(ramp, 4000, 8000)
+    assert up.shape == (20, 1)
+    assert up[:, 0].tolist() == sorted([i for i in range(10)] * 2)
+
+
+def test_real_audio_chain(spark):
+    """Spark-side chain over genuine WAV payloads: attach → decode →
+    resample 8k→4k → re-encode → re-decode; every quantity matches the
+    fixture arithmetic, and the constant amplitude survives the chain."""
+    import hashlib as _hl
+
+    from airflow_postgres_etl_spark.operators import codecs
+    from airflow_postgres_etl_spark.operators.multimodal import (
+        attach_wav_payload,
+        extract_audio_features,
+        resample_audio,
+    )
+
+    docs = spark.range(25).withColumnRenamed("id", "doc_id")
+    wav = attach_wav_payload(docs)
+
+    feats = {r.doc_id: r for r in extract_audio_features(wav).collect()}
+    for i in range(25):
+        n = 64 + i % 97
+        amp = int.from_bytes(_hl.md5(str(i).encode()).digest()[:2], "big") - 32768
+        f = feats[i]
+        assert (f.n_samples, f.sample_rate, f.n_channels) == (n, 8000, 1)
+        assert f.n_bytes == codecs.wav_size(n)
+        assert f.mean_amp == amp
+
+    out = {r.doc_id: r for r in extract_audio_features(resample_audio(wav, 4000)).collect()}
+    for i in range(25):
+        n_out = (64 + i % 97) // 2
+        amp = int.from_bytes(_hl.md5(str(i).encode()).digest()[:2], "big") - 32768
+        r = out[i]
+        assert (r.n_samples, r.sample_rate) == (n_out, 4000)
+        assert r.n_bytes == codecs.wav_size(n_out)
+        assert r.mean_amp == amp
