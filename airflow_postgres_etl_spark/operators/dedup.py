@@ -291,8 +291,16 @@ def lsh_candidate_pairs(
     b = exploded.select(
         F.col(key).alias("doc_b"), "band_idx", "band_key"
     )
+    # merge hint: the band self-join must NEVER broadcast.  Both sides are
+    # corpus-sized; when the table is cached (the capped path), its
+    # columnar-cache size estimate undercounts the row-format broadcast
+    # footprint ~20×, so mid-size corpora sneak under the auto-broadcast
+    # threshold and the materialized HashedRelation is a ~GiB driver
+    # allocation (measured: 64×-sf0.1, 1.28M band rows — killed an 8g
+    # driver; sort-merge runs it in seconds).  At 100 TB broadcast is
+    # equally wrong; SMJ shuffles both sides once on the band key.
     return (
-        a.join(b, ["band_idx", "band_key"])
+        a.join(b.hint("merge"), ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -330,9 +338,16 @@ def lsh_verified_pairs(
     b = sh.select(F.col(key).alias("doc_b"), F.col("__sh").alias("__shb"))
     shared = F.size(F.array_intersect("__sha", "__shb"))
     jac = shared / (F.size("__sha") + F.size("__shb") - shared)
+    # merge hints: the shingle frame is corpus-sized and cached — its
+    # columnar size estimate undercounts the row-format broadcast
+    # footprint badly enough that mid-size corpora sneak under the
+    # auto-broadcast threshold and the driver materializes a GiB-scale
+    # HashedRelation of shingle ARRAYS (measured at 64×-sf0.1: killed an
+    # 8g driver inside the verify join).  Sort-merge on the doc key is
+    # the 100 TB shape anyway: candidates and shingles both shuffle once.
     return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
+        candidates.join(a.hint("merge"), "doc_a")
+        .join(b.hint("merge"), "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -487,10 +502,13 @@ def simhash_near_pairs(
     )
     # hamming verification BEFORE the dedup shuffle: the popcount is a
     # codegen'd projection on the join output, so non-qualifying candidates
-    # are dropped map-side and never shuffle into the distinct.
+    # are dropped map-side and never shuffle into the distinct.  merge
+    # hint: same never-broadcast rule as the LSH band self-join — the
+    # cached signature frame's size estimate undercounts its broadcast
+    # footprint, and both sides are corpus-sized.
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.join(b, ["block_idx", "block_bits"])
+        a.join(b.hint("merge"), ["block_idx", "block_bits"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= radius)

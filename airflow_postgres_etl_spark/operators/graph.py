@@ -41,6 +41,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     on_max_iter: str = "raise",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges``.
 
@@ -51,6 +52,11 @@ def connected_components(
     ``on_max_iter``: ``"raise"`` (default) raises :class:`ConvergenceError`
     if labels are still changing after ``max_iter`` rounds; ``"warn"``
     emits a warning and returns the (possibly split) labels.
+
+    ``stats``: optional dict that receives ``{"iterations": n}`` — the
+    observable the scale stress records (iteration growth vs corpus size
+    is THE convergence claim of the doubling formulation; see
+    tools/scale_stress_dedup.py --pipeline and SCALE.md).
     """
     if on_max_iter not in ("raise", "warn"):
         raise ValueError(f"on_max_iter must be 'raise' or 'warn': {on_max_iter!r}")
@@ -67,7 +73,9 @@ def connected_components(
     )
 
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # propagate: min over neighbor labels
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -108,6 +116,9 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["iterations"] = rounds
+        stats["converged"] = converged
     if not converged:
         msg = (
             f"connected_components did not converge in {max_iter} iterations; "

@@ -82,6 +82,10 @@ HEADLINE = [
     "text_pii_redacted",
     "pipeline_near_dedup_corpus",
     "text_unigram_logprob",
+    # round-5: the capped simhash scale-default and the real-audio chain
+    "dedup_simhash_near_capped",
+    "multimodal_audio_decode",
+    "multimodal_audio_resample",
 ]
 
 

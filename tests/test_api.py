@@ -75,4 +75,25 @@ def test_engine_streaming_surfaces(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out" / "corpus")).collect()}
     assert kept == {1, 3}
-    assert spark.read.parquet(str(tmp_path / "out" / "index")).count() > 0
+    from airflow_postgres_etl_spark.operators.dedup import read_minhash_index
+
+    assert read_minhash_index(spark, str(tmp_path / "out" / "index")).count() > 0
+
+
+def test_readme_user_journey(spark, tmp_path, monkeypatch):
+    """The README's 'User journey' code block runs VERBATIM: the doc is
+    executable, not aspirational.  Extracted from README.md at test time
+    so doc and test cannot drift apart."""
+    import re
+    from pathlib import Path
+
+    readme = Path(__file__).resolve().parent.parent / "README.md"
+    section = readme.read_text().split("## User journey", 1)[1]
+    code = re.search(r"```python\n(.*?)```", section, re.DOTALL).group(1)
+
+    # the example builds its own Engine(); reuse the test session so the
+    # block stays copy-pasteable for users while the suite stays on one JVM
+    import airflow_postgres_etl_spark.api as api
+
+    monkeypatch.setattr(api, "get_spark", lambda *a, **k: spark)
+    exec(compile(code, str(readme), "exec"), {})

@@ -187,6 +187,16 @@ def test_capped_lsh_excludes_hot_bands_via_broadcast_anti_join(spark):
         assert any("Broadcast" in ln for ln in anti_lines), name
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+        # the candidate self-join itself must never broadcast: both sides
+        # are corpus-sized, and the cached band table's size estimate
+        # undercounts its broadcast footprint ~20x (measured GiB-scale
+        # driver allocation at 64x-sf0.1) — pinned to sort-merge
+        assert "SortMergeJoin" in plan, name
+        inner_lines = [
+            ln for ln in plan.splitlines()
+            if "Join" in ln and "LeftAnti" not in ln
+        ]
+        assert not any("Broadcast" in ln for ln in inner_lines), name
 
 
 def test_band_stats_are_two_hash_aggregates(spark):

@@ -59,8 +59,56 @@ def replicate_salted(docs, n: int):
     return out
 
 
+def pipeline_stress(ns: list[int]) -> None:
+    """End-to-end near-dedup corpus cleaning at increasing scale: LSH
+    candidates (capped, the shipped default) → exact verify → min-label
+    components → anti-join.  Records wall time AND the components
+    iteration count — pointer-jumping convergence is O(log diameter), so
+    iterations must stay flat as the corpus grows (the per-copy salting
+    keeps cluster shapes constant; only cluster COUNT scales)."""
+    from airflow_postgres_etl_spark.operators.graph import connected_components
+
+    spark = get_spark(app_name="scale_stress_near_dedup")
+    results = []
+    for n in ns:
+        docs = replicate_salted(
+            load_table(spark, SF_DIR, "documents").select(
+                "doc_id", "source", "text"
+            ),
+            n,
+        )
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        pairs = D.lsh_verified_pairs(docs, max_band_size=64)
+        st: dict = {}
+        comp = connected_components(pairs, src="doc_a", dst="doc_b", stats=st)
+        dropped = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        kept = docs.join(dropped, "doc_id", "left_anti").count()
+        wall = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        results.append(
+            {
+                "n_copies": n,
+                "docs": n_docs,
+                "kept": kept,
+                "dropped": n_docs - kept,
+                "cc_iterations": st.get("iterations"),
+                "t_pipeline_sec": wall,
+                "sec_per_1k_docs": round(wall / n_docs * 1000, 3),
+            }
+        )
+        print(json.dumps(results[-1]), flush=True)
+    print(json.dumps({"metric": "scale_stress_near_dedup_pipeline", "rows": results}))
+
+
 def main() -> None:
-    ns = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    args = sys.argv[1:]
+    if args and args[0] == "--pipeline":
+        pipeline_stress([int(a) for a in args[1:]] or [1, 4, 16, 64])
+        return
+    ns = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(app_name="scale_stress_dedup")
     results = []
     for n in ns:
