@@ -181,3 +181,63 @@ def resample_nearest_audio(
     n_out = n * dst_rate // src_rate
     idx = np.minimum(((np.arange(n_out) + 0.5) * n / n_out).astype(np.int64), n - 1)
     return samples[idx]
+
+
+# ---------------------------------------------------------------------------
+# Video (BMV: a minimal fixed-layout container of equal-size BMP frames)
+# — the third modality through the same contract.  Real video needs an
+# entropy codec (libav); the Spark-side semantics a frame-sampling
+# pipeline exercises are container parsing, RANDOM ACCESS to frame k
+# without decoding frames 0..k-1, and per-frame pixel work — all of which
+# a length-indexed concatenation of BMPs provides honestly.  Layout:
+# 4-byte magic 'BMV0' + u32 frame count + u32 per-frame byte size, then
+# the frames back-to-back; frame k starts at 12 + k*frame_size, which is
+# what makes every-kth-frame sampling O(sampled) instead of O(total).
+# ---------------------------------------------------------------------------
+
+_VIDEO_HEADER = struct.Struct("<4sII")  # magic, n_frames, frame_size
+VIDEO_HEADER_LEN = _VIDEO_HEADER.size  # 12
+VIDEO_MAGIC = b"BMV0"
+
+
+def video_size(width: int, height: int, n_frames: int) -> int:
+    """Exact encoded size in bytes — the arithmetic the oracles reproduce:
+    12 header bytes + n_frames equal BMP frames."""
+    return VIDEO_HEADER_LEN + n_frames * bmp_size(width, height)
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """Encode equal-shape (H, W, 3) uint8 RGB frames as a BMV stream."""
+    if not frames:
+        raise ValueError("video needs at least one frame")
+    shape = frames[0].shape
+    if any(f.shape != shape for f in frames):
+        raise ValueError("all frames must share one shape")
+    blobs = [encode_bmp(f) for f in frames]
+    return _VIDEO_HEADER.pack(VIDEO_MAGIC, len(blobs), len(blobs[0])) + b"".join(blobs)
+
+
+def video_info(data: bytes) -> tuple[int, int]:
+    """(n_frames, frame_size) from the container header alone — no frame
+    is touched.  Strict: bad magic or a size that disagrees with the
+    header raises ``ValueError``."""
+    if len(data) < VIDEO_HEADER_LEN:
+        raise ValueError("truncated BMV: missing header")
+    magic, n_frames, frame_size = _VIDEO_HEADER.unpack_from(data, 0)
+    if magic != VIDEO_MAGIC:
+        raise ValueError(f"not a BMV (magic {magic!r})")
+    if len(data) < VIDEO_HEADER_LEN + n_frames * frame_size:
+        raise ValueError("truncated BMV: missing frame data")
+    return n_frames, frame_size
+
+
+def decode_video_frame(data: bytes, idx: int) -> np.ndarray:
+    """Random-access decode of frame ``idx`` — seeks straight to
+    12 + idx*frame_size and decodes ONLY that BMP.  The point of the
+    container: sampling every kth frame of an n-frame video costs n/k
+    decodes, not n."""
+    n_frames, frame_size = video_info(data)
+    if not 0 <= idx < n_frames:
+        raise ValueError(f"frame {idx} out of range [0, {n_frames})")
+    start = VIDEO_HEADER_LEN + idx * frame_size
+    return decode_bmp(data[start : start + frame_size])

@@ -2673,6 +2673,70 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(resampled).orderBy("doc_id")
 
 
+# VIDEO modality through the REAL BMV container (operators/codecs.py): a
+# header-indexed stream of equal-size BMP frames.  Fixture per doc:
+# 2+id%7 frames of (4+id%13)×(4+id%11); the oracle reproduces the
+# container arithmetic — 12 header bytes + n_frames × (54 + h × 4-padded
+# BGR stride) — from doc_id alone, while the operator genuinely parses
+# the header and decodes frame 0.
+@query(
+    "multimodal_video_info",
+    """
+    SELECT doc_id,
+           CAST(12 + (2 + doc_id % 7) *
+                (54 + (4 + doc_id % 11) * ((3 * (4 + doc_id % 13) + 3) // 4 * 4))
+                AS BIGINT) AS n_bytes,
+           CAST(2 + doc_id % 7 AS BIGINT) AS n_frames,
+           CAST(4 + doc_id % 13 AS BIGINT) AS width,
+           CAST(4 + doc_id % 11 AS BIGINT) AS height
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_video_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_video_payload, extract_video_info
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_video_info(attach_video_payload(docs)).orderBy("doc_id")
+
+
+# Every-2nd-frame sampling with REAL random-access decode: frame f of doc
+# id is constant-filled md5(f"{id}:{f}")[:3], so the decoded channel
+# means of exactly the SAMPLED frames (0, 2, 4, …) are reproducible in
+# SQL — a decoder that read the wrong frame offset would mismatch every
+# odd-indexed color.  The unsampled frames are never parsed (seek
+# arithmetic), which is the 100 TB point of the container format.
+@query(
+    "multimodal_video_frames",
+    """
+    WITH fr AS (
+        SELECT doc_id,
+               unnest(generate_series(0, CAST(1 + doc_id % 7 AS BIGINT))) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           CAST(4 + doc_id % 13 AS BIGINT) AS width,
+           CAST(4 + doc_id % 11 AS BIGINT) AS height,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                CAST(frame_idx AS VARCHAR)), 1, 2) AS BIGINT) AS mean_r,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                CAST(frame_idx AS VARCHAR)), 3, 2) AS BIGINT) AS mean_g,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                CAST(frame_idx AS VARCHAR)), 5, 2) AS BIGINT) AS mean_b
+    FROM fr
+    WHERE frame_idx % 2 = 0
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_video_payload, sample_video_frames_real
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_video_frames_real(attach_video_payload(docs), every_k=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 # Real IVF ANN: geometric coarse quantizer (sampled centroids, inlined as
 # plan literals) + multi-probe.  The label-cell variant above answers
 # "nearest within my class"; THIS is the global-ANN scale path, and its
@@ -3303,3 +3367,286 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix-C style: drop any training
+# document sharing a 13-gram with the held-out evaluation set).  The
+# benchmark here is the deterministic doc_id % 10 == 0 slice — in
+# production it is the actual eval suites, which are tiny (MBs) next to
+# the 100 TB training corpus.  That asymmetry is the whole plan: the
+# benchmark's distinct 13-grams BROADCAST, the training side streams
+# through a broadcast hash join with no shuffle of the big side; only the
+# contaminated survivors (rare) reach the final aggregate.  13 is the
+# published n (Brown et al. 2020); shingling goes through the two-step
+# bound-tokens form (operators/dedup.shingles_from_tokens) so long
+# documents stay O(tokens).
+# ---------------------------------------------------------------------------
+_DECON_N = 13
+_SQL_13G = (
+    "CASE WHEN len(w) >= 13 THEN "
+    "list_distinct(list_transform(generate_series(1, len(w)-12), "
+    "i -> array_to_string(w[i:i+12], ' '))) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+def decontaminate_hits_frame(docs: DataFrame, n: int = _DECON_N) -> DataFrame:
+    """Reusable core of the decontamination report (also driven at 64×
+    replication by tools/scale_stress_training_prep.py): training docs
+    sharing ≥1 n-gram with the ``doc_id % 10 == 0`` benchmark slice, with
+    the shared-distinct-gram count.  Shingles are per-doc distinct, so
+    count(*) after the join IS the distinct-gram hit count — no
+    countDistinct shuffle needed."""
+    toks = docs.select("doc_id", X.tokens_expr().alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(D.shingles_from_tokens(F.col("w"), n)).alias("ng"),
+    )
+    bench = grams.filter(F.col("doc_id") % 10 == 0).select("ng").distinct()
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    return (
+        train.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+@query(
+    "pipeline_decontaminate_hits",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+    g AS (SELECT doc_id, unnest({_SQL_13G}) AS ng FROM d),
+    bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM g JOIN bench USING (ng)
+    WHERE doc_id % 10 <> 0
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def pipeline_decontaminate_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_hits_frame(docs).orderBy("doc_id")
+
+
+@query(
+    "pipeline_decontaminate_summary",
+    f"""
+    WITH d AS (SELECT doc_id, source, {SQL_TOKS} AS w FROM documents),
+    g AS (SELECT doc_id, unnest({_SQL_13G}) AS ng FROM d),
+    bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0),
+    bad AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (ng)
+            WHERE doc_id % 10 <> 0)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM bad))
+                AS BIGINT) AS n_dropped,
+           CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+                AS BIGINT) AS n_kept
+    FROM d
+    WHERE doc_id % 10 <> 0
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipeline_decontaminate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end decontamination: contaminated ids → left-anti keep →
+    per-source kept/dropped accounting.  The anti-join's right side is
+    the (rare) contaminated-id set — broadcast, so the corpus pass stays
+    shuffle-free; the per-source rollup is one small hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens_expr().alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(D.shingles_from_tokens(F.col("w"), _DECON_N)).alias("ng"),
+    )
+    bench = grams.filter(F.col("doc_id") % 10 == 0).select("ng").distinct()
+    bad = (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(bench), "ng")
+        .select("doc_id")
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "source")
+    flagged = train.join(
+        F.broadcast(bad.withColumn("is_bad", F.lit(1))), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            F.sum(F.when(F.col("is_bad").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("is_bad").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing (the mT5 / Pile recipe: sample source s
+# proportionally to p_s^α, α < 1 up-weighting rare domains), realized as
+# pure DOWN-sampling so no row is ever duplicated: with α = 0.5 the keep
+# rate for source s is (mass_min / mass_s)^(1-α) = sqrt(mass_min/mass_s)
+# — the rarest source keeps 100%.  Every number the filter depends on is
+# either an exact integer (token masses) or a single correctly-rounded
+# IEEE op chain (one divide, one sqrt — no accumulation-order-dependent
+# sums), so Spark and the oracle compute bit-identical rates; the rate is
+# then fixed to integer ppm before the per-doc md5-bucket filter, the
+# same zero-shuffle keep-rate pattern as q_stratified_sample.  Shape: one
+# small per-source aggregate, min() broadcast back, narrow filter —
+# nothing big ever shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "q_temperature_mixing",
+    """
+    WITH m AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> ''))) AS mass
+        FROM documents GROUP BY source
+    ),
+    r AS (
+        SELECT source, n_docs, mass,
+               CAST(round(1000000 * sqrt(
+                   CAST((SELECT min(mass) FROM m) AS DOUBLE) / mass), 0)
+                   AS BIGINT) AS rate_ppm
+        FROM m
+    )
+    SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.mass AS BIGINT) AS n_tokens, r.rate_ppm,
+           CAST(count(*) FILTER (WHERE
+               CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 1000000 < r.rate_ppm) AS BIGINT) AS n_kept
+    FROM documents d JOIN r ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.mass, r.rate_ppm
+    ORDER BY r.source
+    """,
+)
+def q_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.token_count_expr()).alias("mass"),
+    )
+    mmin = m.agg(F.min("mass").alias("mass_min"))
+    rates = m.crossJoin(F.broadcast(mmin)).select(
+        "source",
+        "n_docs",
+        "mass",
+        F.round(
+            1e6 * F.sqrt(F.col("mass_min").cast("double") / F.col("mass")), 0
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    kept = docs.select("source", "doc_id").join(F.broadcast(rates), "source")
+    return (
+        kept.groupBy("source", "n_docs", "mass", "rate_ppm")
+        .agg(
+            F.sum(F.when(bucket < F.col("rate_ppm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept")
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("mass").cast("long").alias("n_tokens"),
+            "rate_ppm",
+            "n_kept",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training prep: concatenate the token stream in doc_id
+# order and cut fixed 512-token sequences; a document starts at global
+# token offset s_i = Σ tokens of all earlier docs).  The global running
+# sum is the textbook DISTRIBUTED PREFIX SUM, not one giant window: a
+# single `ORDER BY doc_id` window would funnel 100 TB through ONE
+# partition.  Instead: (1) block = doc_id ÷ 64 — an intra-block window
+# cumsum runs per block in parallel; (2) per-block totals (thousands of
+# rows at any scale) get their own exclusive cumsum on one tiny
+# partition; (3) block offsets broadcast back and add.  The oracle IS the
+# one-window form — the differential proves the two-level decomposition
+# exact, which is the point.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+
+def pack_sequences_frame(
+    docs: DataFrame, budget: int = _PACK_BUDGET, block: int = 64
+) -> DataFrame:
+    """Reusable core of the packer (also driven at 64× replication by
+    tools/scale_stress_training_prep.py, which verifies the two-level
+    decomposition against a single global window at every scale)."""
+    t = docs.select(
+        "doc_id", X.bpe_token_count_expr().cast("long").alias("n_tokens")
+    ).withColumn("blk", F.floor(F.col("doc_id") / block))
+    w_intra = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn(
+        "intra", F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0))
+    )
+    blk_tot = t.groupBy("blk").agg(F.sum("n_tokens").alias("blk_sum"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = blk_tot.select(
+        "blk", F.coalesce(F.sum("blk_sum").over(w_blk), F.lit(0)).alias("off")
+    )
+    packed = t.join(F.broadcast(blk_off), "blk").withColumn(
+        "s", F.col("off") + F.col("intra")
+    )
+    b = F.lit(budget)
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("s") / b).alias("seq_id"),
+        (F.col("s") % b).alias("seq_offset"),
+        (
+            F.floor((F.col("s") + F.col("n_tokens") - 1) / b)
+            - F.floor(F.col("s") / b)
+            + 1
+        ).alias("n_seqs_spanned"),
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{X.BPE_RE}'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           s // {_PACK_BUDGET} AS seq_id,
+           s % {_PACK_BUDGET} AS seq_offset,
+           ((s + n_tokens - 1) // {_PACK_BUDGET}) - (s // {_PACK_BUDGET}) + 1
+               AS n_seqs_spanned
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences_frame(docs).orderBy("doc_id")

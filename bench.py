@@ -86,6 +86,15 @@ HEADLINE = [
     "dedup_simhash_near_capped",
     "multimodal_audio_decode",
     "multimodal_audio_resample",
+    # round-5: training-prep surface — 13-gram benchmark decontamination
+    # (broadcast grams), temperature-scaled domain mixing (integer-ppm
+    # rates), distributed-prefix-sum sequence packing, and the real
+    # random-access video frame sampler
+    "pipeline_decontaminate_hits",
+    "pipeline_decontaminate_summary",
+    "q_temperature_mixing",
+    "pipeline_pack_sequences",
+    "multimodal_video_frames",
 ]
 
 

@@ -266,3 +266,75 @@ def test_real_audio_chain(spark):
         assert (r.n_samples, r.sample_rate) == (n_out, 4000)
         assert r.n_bytes == codecs.wav_size(n_out)
         assert r.mean_amp == amp
+
+
+import hashlib as _hl
+
+from airflow_postgres_etl_spark.operators import codecs
+
+
+def test_video_codec_roundtrip_and_random_access():
+    """BMV container: encode -> info -> random-access frame decode matches
+    the source pixels; random access to frame k equals what a sequential
+    walk would produce."""
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    blob = codecs.encode_video(frames)
+    n_frames, frame_size = codecs.video_info(blob)
+    assert n_frames == 5
+    assert len(blob) == codecs.video_size(9, 6, 5)
+    assert frame_size == codecs.bmp_size(9, 6)
+    for k in (0, 2, 4):
+        np.testing.assert_array_equal(codecs.decode_video_frame(blob, k), frames[k])
+
+
+def test_video_codec_strictness():
+    import pytest
+
+    frames = [np.zeros((4, 4, 3), dtype=np.uint8)]
+    blob = codecs.encode_video(frames)
+    with pytest.raises(ValueError):
+        codecs.video_info(b"XXXX" + blob[4:])  # bad magic
+    with pytest.raises(ValueError):
+        codecs.video_info(blob[:-10])  # truncated frame data
+    with pytest.raises(ValueError):
+        codecs.decode_video_frame(blob, 1)  # out of range
+    with pytest.raises(ValueError):
+        codecs.encode_video([])  # empty
+    with pytest.raises(ValueError):
+        codecs.encode_video(
+            [np.zeros((4, 4, 3), np.uint8), np.zeros((5, 4, 3), np.uint8)]
+        )  # mixed shapes
+
+
+def test_video_sampling_decodes_exactly_the_sampled_frames(spark):
+    """every_k=3 on the synthetic fixture: output rows are frames 0, 3, 6…
+    and each row's channel means equal the md5-derived fill color of THAT
+    frame — a decoder reading the wrong offset would mismatch."""
+    from airflow_postgres_etl_spark.operators.multimodal import (
+        attach_video_payload,
+        extract_video_info,
+        sample_video_frames_real,
+    )
+
+    docs = spark.range(30).withColumnRenamed("id", "doc_id")
+    vids = attach_video_payload(docs)
+
+    info = {r.doc_id: r for r in extract_video_info(vids).collect()}
+    for i in range(30):
+        w, h, n = 4 + i % 13, 4 + i % 11, 2 + i % 7
+        r = info[i]
+        assert (r.width, r.height, r.n_frames) == (w, h, n)
+        assert r.n_bytes == codecs.video_size(w, h, n)
+
+    rows = sample_video_frames_real(vids, every_k=3).collect()
+    got = {(r.doc_id, r.frame_idx): r for r in rows}
+    expect_keys = {
+        (i, f) for i in range(30) for f in range(0, 2 + i % 7, 3)
+    }
+    assert set(got) == expect_keys
+    for (i, f), r in got.items():
+        color = _hl.md5(f"{i}:{f}".encode()).digest()[:3]
+        assert (r.mean_r, r.mean_g, r.mean_b) == (color[0], color[1], color[2])

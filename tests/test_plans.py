@@ -227,3 +227,52 @@ def test_persisted_ivf_probe_prunes_index_partitions(spark, tmp_path):
     )
     # the index scan is partitioned by cell and the join key reaches it
     assert "PartitionFilters" in formatted or "dynamicpruning" in formatted.lower()
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """Decontamination's whole scale story: the benchmark 13-gram set
+    broadcasts; the 100 TB training side joins without shuffling, and
+    nothing degenerates to a cartesian or Python fallback."""
+    for name in ("pipeline_decontaminate_hits", "pipeline_decontaminate_summary"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_pack_sequences_is_two_level_prefix_sum(spark):
+    """The distributed prefix sum must NOT funnel the corpus through one
+    global-order window: the per-doc window partitions by block, the
+    block-offset table (tiny) broadcasts back.  A single Window over
+    ORDER BY doc_id with no partition would show a singleton Exchange of
+    the full table before the window."""
+    plan = plan_of(spark, "pipeline_pack_sequences")
+    assert "BroadcastHashJoin" in plan
+    # intra-block window is hash-partitioned on blk, not SinglePartition
+    import re
+
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("blk" in ln for ln in window_lines)
+    # the only SinglePartition exchange feeds the tiny block-totals window
+    singles = plan.count("SinglePartition")
+    assert singles <= 2, f"unexpected global funnels: {singles}"
+
+
+def test_temperature_mixing_broadcasts_rates(spark):
+    """Per-source keep rates (20 rows) broadcast onto the corpus — the
+    corpus itself never shuffles for the filter; only the per-source
+    rollup aggregates."""
+    plan = plan_of(spark, "q_temperature_mixing")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    formatted = formatted_plan(spark, "q_temperature_mixing")
+    assert "BatchEvalPython" not in formatted
+
+
+def test_video_sampling_is_narrow(spark):
+    """Frame sampling: mapInPandas over the payload column, no shuffle
+    anywhere before the final presentation sort."""
+    plan = plan_of(spark, "multimodal_video_frames")
+    before_sort = plan.split("Sort", 1)[-1]
+    assert "Exchange hashpartitioning" not in before_sort
