@@ -3650,3 +3650,179 @@ def pack_sequences_frame(
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences_frame(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle + sharding (training prep: break source/
+# crawl-order correlation before the epoch reader consumes shard files in
+# parallel).  Engine-seeded shuffles (df.sample / rand()) are not
+# reproducible across engines or cluster sizes, so the permutation key is
+# md5(doc_id): shard = key % 16, position = rank of the key within the
+# shard.  Per-shard windows hash-partition on shard — 16-way (or
+# 10k-way) parallel, never a global sort; a reader streaming shard files
+# in (shard, pos) order sees the md5 permutation.  doc_id is the window
+# tie-break: md5 collisions on the 8-hex prefix are possible, full-key
+# ties are not, so output is total-ordered on both engines.
+# ---------------------------------------------------------------------------
+def _bpe_oracle_sql(k: int) -> str:
+    """Build the k-iteration BPE oracle: w0 = word-frequency table with
+    char-split symbol strings, then per iteration the argmax pair (p{i})
+    and the merged vocabulary (w{i+1}) as chained CTEs — the same
+    unrolled dataflow the Spark side builds, in SQL."""
+    ctes = [
+        f"""w0 AS (
+        SELECT word, count(*) AS weight,
+               ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+               || ' ' AS sym
+        FROM (SELECT unnest({SQL_TOKS}) AS word FROM documents)
+        GROUP BY word
+    )"""
+    ]
+    for i in range(k):
+        ctes.append(
+            f"""p{i} AS (
+        SELECT CAST({i} AS BIGINT) AS it, pa,
+               CAST(sum(weight) AS BIGINT) AS freq
+        FROM (SELECT weight,
+                     unnest(CASE WHEN len(s) >= 2 THEN
+                         list_transform(generate_series(1, len(s)-1),
+                                        j -> s[j] || ' ' || s[j+1])
+                         ELSE []::VARCHAR[] END) AS pa
+              FROM (SELECT weight,
+                           list_filter(string_split(sym, ' '), x -> x <> '')
+                               AS s
+                    FROM w{i}))
+        GROUP BY pa ORDER BY freq DESC, pa LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""w{i + 1} AS (
+        SELECT word, weight,
+               replace(replace(sym,
+                   ' ' || b.pa || ' ', ' ' || replace(b.pa, ' ', '') || ' '),
+                   ' ' || b.pa || ' ', ' ' || replace(b.pa, ' ', '') || ' ')
+                   AS sym
+        FROM w{i} CROSS JOIN p{i} b
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT it, pa AS pair, freq FROM p{i}" for i in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union + " ORDER BY it"
+
+
+_BPE_MERGES = 6
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
+# first k merge rules from the corpus.  The 100 TB shape: ONE corpus
+# pass builds the word-frequency table (the only big shuffle); every
+# merge iteration after that runs on the VOCABULARY — distinct words,
+# which grow sublinearly (Heaps' law) and fit in memory at any corpus
+# scale — so k iterations cost k tiny vocab passes, not k corpus scans
+# (the vocab frame is register_cache'd to pin that).  Each iteration:
+# weighted adjacent-pair count → global argmax (freq DESC, pair ASC —
+# total order both engines) → merge via a 1-row broadcast and two
+# left-to-right replace passes.  One replace pass IS the standard
+# non-overlapping merge; the second pass settles odd repeated-symbol
+# runs ('a a a a') the first pass's consumed-match scan skips — applied
+# identically on both engines, so the differential pins the exact
+# procedure.  Symbols are [a-z0-9] chars, the ' ' separator sorts below
+# all of them, so ordering the 'a b' pair STRING equals ordering the
+# (a, b) tuple.
+# ---------------------------------------------------------------------------
+@query("pipeline_bpe_merges", _bpe_oracle_sql(_BPE_MERGES))
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = register_cache(
+        docs.select(F.explode(X.tokens_expr()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("weight"))
+    )
+    syms = words.withColumn(
+        "sym",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.regexp_extract_all("word", F.lit("."), 0), " "),
+            F.lit(" "),
+        ),
+    )
+    merges = []
+    for i in range(_BPE_MERGES):
+        s = F.filter(F.split(F.col("sym"), " "), lambda x: x != "")
+        pair_arr = F.when(
+            F.size(s) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(s) - 1),
+                lambda j: F.concat(
+                    F.element_at(s, j), F.lit(" "), F.element_at(s, j + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pairs = syms.select("weight", F.explode(pair_arr).alias("pa"))
+        best = (
+            pairs.groupBy("pa")
+            .agg(F.sum("weight").alias("freq"))
+            .orderBy(F.desc("freq"), "pa")
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("it"),
+                F.col("pa").alias("pair"),
+                F.col("freq").cast("long").alias("freq"),
+            )
+        )
+        merges.append(best)
+        b = F.broadcast(best.select(F.col("pair").alias("_pa")))
+        pat = F.concat(F.lit(" "), F.col("_pa"), F.lit(" "))
+        rep = F.concat(
+            F.lit(" "),
+            F.replace(F.col("_pa"), F.lit(" "), F.lit("")),
+            F.lit(" "),
+        )
+        syms = (
+            syms.crossJoin(b)
+            .withColumn(
+                "sym", F.replace(F.replace(F.col("sym"), pat, rep), pat, rep)
+            )
+            .drop("_pa")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("it")
+
+
+@query(
+    "pipeline_shuffle_shards",
+    """
+    WITH keyed AS (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS k
+        FROM documents
+    )
+    SELECT doc_id, source,
+           k % 16 AS shard,
+           CAST(row_number() OVER (PARTITION BY k % 16 ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    ORDER BY shard, pos
+    """,
+)
+def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("k")
+    )
+    keyed = docs.select("doc_id", "source", k).withColumn(
+        "shard", F.col("k") % 16
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "source", "shard", "pos")
+        .orderBy("shard", "pos")
+    )

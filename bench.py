@@ -95,6 +95,10 @@ HEADLINE = [
     "q_temperature_mixing",
     "pipeline_pack_sequences",
     "multimodal_video_frames",
+    # round-5: BPE merge learning (one corpus pass + cached-vocab
+    # iterations) and the deterministic md5 shuffle/shard assignment
+    "pipeline_bpe_merges",
+    "pipeline_shuffle_shards",
 ]
 
 

@@ -276,3 +276,33 @@ def test_video_sampling_is_narrow(spark):
     plan = plan_of(spark, "multimodal_video_frames")
     before_sort = plan.split("Sort", 1)[-1]
     assert "Exchange hashpartitioning" not in before_sort
+
+
+def test_bpe_merges_scans_corpus_once(spark):
+    """BPE training's scale contract: ONE corpus pass builds the cached
+    word-frequency table; all k merge iterations run on the vocabulary
+    (InMemoryTableScan), so the documents parquet appears in the plan
+    exactly once and the per-iteration argmax is a top-1, not a global
+    sort."""
+    from airflow_postgres_etl_spark.caching import release_caches
+
+    try:
+        plan = plan_of(spark, "pipeline_bpe_merges")
+        # every reference to the vocab is an InMemoryTableScan (each one
+        # textually reprints the cached relation's FileScan definition,
+        # so counting "FileScan" lines here would be meaningless — the
+        # scan executes once, the cache serves every rereference)
+        assert "InMemoryTableScan" in plan
+        assert "TakeOrderedAndProject" in plan  # per-iteration argmax is top-1
+        assert "CartesianProduct" not in plan  # merges join via broadcast
+    finally:
+        release_caches()
+
+
+def test_shuffle_shards_windows_partition_by_shard(spark):
+    """The deterministic corpus shuffle must never funnel the corpus into
+    one partition: the position window hash-partitions on shard."""
+    plan = plan_of(spark, "pipeline_shuffle_shards")
+    assert "Exchange SinglePartition" not in plan
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("shard" in ln for ln in window_lines)
