@@ -3585,13 +3585,20 @@ _PACK_BUDGET = 512
 
 
 def pack_sequences_frame(
-    docs: DataFrame, budget: int = _PACK_BUDGET, block: int = 64
+    docs: DataFrame,
+    budget: int = _PACK_BUDGET,
+    block: int = 64,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Reusable core of the packer (also driven at 64× replication by
     tools/scale_stress_training_prep.py, which verifies the two-level
-    decomposition against a single global window at every scale)."""
+    decomposition against a single global window at every scale).
+    ``keep_cols`` pass through untouched (e.g. ``("source",)`` for the
+    composed corpus pipeline)."""
     t = docs.select(
-        "doc_id", X.bpe_token_count_expr().cast("long").alias("n_tokens")
+        "doc_id",
+        *keep_cols,
+        X.bpe_token_count_expr().cast("long").alias("n_tokens"),
     ).withColumn("blk", F.floor(F.col("doc_id") / block))
     w_intra = (
         Window.partitionBy("blk")
@@ -3612,6 +3619,7 @@ def pack_sequences_frame(
     b = F.lit(budget)
     return packed.select(
         "doc_id",
+        *keep_cols,
         "n_tokens",
         F.floor(F.col("s") / b).alias("seq_id"),
         (F.col("s") % b).alias("seq_offset"),
@@ -3732,6 +3740,17 @@ _BPE_MERGES = 6
 # all of them, so ordering the 'a b' pair STRING equals ordering the
 # (a, b) tuple.
 # ---------------------------------------------------------------------------
+#: Partitioning of the cached vocabulary for the merge iterations.  The
+#: iterations process VOCAB-sized data, so their parallelism should match
+#: the vocab, not inherit the corpus's shuffle width: at sf0.1 the
+#: corpus-width default (32 shuffle partitions × 6 iterations of
+#: near-empty tasks) measured 7.5 s vs 4.3 s with the vocab on one
+#: partition.  At 100 TB a Heaps'-law vocab is GBs — size this to
+#: vocab_bytes / 128 MB (tens of partitions), still decoupled from the
+#: corpus's tens of thousands.
+_BPE_VOCAB_PARTITIONS = 1
+
+
 @query("pipeline_bpe_merges", _bpe_oracle_sql(_BPE_MERGES))
 def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -3739,6 +3758,7 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(X.tokens_expr()).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("weight"))
+        .repartition(_BPE_VOCAB_PARTITIONS)
     )
     syms = words.withColumn(
         "sym",
@@ -3826,3 +3846,111 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# The COMPOSED training-corpus pipeline — what a user of this engine
+# actually runs before a pretraining job, as ONE lazy plan: quality gate
+# (≥ 20 word tokens, narrow filter) → 13-gram benchmark decontamination
+# (broadcast gram join → broadcast anti-join) → temperature-scaled
+# domain mixing over the CLEAN corpus's masses (tiny aggregate +
+# broadcast integer-ppm rates, narrow keep filter) → sequence packing
+# (two-level distributed prefix sum).  Every stage is the scale shape
+# proven individually above; composing them adds no new shuffle of the
+# corpus — the only wide operations are the gram distinct (benchmark,
+# tiny), the per-source mass aggregate (tiny), and the per-block
+# packing windows.  The oracle replays the identical chain in SQL, so
+# the differential pins stage ORDER too (mixing rates depend on
+# post-decontamination masses; packing offsets depend on the mixed
+# survivor set).
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_training_corpus",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, text, {SQL_TOKS} AS w FROM documents
+    ),
+    g AS (SELECT doc_id, unnest({_SQL_13G}) AS ng FROM t),
+    bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0),
+    bad AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (ng)
+            WHERE doc_id % 10 <> 0),
+    clean AS (
+        SELECT doc_id, source, text, len(w) AS n_words FROM t
+        WHERE len(w) >= 20 AND doc_id % 10 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM bad)
+    ),
+    m AS (SELECT source, sum(n_words) AS mass FROM clean GROUP BY source),
+    r AS (
+        SELECT source,
+               CAST(round(1000000 * sqrt(
+                   CAST((SELECT min(mass) FROM m) AS DOUBLE) / mass), 0)
+                   AS BIGINT) AS rate_ppm
+        FROM m
+    ),
+    mixed AS (
+        SELECT c.doc_id, c.source, c.text
+        FROM clean c JOIN r ON c.source = r.source
+        WHERE CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 1000000 < r.rate_ppm
+    ),
+    p AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(lower(text), '{X.BPE_RE}'))
+                    AS BIGINT) AS n_tokens
+        FROM mixed
+    ),
+    c2 AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM p
+    )
+    SELECT doc_id, source, n_tokens,
+           s // {_PACK_BUDGET} AS seq_id,
+           s % {_PACK_BUDGET} AS seq_offset,
+           ((s + n_tokens - 1) // {_PACK_BUDGET}) - (s // {_PACK_BUDGET}) + 1
+               AS n_seqs_spanned
+    FROM c2
+    ORDER BY doc_id
+    """,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", "text", X.tokens_expr().alias("w"))
+    grams = t.select(
+        "doc_id",
+        F.explode(D.shingles_from_tokens(F.col("w"), _DECON_N)).alias("ng"),
+    )
+    bench = grams.filter(F.col("doc_id") % 10 == 0).select("ng").distinct()
+    bad = (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(bench), "ng")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        t.filter((F.size("w") >= 20) & (F.col("doc_id") % 10 != 0))
+        .join(F.broadcast(bad), "doc_id", "left_anti")
+        .select("doc_id", "source", "text", F.size("w").alias("n_words"))
+    )
+    m = clean.groupBy("source").agg(F.sum("n_words").alias("mass"))
+    mmin = m.agg(F.min("mass").alias("mass_min"))
+    rates = m.crossJoin(F.broadcast(mmin)).select(
+        "source",
+        F.round(
+            1e6 * F.sqrt(F.col("mass_min").cast("double") / F.col("mass")), 0
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    mixed = (
+        clean.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("rate_ppm"))
+        .select("doc_id", "source", "text")
+    )
+    return pack_sequences_frame(mixed, keep_cols=("source",)).orderBy("doc_id")

@@ -99,6 +99,9 @@ HEADLINE = [
     # iterations) and the deterministic md5 shuffle/shard assignment
     "pipeline_bpe_merges",
     "pipeline_shuffle_shards",
+    # round-5: the composed quality->decontaminate->mix->pack corpus
+    # pipeline, one lazy plan
+    "pipeline_training_corpus",
 ]
 
 

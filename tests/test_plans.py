@@ -306,3 +306,16 @@ def test_shuffle_shards_windows_partition_by_shard(spark):
     assert "Exchange SinglePartition" not in plan
     window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert any("shard" in ln for ln in window_lines)
+
+
+def test_training_corpus_pipeline_composes_without_corpus_shuffle(spark):
+    """The composed quality→decontaminate→mix→pack pipeline: every join
+    the corpus participates in is broadcast (gram join, anti-join, rate
+    join, block-offset join); the only exchanges carry tiny tables or
+    the hash-partitioned packing blocks — never a corpus-wide
+    repartition for a join."""
+    plan = plan_of(spark, "pipeline_training_corpus")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
