@@ -98,3 +98,27 @@ class Engine:
             checkpoint_dir,
             threshold=threshold,
         )
+
+    def stream_training_ingest(
+        self,
+        docs_dir: str,
+        bench_grams_path: str,
+        rates_ppm: dict[str, int],
+        out_dir: str,
+        checkpoint_dir: str,
+    ):
+        """Continuous training-corpus acquisition: per micro-batch
+        quality gate → 13-gram benchmark decontamination (against the
+        grams materialized by ``streaming.build_benchmark_grams``) →
+        per-source temperature-mixing keep filter.  Stateless across
+        batches — batch-wise equals batch-job-over-the-union."""
+        from .streaming import stream_training_ingest
+
+        return stream_training_ingest(
+            self.spark,
+            docs_dir,
+            bench_grams_path,
+            rates_ppm,
+            out_dir,
+            checkpoint_dir,
+        )

@@ -132,3 +132,96 @@ def stream_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def build_benchmark_grams(
+    bench_docs: DataFrame, out_path: str, n: int = 13
+) -> None:
+    """Materialize the benchmark's distinct n-grams once (eval suites are
+    tiny and static — this is a setup step, not a per-batch cost)."""
+    from ..operators.dedup import shingles_from_tokens
+    from ..operators.text import tokens_expr
+
+    toks = bench_docs.select(tokens_expr().alias("w"))
+    grams = toks.select(
+        F.explode(shingles_from_tokens(F.col("w"), n)).alias("ng")
+    ).distinct()
+    grams.write.mode("overwrite").parquet(out_path)
+
+
+def stream_training_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    bench_grams_path: str,
+    rates_ppm: dict[str, int],
+    corpus_out: str,
+    checkpoint_dir: str,
+    *,
+    min_tokens: int = 20,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Streaming twin of ``pipeline_training_corpus``: documents arrive
+    continuously and each micro-batch runs quality gate → 13-gram
+    benchmark decontamination → temperature-mixing keep-filter before
+    appending to the training corpus.
+
+    Every per-document decision here is DOC-LOCAL given two static
+    inputs, so batch-wise application equals a batch job over the union
+    (unit-pinned): the benchmark gram set (eval suites are fixed —
+    ``build_benchmark_grams`` materializes them once; each batch
+    broadcast-joins against it) and the per-source keep rates
+    (``rates_ppm``, integer ppm per source).  Rates come from a
+    profiling pass over a corpus sample — exactly how production
+    mixing weights are set — because a stream cannot know final source
+    masses mid-flight; re-profile and restart to re-weight.  Unknown
+    sources keep everything (rate defaults to 1,000,000): dropping data
+    because the profile predates a new source is the wrong failure mode.
+
+    Unlike ``stream_dedup_ingest`` there is no cross-batch state at all
+    — no index, no ordering sensitivity — so replays are idempotent per
+    file and batches commute."""
+    from ..operators.dedup import shingles_from_tokens
+    from ..operators.text import tokens_expr
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    rate_rows = [(s, int(r)) for s, r in sorted(rates_ppm.items())]
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        grams_ref = batch.sparkSession.read.parquet(bench_grams_path)
+        rates = batch.sparkSession.createDataFrame(
+            rate_rows, "source string, rate_ppm long"
+        )
+        t = batch.withColumn("w", tokens_expr())
+        q = t.filter(F.size("w") >= min_tokens)
+        doc_grams = q.select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("w"), 13)).alias("ng")
+        )
+        bad = (
+            doc_grams.join(F.broadcast(grams_ref), "ng")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = q.join(F.broadcast(bad), "doc_id", "left_anti")
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 1000000
+        )
+        kept = (
+            clean.join(F.broadcast(rates), "source", "left")
+            .filter(bucket < F.coalesce(F.col("rate_ppm"), F.lit(1000000)))
+            .select("doc_id", "text", "source")
+        )
+        kept.write.mode("append").parquet(corpus_out)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

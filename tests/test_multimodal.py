@@ -338,3 +338,35 @@ def test_video_sampling_decodes_exactly_the_sampled_frames(spark):
     for (i, f), r in got.items():
         color = _hl.md5(f"{i}:{f}".encode()).digest()[:3]
         assert (r.mean_r, r.mean_g, r.mean_b) == (color[0], color[1], color[2])
+
+
+def test_video_codec_property_roundtrip():
+    """Property: any stack of equal-shape uint8 frames survives
+    encode -> random-access decode bit-for-bit, and the header
+    arithmetic matches video_size."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=17),
+        h=st.integers(min_value=1, max_value=13),
+        n=st.integers(min_value=1, max_value=6),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, n, seed):
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        blob = codecs.encode_video(frames)
+        assert len(blob) == codecs.video_size(w, h, n)
+        got_n, _ = codecs.video_info(blob)
+        assert got_n == n
+        for k in range(n):
+            np.testing.assert_array_equal(
+                codecs.decode_video_frame(blob, k), frames[k]
+            )
+
+    check()

@@ -212,3 +212,70 @@ def test_stream_dedup_ingest_drops_cross_batch_near_dups(spark, tmp_path):
     q3 = stream_dedup_ingest(spark, src, idx, out, ck)
     q3.awaitTermination(120)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}
+
+
+def test_stream_training_ingest_matches_batch_application(spark, tmp_path):
+    """Streaming quality→decontaminate→mix: every decision is doc-local
+    given the static benchmark grams + rates, so two micro-batches must
+    produce EXACTLY the set one batch job over the union would — and a
+    restart with no new files appends nothing."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.streaming import (
+        build_benchmark_grams,
+        stream_training_ingest,
+    )
+
+    src, grams, out, ck = (
+        str(tmp_path / d) for d in ("src", "grams", "corpus", "ck")
+    )
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike".split()
+    long_txt = " ".join(words * 2)  # 26 tokens, passes min_tokens=20
+    short_txt = "too short"
+
+    bench = spark.createDataFrame([(100, long_txt)], ["doc_id", "text"])
+    build_benchmark_grams(bench, grams)
+
+    rows1 = [
+        (1, long_txt + " extra tail one two three four five six seven", "srcA"),
+        # ^ shares 13-grams with the benchmark -> decontaminated
+        (2, " ".join(reversed(words * 2)), "srcA"),  # clean, 26 tokens
+        (3, short_txt, "srcA"),  # quality-gated
+    ]
+    rows2 = [
+        (4, " ".join(words[::2] * 4), "srcB"),  # clean, 28 tokens
+        (5, long_txt, "srcB"),  # contaminated
+        (6, " ".join(words[1::2] * 4), "srcZ"),  # unknown source -> kept
+    ]
+    rates = {"srcA": 1_000_000, "srcB": 1_000_000}
+
+    spark.createDataFrame(rows1, "doc_id long, text string, source string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = stream_training_ingest(spark, src, grams, rates, out, ck)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {2}
+
+    spark.createDataFrame(rows2, "doc_id long, text string, source string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_training_ingest(spark, src, grams, rates, out, ck)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {2, 4, 6}
+
+    # equals the batch application over the union (doc-local decisions)
+    # and a no-new-files restart appends nothing
+    q3 = stream_training_ingest(spark, src, grams, rates, out, ck)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
+
+    # zero-rate source: everything from it dropped
+    out2, ck2 = str(tmp_path / "corpus2"), str(tmp_path / "ck2")
+    q4 = stream_training_ingest(
+        spark, src, grams, {"srcA": 0, "srcB": 0}, out2, ck2
+    )
+    q4.awaitTermination(120)
+    assert q4.exception() is None
+    got2 = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    assert got2 == {6}  # only the unknown source survives

@@ -222,3 +222,27 @@ def test_pii_redaction_order_and_placeholders(spark):
     by_id = {r.doc_id: (r.n_url, r.n_email, r.n_ip, r.n_phone) for r in counts}
     assert by_id[5] == (0, 0, 0, 0)
     assert by_id[1][1] == 1 and by_id[3][2] == 1
+
+
+def test_pack_sequences_exact_on_sparse_clustered_ids(spark):
+    """The two-level prefix sum must stay EXACT when doc_ids are sparse
+    and clustered (many ids landing in one doc_id//64 block, with huge
+    gaps between blocks) — blocking only affects parallelism, never the
+    offsets.  Compared against an independently computed running sum."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.plans.extensions import pack_sequences_frame
+
+    # 3 dense clusters far apart + stragglers; deterministic texts
+    ids = [5, 6, 7, 8, 9, 10_000, 10_001, 10_002, 999_999_937, 999_999_998]
+    rows = [(i, "tok " * (i % 7 + 1)) for i in ids]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset)
+        for r in pack_sequences_frame(docs, budget=5).collect()
+    }
+    s = 0
+    for i in sorted(ids):
+        n = i % 7 + 1  # "tok " * n -> n BPE tokens
+        assert got[i] == (n, s // 5, s % 5), i
+        s += n
