@@ -3916,6 +3916,29 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return training_corpus_frame(docs).orderBy("doc_id")
+
+
+def training_corpus_frame(docs: DataFrame, observations: dict | None = None) -> DataFrame:
+    """The composed chain (see the query's comment block).  When
+    ``observations`` is a dict, per-stage row counts attach as Spark
+    ``Observation`` metrics — accumulator-backed, collected DURING the
+    one job, zero extra passes (vs. a naive ``count()`` per stage = four
+    extra corpus scans); the dict fills with name → Observation, values
+    readable after any action.  Observations attach only to
+    SINGLE-consumer nodes: an observed node feeding two plan branches
+    (e.g. ``clean``, consumed by both the mass aggregate and the mix
+    filter) would have its accumulator incremented by both evaluations
+    and double-count."""
+    from pyspark.sql import Observation
+
+    def obs(df: DataFrame, name: str) -> DataFrame:
+        if observations is None:
+            return df
+        o = Observation(name)
+        observations[name] = o
+        return df.observe(o, F.count(F.lit(1)).alias("rows"))
+
     t = docs.select("doc_id", "source", "text", X.tokens_expr().alias("w"))
     grams = t.select(
         "doc_id",
@@ -3929,10 +3952,17 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = (
-        t.filter((F.size("w") >= 20) & (F.col("doc_id") % 10 != 0))
-        .join(F.broadcast(bad), "doc_id", "left_anti")
+        obs(t.filter((F.size("w") >= 20) & (F.col("doc_id") % 10 != 0)), "quality_pass")
+        .join(F.broadcast(obs(bad, "contaminated")), "doc_id", "left_anti")
         .select("doc_id", "source", "text", F.size("w").alias("n_words"))
     )
+    if observations is not None:
+        # clean feeds BOTH the mass aggregate and the mix filter; without
+        # a cache the whole observed subtree evaluates once per branch
+        # and quality_pass/contaminated double-count.  The cache pins one
+        # evaluation (and is the better plan for dual consumption anyway;
+        # caller releases via caching.release_caches()).
+        clean = register_cache(clean)
     m = clean.groupBy("source").agg(F.sum("n_words").alias("mass"))
     mmin = m.agg(F.min("mass").alias("mass_min"))
     rates = m.crossJoin(F.broadcast(mmin)).select(
@@ -3948,9 +3978,10 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 1000000
     )
-    mixed = (
+    mixed = obs(
         clean.join(F.broadcast(rates), "source")
         .filter(bucket < F.col("rate_ppm"))
-        .select("doc_id", "source", "text")
+        .select("doc_id", "source", "text"),
+        "mixed_keep",
     )
-    return pack_sequences_frame(mixed, keep_cols=("source",)).orderBy("doc_id")
+    return pack_sequences_frame(mixed, keep_cols=("source",))

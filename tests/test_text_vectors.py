@@ -246,3 +246,39 @@ def test_pack_sequences_exact_on_sparse_clustered_ids(spark):
         n = i % 7 + 1  # "tok " * n -> n BPE tokens
         assert got[i] == (n, s // 5, s % 5), i
         s += n
+
+
+def test_training_corpus_observation_metrics_exact(spark):
+    """Observation metrics on the composed pipeline: per-stage counts are
+    collected DURING the single job (accumulator-backed, no extra corpus
+    passes) and must equal independently recomputed stage counts."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.caching import release_caches
+    from airflow_postgres_etl_spark.plans.extensions import (
+        decontaminate_hits_frame,
+        training_corpus_frame,
+    )
+    from airflow_postgres_etl_spark.operators import text as X
+    from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    metrics: dict = {}
+    try:
+        out = training_corpus_frame(docs, observations=metrics)
+        n_final = out.count()
+        got = {k: o.get["rows"] for k, o in metrics.items()}
+    finally:
+        release_caches()
+
+    t = docs.select("doc_id", X.tokens_expr().alias("w"))
+    expect_quality = t.filter(
+        (F.size("w") >= 20) & (F.col("doc_id") % 10 != 0)
+    ).count()
+    expect_bad = decontaminate_hits_frame(docs).count()
+    assert got["quality_pass"] == expect_quality
+    assert got["contaminated"] == expect_bad
+    assert got["mixed_keep"] == n_final  # packing is 1:1 with mixed docs
+    assert 0 < got["mixed_keep"] <= got["quality_pass"]
