@@ -3985,3 +3985,128 @@ def training_corpus_frame(docs: DataFrame, observations: dict | None = None) -> 
         "mixed_keep",
     )
     return pack_sequences_frame(mixed, keep_cols=("source",))
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (dimensionality reduction for
+# embedding pipelines: 64 → 8 dims with pairwise distances preserved in
+# expectation).  Projection matrix = md5-derived ±1 signs (Achlioptas
+# 2003: Rademacher entries satisfy the JL lemma — no Gaussian RNG
+# needed), inlined as literals.  Arithmetic is EXACT, not approximately
+# reproducible: components quantize to round(v·10⁶) (a float32 × 10⁶
+# product is exact in double — 24+20 mantissa bits < 53 — and can never
+# land on .5, so the rounding is engine-independent), and ±1 dot
+# products of integer-valued doubles stay below 2⁵³, so every sum is
+# exact regardless of accumulation order — no rounding rule needed.
+# Narrow transform, zero shuffle; at 100 TB this is the map stage that
+# feeds 8-dim vectors to downstream clustering at 1/8 the bytes.
+# ---------------------------------------------------------------------------
+_JL_OUT_DIMS = 8
+
+
+def _jl_signs(j: int, dim: int) -> list[int]:
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"jl:{j}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1
+        for d in range(dim)
+    ]
+
+
+def _sql_jl_proj(j: int) -> str:
+    arr = "[" + ", ".join(str(s) for s in _jl_signs(j, EMB_DIM)) + "]::DOUBLE[]"
+    return (
+        "CAST(list_dot_product(list_transform(embedding::DOUBLE[], "
+        f"x -> round(x * 1000000, 0)), {arr}) AS BIGINT) AS p{j}"
+    )
+
+
+@query(
+    "sim_jl_projection",
+    f"""
+    SELECT vec_id, {", ".join(_sql_jl_proj(j) for j in range(_JL_OUT_DIMS))}
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def sim_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6, 0)
+    )
+    emb = emb.select("vec_id", q.alias("q"))
+    cols = []
+    for j in range(_JL_OUT_DIMS):
+        signs = F.array(
+            *[F.lit(float(s)) for s in _jl_signs(j, EMB_DIM)]
+        )
+        prod = F.zip_with(F.col("q"), signs, lambda a, b: a * b)
+        cols.append(
+            F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+            .cast("long")
+            .alias(f"p{j}")
+        )
+    return emb.select("vec_id", *cols).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# FUZZY benchmark decontamination: exact 13-gram overlap
+# (pipeline_decontaminate_hits) misses paraphrased/lightly-edited eval
+# leakage; this catches training docs that LSH-NEAR-DUP a benchmark doc
+# (jaccard ≥ 0.5 on 3-gram shingles).  Registered form reuses the
+# verified-pairs self-join and keeps only cross-set pairs — exact oracle
+# parity with the dedup stack.  At 100 TB run the ASYMMETRIC shape
+# instead: `build_minhash_index(benchmark)` + `dedup_against_index(train)`
+# (both shipped and tested) band-joins the corpus against a tiny
+# benchmark index without ever generating train×train candidates.
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_decontaminate_fuzzy",
+    f"""
+    WITH {_SQL_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM ex GROUP BY doc_id),
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared, min(a.n) AS na, min(b.n) AS nb
+        FROM ex a
+        JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE (a.doc_id, b.doc_id) IN (SELECT (doc_a, doc_b) FROM cand)
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT doc_a, doc_b, round(shared / (na + nb - shared), 6) AS jaccard
+        FROM shared
+        WHERE round(shared / (na + nb - shared), 6) >= 0.5
+    )
+    SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_id,
+           round(max(jaccard), 6) AS max_jaccard,
+           CAST(count(*) AS BIGINT) AS n_bench_matches
+    FROM verified
+    WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+    GROUP BY 1
+    ORDER BY doc_id
+    """,
+)
+def pipeline_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_verified_pairs(docs)
+    a_bench = F.col("doc_a") % 10 == 0
+    b_bench = F.col("doc_b") % 10 == 0
+    cross = pairs.filter(a_bench != b_bench)
+    train_doc = F.when(a_bench, F.col("doc_b")).otherwise(F.col("doc_a"))
+    return (
+        cross.groupBy(train_doc.alias("doc_id"))
+        .agg(
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+            F.count("*").cast("long").alias("n_bench_matches"),
+        )
+        .orderBy("doc_id")
+    )

@@ -100,8 +100,10 @@ HEADLINE = [
     "pipeline_bpe_merges",
     "pipeline_shuffle_shards",
     # round-5: the composed quality->decontaminate->mix->pack corpus
-    # pipeline, one lazy plan
+    # pipeline, one lazy plan; JL 64->8 dimensionality reduction
     "pipeline_training_corpus",
+    "sim_jl_projection",
+    "pipeline_decontaminate_fuzzy",
 ]
 
 

@@ -282,3 +282,48 @@ def test_training_corpus_observation_metrics_exact(spark):
     assert got["contaminated"] == expect_bad
     assert got["mixed_keep"] == n_final  # packing is 1:1 with mixed docs
     assert 0 < got["mixed_keep"] <= got["quality_pass"]
+
+
+def test_jl_projection_preserves_distances_in_expectation(spark):
+    """The JL property the reduction exists for: squared distances in the
+    8-dim ±1 projection, scaled by 1/k, estimate original squared
+    distances (quantized).  Checked on the first 40 vectors: the mean
+    ratio over pairs is near 1 (the guarantee is in expectation; single
+    pairs vary)."""
+    import numpy as np
+
+    from airflow_postgres_etl_spark.plans.extensions import (
+        _JL_OUT_DIMS,
+        _jl_signs,
+        EMB_DIM,
+        sim_jl_projection,
+    )
+    from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+    from .conftest import SF_SMOKE
+
+    proj = (
+        sim_jl_projection(spark, SF_SMOKE).limit(40).toPandas().set_index("vec_id")
+    )
+    emb = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1e6)
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .filter("vec_id < 40")
+        .collect()
+    }
+    # sanity: the projection really is the signed sum it claims
+    s0 = np.array(_jl_signs(0, EMB_DIM))
+    vid = proj.index[0]
+    assert proj.loc[vid, "p0"] == int(emb[vid] @ s0)
+
+    ratios = []
+    ids = sorted(emb)
+    for a, b in zip(ids[:-1], ids[1:]):
+        d_orig = float(((emb[a] - emb[b]) ** 2).sum())
+        pa = proj.loc[a].to_numpy(dtype=np.float64)
+        pb = proj.loc[b].to_numpy(dtype=np.float64)
+        d_proj = float(((pa - pb) ** 2).sum()) / _JL_OUT_DIMS
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 < mean < 1.4, mean  # E[ratio]=1; k=8 gives wide but bounded spread
