@@ -55,3 +55,55 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "event_type" in pf_line
     assert back.count() == src.filter(F.col("event_type") == "click").count()
+
+
+def test_jsonl_source_pinned_schema_lineage_and_quarantine(spark, tmp_path):
+    """JSONL source contract: pinned schema (no inference pass), per-row
+    executor-side lineage, malformed lines quarantined — never silently
+    dropped — and type mismatches land in quarantine too (PERMISSIVE
+    with a corrupt-record column)."""
+    from pyspark.sql import types as T
+
+    from airflow_postgres_etl_spark.sources.json_source import (
+        list_json_files,
+        read_jsonl,
+        split_corrupt,
+    )
+
+    d = tmp_path / "jsonl"
+    d.mkdir()
+    (d / "20240102-000000000.jsonl").write_text(
+        '{"id": 1, "name": "a"}\n'
+        'this line is not json\n'
+        '{"id": 3, "name": "c"}\n'
+    )
+    (d / "20240101-000000000.jsonl").write_text('{"id": 0, "name": "z"}\n')
+
+    assert list_json_files(str(d)) == [
+        "20240101-000000000.jsonl",
+        "20240102-000000000.jsonl",
+    ]
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    df = read_jsonl(spark, str(d), schema)
+    good, bad = split_corrupt(df)
+    rows = {r.id: r for r in good.collect()}
+    assert set(rows) == {0, 1, 3}
+    assert rows[0].fileName == "20240101-000000000.jsonl"
+    assert rows[1].fileName == "20240102-000000000.jsonl"
+    quarantined = bad.collect()
+    assert len(quarantined) == 1
+    assert quarantined[0]._corrupt_record.startswith("this line")
+    assert quarantined[0].fileName == "20240102-000000000.jsonl"
+
+    # predefining the corrupt column is a caller error, not silent shadowing
+    import pytest
+
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl(
+            spark,
+            str(d),
+            T.StructType([T.StructField("_corrupt_record", T.StringType())]),
+        )

@@ -116,3 +116,103 @@ def test_sink_commit_protocol_runs_on_fake_store(spark, tmp_path):
     # and reading through the DEFAULT (local) store finds nothing
     with pytest.raises(FileNotFoundError):
         read_keyed_table(spark, target)
+
+def test_rebucket_is_pure_reorganization(spark, tmp_path):
+    """rebucket_keyed_table: content identical, new bucket layout live
+    (files under new __bucket dirs, spec updated), version bumped once,
+    old files retired not deleted, and merges continue under the new
+    layout while old-layout writers are rejected."""
+    from airflow_postgres_etl_spark.sink import (
+        _load_manifest,
+        keyed_overwrite_parquet,
+        read_keyed_table,
+        rebucket_keyed_table,
+        table_version,
+    )
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    target = str(tmp_path / "t")
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(f"k{j}", i * 10 + j) for j in range(8)], ["oid__id", "v"]
+        )
+        keyed_overwrite_parquet(spark, batch, target, num_buckets=2, vacuum=False)
+    before = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
+    m0 = _load_manifest(target, LOCAL_STORE)
+    old_files = [f for fs in m0["buckets"].values() for f in fs]
+
+    rebucket_keyed_table(spark, target, 8)
+
+    m1 = _load_manifest(target, LOCAL_STORE)
+    assert m1["version"] == m0["version"] + 1
+    assert len(m1["buckets"]) > len(m0["buckets"])  # 8 keys spread wider than 2
+    after = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
+    assert after == before
+    retired = {e["path"] for e in m1["retired"]}
+    for f in old_files:
+        assert f in retired
+        assert os.path.exists(os.path.join(target, f))  # retained for readers
+    spec = LOCAL_STORE.read_json(os.path.join(target, "_bucket_spec.json"))
+    assert spec["num_buckets"] == 8
+
+    # same count is a no-op
+    rebucket_keyed_table(spark, target, 8)
+    assert table_version(target) == m1["version"]
+
+    # merges continue under the new layout; the old layout is rejected
+    nxt = spark.createDataFrame([("k0", 777)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, nxt, target, num_buckets=8, vacuum=False)
+    got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
+    assert ("k0", 777) in got and len(got) == len(before)
+    with pytest.raises(ValueError, match="bucket layout"):
+        keyed_overwrite_parquet(spark, nxt, target, num_buckets=2, vacuum=False)
+
+
+def test_rebucket_loses_cas_to_concurrent_merge(spark, tmp_path):
+    """A merge landing between the re-bucketing's manifest read and its
+    commit must win: ConcurrentWriteError propagates, the table keeps
+    the merge's content under the OLD layout, and the spec is untouched
+    (it is only rewritten after a successful CAS)."""
+    from airflow_postgres_etl_spark.sink import (
+        _manifest_path,
+        keyed_overwrite_parquet,
+        read_keyed_table,
+        rebucket_keyed_table,
+    )
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE, ConcurrentWriteError
+
+    target = str(tmp_path / "t")
+    for i in range(2):
+        batch = spark.createDataFrame(
+            [(f"k{j}", i * 10 + j) for j in range(4)], ["oid__id", "v"]
+        )
+        keyed_overwrite_parquet(spark, batch, target, num_buckets=2, vacuum=False)
+
+    class RacingStore:
+        def __init__(self):
+            self.armed = True
+
+        def read_json(self, path):
+            return LOCAL_STORE.read_json(path)
+
+        def exists(self, path):
+            return LOCAL_STORE.exists(path)
+
+        def write_json(self, path, obj):
+            LOCAL_STORE.write_json(path, obj)
+
+        def replace_if_version(self, path, manifest, expected_version):
+            if self.armed and path == _manifest_path(target):
+                self.armed = False
+                racing = spark.createDataFrame([("k0", 999)], ["oid__id", "v"])
+                keyed_overwrite_parquet(
+                    spark, racing, target, num_buckets=2, vacuum=False
+                )
+            LOCAL_STORE.replace_if_version(path, manifest, expected_version)
+
+    with pytest.raises(ConcurrentWriteError):
+        rebucket_keyed_table(spark, target, 8, store=RacingStore())
+    got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
+    assert ("k0", 999) in got
+    spec = LOCAL_STORE.read_json(os.path.join(target, "_bucket_spec.json"))
+    assert spec["num_buckets"] == 2  # old layout still authoritative
