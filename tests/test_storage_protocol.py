@@ -216,3 +216,52 @@ def test_rebucket_loses_cas_to_concurrent_merge(spark, tmp_path):
     assert ("k0", 999) in got
     spec = LOCAL_STORE.read_json(os.path.join(target, "_bucket_spec.json"))
     assert spec["num_buckets"] == 2  # old layout still authoritative
+
+
+def test_time_travel_reads_historical_snapshots(spark, tmp_path):
+    """Every commit publishes an immutable versioned manifest; version=N
+    reads reproduce each historical snapshot exactly while retained, and
+    a vacuumed snapshot fails loudly (named missing file) instead of
+    returning a torn table."""
+    from airflow_postgres_etl_spark.sink import (
+        keyed_overwrite_parquet,
+        read_keyed_table,
+        table_history,
+        vacuum_keyed_table,
+    )
+
+    target = str(tmp_path / "t")
+    snapshots = {}
+    state: dict[str, int] = {}
+    for i in range(1, 4):
+        batch = spark.createDataFrame(
+            [(f"k{i}", i), ("k0", i * 100)], ["oid__id", "v"]
+        )
+        keyed_overwrite_parquet(spark, batch, target, num_buckets=2, vacuum=False)
+        state.update({f"k{i}": i, "k0": i * 100})
+        snapshots[i] = dict(state)
+
+    assert table_history(target) == [1, 2, 3]
+    for v, expect in snapshots.items():
+        got = {
+            r.oid__id: r.v
+            for r in read_keyed_table(spark, target, version=v).collect()
+        }
+        assert got == expect, v
+    # current read == latest version read
+    cur = {r.oid__id: r.v for r in read_keyed_table(spark, target).collect()}
+    assert cur == snapshots[3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="version 9"):
+        read_keyed_table(spark, target, version=9)
+
+    # retention-0 vacuum collects superseded data AND stale snapshots;
+    # the historical read now fails loudly, current stays intact
+    vacuum_keyed_table(target, retention_s=0)
+    assert table_history(target) == [3]
+    with _pytest.raises(FileNotFoundError, match="version 1"):
+        read_keyed_table(spark, target, version=1)
+    cur2 = {r.oid__id: r.v for r in read_keyed_table(spark, target).collect()}
+    assert cur2 == snapshots[3]
