@@ -684,3 +684,45 @@ def test_legacy_unmanifested_layout_is_adopted(spark, tmp_path):
     assert os.path.exists(os.path.join(target, "_manifest.json"))
     got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
     assert got == {("a", 9), ("b", 2), ("c", 3), ("d", 4)}
+
+
+def test_keyed_merge_additive_schema_evolution(spark, tmp_path):
+    """A batch may ADD columns (existing rows null-fill them across every
+    read path: current, time-travel-adjacent merges, rebucket); a batch
+    MISSING an existing column is rejected — silent per-key nulling in a
+    replace-by-key sink is data loss."""
+    import pytest as _pytest
+
+    from airflow_postgres_etl_spark.sink import (
+        keyed_overwrite_parquet,
+        read_keyed_table,
+        rebucket_keyed_table,
+    )
+
+    target = str(tmp_path / "t")
+    v1 = spark.createDataFrame([("a", 1), ("b", 2)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, v1, target, num_buckets=2, vacuum=False)
+
+    v2 = spark.createDataFrame(
+        [("a", 10, "x"), ("c", 30, "y")], ["oid__id", "v", "extra"]
+    )
+    keyed_overwrite_parquet(spark, v2, target, num_buckets=2, vacuum=False)
+
+    got = {
+        r.oid__id: (r.v, r.extra)
+        for r in read_keyed_table(spark, target).collect()
+    }
+    assert got == {"a": (10, "x"), "b": (2, None), "c": (30, "y")}
+
+    # dropping a column is rejected with the column named
+    narrow = spark.createDataFrame([("b",)], ["oid__id"])
+    with _pytest.raises(ValueError, match="missing existing column.*'v'"):
+        keyed_overwrite_parquet(spark, narrow, target, num_buckets=2)
+
+    # the mixed-schema table survives re-bucketing intact
+    rebucket_keyed_table(spark, target, 8)
+    got2 = {
+        r.oid__id: (r.v, r.extra)
+        for r in read_keyed_table(spark, target).collect()
+    }
+    assert got2 == got

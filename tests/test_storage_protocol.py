@@ -265,3 +265,57 @@ def test_time_travel_reads_historical_snapshots(spark, tmp_path):
         read_keyed_table(spark, target, version=1)
     cur2 = {r.oid__id: r.v for r in read_keyed_table(spark, target).collect()}
     assert cur2 == snapshots[3]
+
+
+def test_table_changes_between_snapshots(spark, tmp_path):
+    """Change feed from the version manifests alone (no write-time log):
+    inserts, updates, deletes per key between any two snapshots,
+    schema-stable even across an additive column evolution."""
+    from airflow_postgres_etl_spark.sink import (
+        keyed_overwrite_parquet,
+        read_keyed_table,
+        table_changes,
+    )
+
+    target = str(tmp_path / "t")
+    v1 = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, v1, target, num_buckets=2, vacuum=False)
+    # v2: update a, insert d (b, c untouched)
+    v2 = spark.createDataFrame([("a", 10), ("d", 4)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, v2, target, num_buckets=2, vacuum=False)
+    # v3: additive column; update b
+    v3 = spark.createDataFrame([("b", 20, "x")], ["oid__id", "v", "extra"])
+    keyed_overwrite_parquet(spark, v3, target, num_buckets=2, vacuum=False)
+
+    got12 = {
+        (r.oid__id, r.change_type)
+        for r in table_changes(spark, target, 1, 2).collect()
+    }
+    assert got12 == {("a", "update"), ("d", "insert")}
+
+    # v2 -> current (v3): b updated (new column arrived with a value);
+    # a/c/d byte-identical rows -> no row, even though the SCHEMA widened
+    got2c = {
+        (r.oid__id, r.change_type)
+        for r in table_changes(spark, target, 2).collect()
+    }
+    assert got2c == {("b", "update")}
+
+    # full span composes
+    got13 = {
+        (r.oid__id, r.change_type)
+        for r in table_changes(spark, target, 1, 3).collect()
+    }
+    assert got13 == {("a", "update"), ("b", "update"), ("d", "insert")}
+
+    # deletes: replace-by-key can't delete, but a rewritten snapshot can
+    # (rebucket after manually shrinking is out of scope) — same-version
+    # diff is empty instead
+    assert table_changes(spark, target, 3, 3).count() == 0
+
+    # payloads are full-row JSON
+    row = {
+        r.oid__id: r
+        for r in table_changes(spark, target, 2, 3).collect()
+    }["b"]
+    assert '"v":2' in row.old_row and '"v":20' in row.new_row and '"extra":"x"' in row.new_row
