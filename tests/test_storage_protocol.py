@@ -319,3 +319,77 @@ def test_table_changes_between_snapshots(spark, tmp_path):
         for r in table_changes(spark, target, 2, 3).collect()
     }["b"]
     assert '"v":2' in row.old_row and '"v":20' in row.new_row and '"extra":"x"' in row.new_row
+
+
+def test_data_skipping_stats_prune_files(spark, tmp_path):
+    """stats_cols: manifest carries per-file min/max from the parquet
+    footers; where= range reads open only files whose range can match
+    (asserted via inputFiles), results equal read-then-filter exactly,
+    stats persist through later merges without re-passing the flag, and
+    a disjoint range returns an empty frame with the right schema."""
+    from airflow_postgres_etl_spark.sink import (
+        _load_manifest,
+        keyed_overwrite_parquet,
+        read_keyed_table,
+        rebucket_keyed_table,
+    )
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    target = str(tmp_path / "t")
+    # two batches with DISJOINT v ranges, keys chosen so each batch lands
+    # ENTIRELY in its own bucket: a merge rewrites affected buckets
+    # wholesale, so mixing buckets would blend each file's value range
+    # and leave nothing for stats to prune.  (This is also the real
+    # workload where skipping pays: time-correlated merges touch few
+    # buckets, untouched files keep narrow old ranges.)
+    from pyspark.sql import functions as F
+
+    cand = spark.range(400).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        F.pmod(F.xxhash64(F.concat(F.lit("k"), F.col("id"))), F.lit(2)).alias("b"),
+    )
+    b0 = [r.k for r in cand.filter("b = 0").take(10)]
+    b1 = [r.k for r in cand.filter("b = 1").take(10)]
+    lo_batch = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(b0)], ["oid__id", "v"]
+    )
+    hi_batch = spark.createDataFrame(
+        [(k, 1000 + i) for i, k in enumerate(b1)], ["oid__id", "v"]
+    )
+    keyed_overwrite_parquet(
+        spark, lo_batch, target, num_buckets=2, vacuum=False, stats_cols=["v"]
+    )
+    # NOTE: no stats_cols here — the tracked set must be remembered
+    keyed_overwrite_parquet(spark, hi_batch, target, num_buckets=2, vacuum=False)
+
+    m = _load_manifest(target, LOCAL_STORE)
+    assert m["stats"], "manifest carries no stats"
+    assert all("v" in s for s in m["stats"].values())
+
+    full = read_keyed_table(spark, target)
+    n_all_files = len(full.inputFiles())
+    expect = {
+        (r.oid__id, r.v) for r in full.collect() if r.v >= 1000
+    }
+
+    pruned = read_keyed_table(spark, target, where=("v", 1000, None))
+    got = {(r.oid__id, r.v) for r in pruned.collect()}
+    assert got == expect
+    assert len(pruned.inputFiles()) < n_all_files  # skipped low files
+
+    # a range nothing can match: empty result, schema intact, 1 file max
+    none = read_keyed_table(spark, target, where=("v", 5000, 9000))
+    assert none.count() == 0
+    assert set(none.columns) == {"oid__id", "v"}
+    assert len(none.inputFiles()) <= 1
+
+    # residual filter still applies WITHIN surviving files
+    mid = read_keyed_table(spark, target, where=("v", 3, 5))
+    assert {r.v for r in mid.collect()} == {3, 4, 5}
+
+    # stats survive a rebucket (recomputed from the new footers)
+    rebucket_keyed_table(spark, target, 4)
+    m2 = _load_manifest(target, LOCAL_STORE)
+    assert m2["stats"] and all("v" in s for s in m2["stats"].values())
+    pruned2 = read_keyed_table(spark, target, where=("v", 1000, None))
+    assert {(r.oid__id, r.v) for r in pruned2.collect()} == expect
