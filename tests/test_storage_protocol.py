@@ -393,3 +393,47 @@ def test_data_skipping_stats_prune_files(spark, tmp_path):
     assert m2["stats"] and all("v" in s for s in m2["stats"].values())
     pruned2 = read_keyed_table(spark, target, where=("v", 1000, None))
     assert {(r.oid__id, r.v) for r in pruned2.collect()} == expect
+
+
+def test_clustering_makes_skipping_effective(spark, tmp_path):
+    """cluster_keyed_table: after one merge whose values span the full
+    range in every bucket (worst case for skipping — nothing prunable),
+    clustering splits each bucket into value-contiguous files and the
+    same range read opens a FRACTION of the files, with identical
+    results and an intact bucket layout for later merges."""
+    from airflow_postgres_etl_spark.sink import (
+        _load_manifest,
+        cluster_keyed_table,
+        keyed_overwrite_parquet,
+        read_keyed_table,
+    )
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    target = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(400)], ["oid__id", "v"]
+    )
+    keyed_overwrite_parquet(
+        spark, batch, target, num_buckets=2, vacuum=False, stats_cols=["v"]
+    )
+    # hash buckets blend ranges: the range read must open every file
+    base = read_keyed_table(spark, target, where=("v", 0, 49))
+    assert len(base.inputFiles()) == 2
+    expect = {(r.oid__id, r.v) for r in base.collect()}
+    assert len(expect) == 50
+
+    cluster_keyed_table(spark, target, "v", files_per_bucket=4)
+    m = _load_manifest(target, LOCAL_STORE)
+    n_files = sum(len(fs) for fs in m["buckets"].values())
+    assert n_files > 2  # buckets actually split
+    clustered = read_keyed_table(spark, target, where=("v", 0, 49))
+    assert {(r.oid__id, r.v) for r in clustered.collect()} == expect
+    assert len(clustered.inputFiles()) < n_files / 2  # real pruning now
+
+    # merges still work against the clustered layout
+    up = spark.createDataFrame([("k0", 9999)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, up, target, num_buckets=2, vacuum=False)
+    got = {
+        r.v for r in read_keyed_table(spark, target, where=("v", 9000, None)).collect()
+    }
+    assert got == {9999}
