@@ -437,3 +437,26 @@ def test_clustering_makes_skipping_effective(spark, tmp_path):
         r.v for r in read_keyed_table(spark, target, where=("v", 9000, None)).collect()
     }
     assert got == {9999}
+
+
+def test_lookup_keys_reads_only_matching_buckets(spark, tmp_path):
+    """Point lookup: a k-key read opens only the buckets those keys hash
+    to (inputFiles subset), returns exactly the requested live rows, and
+    an absent key yields nothing rather than an error."""
+    from airflow_postgres_etl_spark.sink import (
+        keyed_overwrite_parquet,
+        lookup_keys,
+        read_keyed_table,
+    )
+
+    target = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(64)], ["oid__id", "v"]
+    )
+    keyed_overwrite_parquet(spark, batch, target, num_buckets=16, vacuum=False)
+
+    total_files = len(read_keyed_table(spark, target).inputFiles())
+    hit = lookup_keys(spark, target, ["k3", "k40", "nope"])
+    rows = {(r.oid__id, r.v) for r in hit.collect()}
+    assert rows == {("k3", 3), ("k40", 40)}
+    assert len(hit.inputFiles()) < total_files  # bucket-pruned, not a scan

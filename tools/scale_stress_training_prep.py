@@ -65,6 +65,104 @@ def naive_pack(docs, budget: int = 512):
     )
 
 
+def bpe_stress(ns: list[int]) -> None:
+    """Measure the BPE decoupling claim: replicate documents WITHOUT
+    salting (same text, shifted ids) so the corpus grows N× while the
+    vocabulary stays CONSTANT — the word-frequency pass should scale
+    with the corpus, the merge iterations should stay flat (they touch
+    only the vocab).  Run with `--bpe`."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.caching import release_caches
+    from airflow_postgres_etl_spark.operators import text as X
+    from airflow_postgres_etl_spark.plans.extensions import _BPE_MERGES
+
+    spark = get_spark(app_name="scale_stress_bpe")
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    for n in ns:
+        copies = [
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            for i in range(n)
+        ]
+        docs = copies[0]
+        for c in copies[1:]:
+            docs = docs.unionByName(c)
+        release_caches()
+        # corpus pass alone: the word-frequency aggregate
+        t0 = time.time()
+        vocab_size = (
+            docs.select(F.explode(X.tokens_expr()).alias("w"))
+            .groupBy("w")
+            .count()
+            .count()
+        )
+        corpus_pass_s = time.time() - t0
+        # full run (corpus pass + all merge iterations on the vocab);
+        # per-iteration timing uses a driver-materialized argmax — same
+        # dataflow as the registered lazy query, instrumented per round
+        release_caches()
+        t1 = time.time()
+        from airflow_postgres_etl_spark.plans import extensions as E
+
+        words = docs.select(F.explode(X.tokens_expr()).alias("word")).groupBy(
+            "word"
+        ).agg(F.count("*").alias("weight")).repartition(E._BPE_VOCAB_PARTITIONS)
+        from airflow_postgres_etl_spark.caching import register_cache
+
+        words = register_cache(words)
+        syms = words.withColumn(
+            "sym",
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.regexp_extract_all("word", F.lit("."), 0), " "),
+                F.lit(" "),
+            ),
+        )
+        iter_times = []
+        for i in range(_BPE_MERGES):
+            ti = time.time()
+            s = F.filter(F.split(F.col("sym"), " "), lambda x: x != "")
+            pair_arr = F.when(
+                F.size(s) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda j: F.concat(
+                        F.element_at(s, j), F.lit(" "), F.element_at(s, j + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            pairs = syms.select("weight", F.explode(pair_arr).alias("pa"))
+            best_row = (
+                pairs.groupBy("pa")
+                .agg(F.sum("weight").alias("freq"))
+                .orderBy(F.desc("freq"), "pa")
+                .limit(1)
+                .collect()[0]
+            )
+            pat = F.lit(f" {best_row.pa} ")
+            rep = F.lit(" " + best_row.pa.replace(" ", "") + " ")
+            syms = syms.withColumn(
+                "sym", F.replace(F.replace(F.col("sym"), pat, rep), pat, rep)
+            )
+            iter_times.append(round(time.time() - ti, 3))
+        total_s = time.time() - t1
+        release_caches()
+        print(
+            json.dumps(
+                {
+                    "mode": "bpe",
+                    "n_copies": n,
+                    "n_docs": n * 5000,
+                    "vocab": int(vocab_size),
+                    "corpus_pass_s": round(corpus_pass_s, 2),
+                    "iter_s": iter_times,
+                    "total_s": round(total_s, 2),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main(ns: list[int]) -> None:
     spark = get_spark(app_name="scale_stress_training_prep")
     base = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
@@ -110,4 +208,8 @@ def main(ns: list[int]) -> None:
 
 
 if __name__ == "__main__":
-    main([int(a) for a in sys.argv[1:]] or [1, 4, 16, 64])
+    args = sys.argv[1:]
+    if args and args[0] == "--bpe":
+        bpe_stress([int(a) for a in args[1:]] or [1, 4, 16, 64])
+    else:
+        main([int(a) for a in args] or [1, 4, 16, 64])
