@@ -4110,3 +4110,122 @@ def pipeline_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling with forward fill (the TimescaleDB
+# time_bucket_gapfill + locf shape): a dense hourly spine over the data's
+# span, zero-filled counts, and last-observation-carried-forward for the
+# hourly mean.  The LOCF is the same two-level decomposition as
+# pipeline_pack_sequences — a naive global `last_value IGNORE NULLS`
+# window funnels the whole series through ONE partition; instead the
+# fill runs per-day in parallel and a tiny per-day carry table
+# (≤ #days rows, its own single-partition window is nothing) broadcasts
+# the previous days' last value across day boundaries.  The oracle IS
+# the naive single-window form, so the differential proves the
+# decomposition exact — boundary hours included.
+# ---------------------------------------------------------------------------
+@query(
+    "q_gap_fill_hourly",
+    """
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1
+    ),
+    spine AS (
+        SELECT unnest(generate_series((SELECT min(hour) FROM h),
+                                      (SELECT max(hour) FROM h),
+                                      INTERVAL 1 HOUR)) AS hour
+    ),
+    joined AS (
+        SELECT s.hour, COALESCE(h.n_events, 0) AS n_events, h.avg_value
+        FROM spine s LEFT JOIN h ON s.hour = h.hour
+    )
+    SELECT hour, CAST(n_events AS BIGINT) AS n_events,
+           last_value(avg_value IGNORE NULLS) OVER (
+               ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_avg
+    FROM joined
+    ORDER BY hour
+    """,
+)
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    bounds = h.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    joined = spine.join(h, "hour", "left").select(
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "avg_value",
+        F.date_trunc("day", "hour").alias("day"),
+    )
+    w_intra = (
+        Window.partitionBy("day")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = joined.withColumn(
+        "intra_fill", F.last("avg_value", ignorenulls=True).over(w_intra)
+    )
+    # per-day last observed value (tiny: one row per day)
+    day_last = (
+        intra.groupBy("day")
+        .agg(F.max_by("intra_fill", "hour").alias("day_last"))
+    )
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = day_last.select(
+        "day",
+        F.last("day_last", ignorenulls=True).over(w_days).alias("carry"),
+    )
+    return (
+        intra.join(F.broadcast(carry), "day")
+        .select(
+            "hour",
+            "n_events",
+            F.coalesce("intra_fill", "carry").alias("filled_avg"),
+        )
+        .orderBy("hour")
+    )
+
+
+# Value-distribution histogram per group: fixed-width buckets as a pure
+# projection (floor arithmetic — no UDF, no shuffle before the count),
+# the building block of data-quality profiling at corpus scale.
+@query(
+    "q_histogram",
+    """
+    SELECT event_type,
+           CAST(least(floor(value / 33.0), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 33.0), F.lit(9)).cast("long")
+    return (
+        events.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -104,6 +104,9 @@ HEADLINE = [
     "pipeline_training_corpus",
     "sim_jl_projection",
     "pipeline_decontaminate_fuzzy",
+    # round-5: time-series gap fill (two-level LOCF) + profiling histogram
+    "q_gap_fill_hourly",
+    "q_histogram",
 ]
 
 

@@ -319,3 +319,15 @@ def test_training_corpus_pipeline_composes_without_corpus_shuffle(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gap_fill_locf_is_two_level(spark):
+    """The forward fill must not funnel the series through one
+    partition: the intra window partitions by day; the only
+    SinglePartition work is the per-day carry table and the final
+    presentation sort."""
+    plan = plan_of(spark, "q_gap_fill_hourly")
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("day" in ln for ln in window_lines)
+    assert "BroadcastHashJoin" in plan  # carry broadcasts back
+    assert "CartesianProduct" not in plan
