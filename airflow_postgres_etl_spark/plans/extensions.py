@@ -4229,3 +4229,104 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (view → click → purchase): per user, a stage counts
+# only if it happens strictly AFTER the previous stage's first
+# occurrence — the product-analytics ordered-conversion query.  One hash
+# aggregate per user computing three conditional minima (min ts of each
+# stage), then pure comparisons; no self-joins, no window over the raw
+# events.  At 100 TB: shuffles once on user_id, aggregate state is three
+# timestamps per user.
+# ---------------------------------------------------------------------------
+@query(
+    "q_funnel",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+           CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+               AS n_view_click,
+           CAST(count(CASE WHEN t_click > t_view AND t_purchase > t_click
+                      THEN 1 END) AS BIGINT) AS n_view_click_purchase
+    FROM per_user
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    t_click_ok = F.when(
+        F.col("t_click") > F.col("t_view"), F.col("t_click")
+    )
+    staged = per_user.select(
+        "t_view",
+        t_click_ok.alias("t_click_ok"),
+        "t_purchase",
+    )
+    return staged.agg(
+        F.count("t_view").cast("long").alias("n_view"),
+        F.count("t_click_ok").cast("long").alias("n_view_click"),
+        F.count(
+            F.when(F.col("t_purchase") > F.col("t_click_ok"), F.lit(1))
+        )
+        .cast("long")
+        .alias("n_view_click_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-seen day; for each (cohort,
+# day-offset) the count of distinct users active that many days later —
+# the standard retention triangle.  Two aggregates (first-seen per user,
+# then the cohort×offset distinct count) + one broadcast-able join on
+# user_id's first day; offsets capped at 7 to keep the output a stable
+# differential.
+# ---------------------------------------------------------------------------
+@query(
+    "q_retention_cohorts",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events
+        GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    WHERE date_diff('day', f.cohort, a.day) <= 7
+    GROUP BY 1, 2
+    ORDER BY cohort, day_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    joined = activity.join(first_seen, "user_id").withColumn(
+        "day_offset", F.datediff("day", "cohort").cast("long")
+    )
+    return (
+        joined.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort", "day_offset")
+    )

@@ -107,6 +107,9 @@ HEADLINE = [
     # round-5: time-series gap fill (two-level LOCF) + profiling histogram
     "q_gap_fill_hourly",
     "q_histogram",
+    # round-5: product analytics — ordered funnel + retention triangle
+    "q_funnel",
+    "q_retention_cohorts",
 ]
 
 
