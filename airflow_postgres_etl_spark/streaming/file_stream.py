@@ -102,3 +102,56 @@ def dedup_event_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         id_cols or ["event_id"]
     )
+
+
+def interval_join_streams(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval join: each click pairs with the same user's
+    view that happened at most ``max_lag`` before it — the attribution
+    join, continuously.
+
+    The two pieces Spark needs to keep state BOUNDED (without them a
+    stream-stream join would buffer both streams forever):
+
+    - a **watermark on both sides** — how late either stream's events
+      may arrive; state older than the watermark is evicted;
+    - the **time-range predicate** in the join condition — tells the
+      engine how long a view can possibly still match (``max_lag``), so
+      each side's buffered rows expire deterministically.
+
+    State per key is therefore O(events within watermark + lag), not
+    O(stream) — the property that makes this runnable forever at
+    100 TB/day.  Inner join: unmatched rows simply age out; switch to
+    ``leftOuter`` for unattributed-click analysis (same bounds).
+
+    Both inputs must be STREAMING DataFrames with ``user_id``, ``ts``,
+    ``event_id`` columns (e.g. two filtered readers of an events
+    stream).
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    cond = (
+        (v.v_user == c.c_user)
+        & (c.c_ts >= v.v_ts)
+        & (c.c_ts <= v.v_ts + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return v.join(c, cond, "inner").select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "v_ts",
+        "c_ts",
+    )

@@ -279,3 +279,70 @@ def test_stream_training_ingest_matches_batch_application(spark, tmp_path):
     assert q4.exception() is None
     got2 = {r.doc_id for r in spark.read.parquet(out2).collect()}
     assert got2 == {6}  # only the unknown source survives
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream attribution join: clicks pair with the same user's
+    view ≤ 5 minutes earlier.  The streaming result over file-fed
+    micro-batches must equal the batch interval join over the same
+    rows, and the physical plan must carry watermarks on BOTH sides
+    (the state bound)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.streaming.file_stream import (
+        interval_join_streams,
+    )
+
+    src, out_ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(eid, minutes, user, etype):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype)
+
+    rows = [
+        row(1, 0, 7, "view"),
+        row(2, 3, 7, "click"),    # pairs with view 1 (3 min lag)
+        row(3, 9, 7, "click"),    # too late for view 1 (9 min)
+        row(4, 10, 8, "view"),
+        row(5, 11, 8, "click"),   # pairs with view 4
+        row(6, 11, 9, "click"),   # no view for user 9
+        row(7, 20, 8, "view"),
+        row(8, 22, 8, "click"),   # pairs with view 7 only (12 min after 4)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = interval_join_streams(
+        stream.filter("event_type = 'view'"),
+        stream.filter("event_type = 'click'"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", out_ck)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {
+        (r.view_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    assert got == {(1, 2), (4, 5), (7, 8)}
+
+    # batch twin over the same frame agrees
+    batch = spark.read.parquet(src)
+    b = interval_join_streams(
+        batch.filter("event_type = 'view'"),
+        batch.filter("event_type = 'click'"),
+    )
+    assert {(r.view_id, r.click_id) for r in b.collect()} == got
+
+    # the state bound is real: watermarks on both inputs
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
