@@ -4330,3 +4330,83 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
         .orderBy("cohort", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving activity (EWMA, decay ½ per hour, 24 h
+# horizon) — EXACT, no float accumulation anywhere: over the gap-filled
+# dense hourly series, ewma_scaled(t) = Σ_{k=0..23} n(t−k) · 2^(23−k),
+# an integer (the real EWMA times 2^23).  A plain window sum cannot
+# express pair-dependent weights, so the 24 decay terms are GENERATED as
+# lag() expressions — all integer, order-free, bit-identical on both
+# engines with no rounding rule.  Shape: the dense (type × hour) spine
+# is one sequence-explode cross join; the lags partition by event_type —
+# parallel across groups, 24-row state per partition stream.
+# ---------------------------------------------------------------------------
+_EWMA_H = 24
+
+
+def _sql_ewma_terms() -> str:
+    return " + ".join(
+        f"lag(n, {k}, 0) OVER w * {2 ** (_EWMA_H - 1 - k)}"
+        for k in range(_EWMA_H)
+    )
+
+
+@query(
+    "q_ewma_hourly",
+    f"""
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT t.event_type, s.hour
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series((SELECT min(hour) FROM h),
+                                          (SELECT max(hour) FROM h),
+                                          INTERVAL 1 HOUR)) AS hour) s
+    ),
+    dense AS (
+        SELECT s.event_type, s.hour, COALESCE(h.n, 0) AS n
+        FROM spine s LEFT JOIN h
+          ON s.event_type = h.event_type AND s.hour = h.hour
+    )
+    SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+           CAST({_sql_ewma_terms()} AS BIGINT) AS ewma_scaled
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    ORDER BY event_type, hour
+    """,
+)
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    bounds = h.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    types = events.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(hours))
+        .join(h, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    ewma = sum(
+        F.lag("n", k, 0).over(w) * F.lit(2 ** (_EWMA_H - 1 - k))
+        for k in range(_EWMA_H)
+    )
+    return dense.select(
+        "event_type",
+        "hour",
+        F.col("n").cast("long").alias("n"),
+        ewma.cast("long").alias("ewma_scaled"),
+    ).orderBy("event_type", "hour")

@@ -110,6 +110,7 @@ HEADLINE = [
     # round-5: product analytics — ordered funnel + retention triangle
     "q_funnel",
     "q_retention_cohorts",
+    "q_ewma_hourly",
 ]
 
 
