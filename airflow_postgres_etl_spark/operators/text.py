@@ -148,3 +148,67 @@ def redact_pii_expr(col: str | Column = "text") -> Column:
     for _kind, pat, placeholder in PII_PATTERNS:
         out = F.regexp_replace(out, pat, placeholder)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking — the dual of sequence packing: split each
+# document into fixed-size token windows with overlap (stride < chunk) so
+# no span longer than the model context is lost at a chunk boundary.
+# ---------------------------------------------------------------------------
+
+#: default window: 64 tokens per chunk, new chunk every 48 -> 16-token
+#: overlap between consecutive chunks (sized for the synthetic docs;
+#: production would use the model context, e.g. 8192/6144).
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    docs,
+    chunk_size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sliding-window token chunks per document, one output row per chunk.
+
+    Chunk ``k`` covers tokens ``[k*stride, k*stride + chunk_size)``; the
+    chunk count is ``1 + ceil((n - chunk_size) / stride)`` for ``n >
+    chunk_size`` (every token covered, and every chunk past the first
+    contributes at least one NEW token — no fully-redundant tail chunk),
+    ``1`` for ``0 < n <= chunk_size``, ``0`` for empty documents.
+
+    Pure JVM: tokenize -> ``sequence`` over chunk indices -> ``slice`` ->
+    ``posexplode``.  Narrow per-document work after the scan — no
+    shuffle, no Python; at 100 TB this is a map-only pass whose output
+    row count is ~``n_tokens / stride``.
+
+    Columns: ``doc_id, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_md5`` (md5 of the space-joined chunk tokens — the compact
+    content witness; downstream packing consumes the tokens themselves).
+    """
+    if stride <= 0 or chunk_size < stride:
+        raise ValueError("need 0 < stride <= chunk_size")
+    d = (
+        docs.select(id_col, tokens_expr(text_col).alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    # integer ceil via DIV — no float in the chunk count
+    n_chunks = F.when(F.col("__n") <= chunk_size, F.lit(1)).otherwise(
+        F.expr(f"1 + (__n - {chunk_size} + {stride} - 1) DIV {stride}")
+    )
+    ks = F.sequence(F.lit(0).cast("long"), n_chunks.cast("long") - 1)
+    exploded = d.select(
+        id_col, "__toks", F.explode(ks).alias("chunk_idx")
+    )
+    chunk = F.slice(
+        "__toks", (F.col("chunk_idx") * stride + 1).cast("int"), chunk_size
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -4410,3 +4410,119 @@ def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         ewma.cast("long").alias("ewma_scaled"),
     ).orderBy("event_type", "hour")
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking — the dual of pipeline_pack_sequences: split
+# each document into CHUNK_SIZE-token windows every CHUNK_STRIDE tokens
+# (overlap = size - stride) so no cross-boundary span is lost.  Map-only
+# after the scan (tokenize -> sequence -> slice -> explode), no shuffle:
+# at 100 TB this is the cheapest pass in the prep pipeline, output rows
+# ~ n_tokens / stride.  The chunk count rule (1 + ceil((n - size) /
+# stride), no fully-redundant tail chunk) is mirrored by the oracle's
+# integer arithmetic exactly.
+# ---------------------------------------------------------------------------
+_CH_SQL_SLICE = (
+    f"list_slice(toks, k * {X.CHUNK_STRIDE} + 1, "
+    f"k * {X.CHUNK_STRIDE} + {X.CHUNK_SIZE})"
+)
+
+
+@query(
+    "pipeline_chunk_documents",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (
+        SELECT doc_id, toks, n,
+               CASE WHEN n <= {X.CHUNK_SIZE} THEN 1
+                    ELSE 1 + (n - {X.CHUNK_SIZE} + {X.CHUNK_STRIDE} - 1)
+                             // {X.CHUNK_STRIDE}
+               END AS nch
+        FROM n
+    ),
+    x AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, nch - 1)) AS k
+        FROM c
+    )
+    SELECT doc_id,
+           k AS chunk_idx,
+           k * {X.CHUNK_STRIDE} AS chunk_start,
+           len({_CH_SQL_SLICE}) AS n_chunk_tokens,
+           md5(array_to_string({_CH_SQL_SLICE}, ' ')) AS chunk_md5
+    FROM x
+    """,
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.chunk_documents(docs)
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8: the IVF probe with int8-scalar-quantized candidate scoring —
+# the 4x-memory-compression ANN tier (FAISS IVF-SQ construction).  The
+# coarse quantizer (cell assignment + probe) is IDENTICAL to
+# sim_knn_ivf_mp; only the candidate cosine runs on codes.  Quantized
+# dot/norms are all-integer, so cross-engine results are exact (not just
+# rounded-equal).  q_i = sign(x) * floor(abs(x) * 127.0 / maxabs + 0.5)
+# is the same IEEE-double expression on both engines.
+# ---------------------------------------------------------------------------
+_SQL_SQ8_SIM = (
+    "round(list_dot_product(qa, ca) / "
+    "nullif(sqrt(list_dot_product(qa, qa)) * "
+    "sqrt(list_dot_product(ca, ca)), 0.0), 6)"
+)
+
+
+@query(
+    "sim_knn_ivf_sq8",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q8 AS (
+        SELECT vec_id,
+               list_transform(
+                   v, x -> CASE WHEN ma = 0 THEN 0
+                           ELSE CAST(floor(abs(x) * 127.0 / ma + 0.5)
+                                     * sign(x) AS BIGINT) END
+               )::DOUBLE[] AS q
+        FROM (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS ma
+              FROM e) s
+    ),
+    cent AS (SELECT vec_id AS c_id, v AS cvv FROM e WHERE vec_id < {S.N_IVF_CELLS}),
+    csims AS (
+        SELECT e.vec_id, c.c_id,
+               round(list_dot_product(e.v, c.cvv) /
+                     nullif(sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(c.cvv, c.cvv)), 0.0), 6) AS csim
+        FROM e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, c_id AS cell FROM csims
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, c_id DESC) = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, c_id AS cell FROM csims
+        WHERE vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, c_id DESC) <= {S.IVF_PROBES}
+    ),
+    pairs AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, qq.q AS qa, qc.q AS ca
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell
+        JOIN q8 qq ON qq.vec_id = p.query_id
+        JOIN q8 qc ON qc.vec_id = a.vec_id
+        WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, {_SQL_SQ8_SIM} AS sq8_sim
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY {_SQL_SQ8_SIM} DESC, neighbor_id) <= 10
+    """,
+)
+def sim_knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_ivf_sq8(emb, KNN_QUERY_IDS, k=10)

@@ -111,6 +111,10 @@ HEADLINE = [
     "q_funnel",
     "q_retention_cohorts",
     "q_ewma_hourly",
+    # round-5: context-window chunking (map-only explode) and the
+    # int8-scalar-quantized IVF scoring tier (4x-compressed candidates)
+    "pipeline_chunk_documents",
+    "sim_knn_ivf_sq8",
 ]
 
 

@@ -331,3 +331,22 @@ def test_gap_fill_locf_is_two_level(spark):
     assert any("day" in ln for ln in window_lines)
     assert "BroadcastHashJoin" in plan  # carry broadcasts back
     assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_map_only(spark):
+    """Chunking must be a narrow scan->generate pass: no shuffle, no
+    Python fallback — at 100 TB it's one map stage."""
+    plan = plan_of(spark, "pipeline_chunk_documents")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the explode over chunk indices
+
+
+def test_sq8_scoring_stays_jvm_and_broadcasts_centroids(spark):
+    """IVF-SQ8: codes are built by codegen'd higher-order functions (no
+    Python), the centroid table broadcasts, and no cartesian product
+    sneaks in — same shape gates as the float IVF path."""
+    plan = plan_of(spark, "sim_knn_ivf_sq8")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -327,3 +327,80 @@ def test_jl_projection_preserves_distances_in_expectation(spark):
             ratios.append(d_proj / d_orig)
     mean = sum(ratios) / len(ratios)
     assert 0.6 < mean < 1.4, mean  # E[ratio]=1; k=8 gives wide but bounded spread
+
+
+def test_chunk_documents_count_coverage_overlap(spark):
+    """Chunk rule pinned: k*48 starts, 64-token windows, count
+    1 + ceil((n-64)/48) (no fully-redundant tail), full token coverage."""
+    import pytest as _pytest
+
+    from airflow_postgres_etl_spark.operators.text import chunk_documents
+
+    sizes = [0, 1, 63, 64, 65, 100, 112, 113, 200]
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in sizes]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in chunk_documents(df).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for n in sizes:
+        chunks = sorted(got.get(n, []), key=lambda r: r.chunk_idx)
+        if n == 0:
+            assert chunks == []
+            continue
+        want_nch = 1 if n <= 64 else 1 + -((n - 64) // -48)  # ceil div
+        assert len(chunks) == want_nch, f"n={n}"
+        for k, c in enumerate(chunks):
+            assert c.chunk_idx == k and c.chunk_start == 48 * k
+            assert c.n_chunk_tokens == min(64, n - 48 * k)
+        # full coverage: last chunk reaches the final token
+        assert chunks[-1].chunk_start + chunks[-1].n_chunk_tokens == n
+        # every chunk past the first contributes new tokens
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert (
+                cur.chunk_start + cur.n_chunk_tokens
+                > prev.chunk_start + prev.n_chunk_tokens
+            )
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, stride=16)
+
+
+def test_sq8_codes_bounded_and_exact(spark):
+    """SQ8 codes: the max-|x| element maps to ±127, all codes in
+    [-127, 127], the zero vector to all-zero codes."""
+    from airflow_postgres_etl_spark.operators.similarity import sq8_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-0.3,]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r.vec_id: r.q for r in df.select("vec_id", sq8_expr("embedding").alias("q")).collect()}
+    assert out[1] == [64, -127, 32, 0]  # round(127*1/2)=63.5->64 half-away
+    assert out[2] == [0, 0, 0, 0]
+    assert out[3] == [-127]
+    assert all(-127 <= v <= 127 for q in out.values() for v in q)
+
+
+def test_sq8_cosine_tracks_float_cosine(spark):
+    """Quantization error bound: over real sf0.001 embedding pairs the
+    SQ8 cosine stays within 0.02 of the float cosine, and the SQ8 top-10
+    overlaps the float IVF top-10 by >= 0.8 (same candidates, compressed
+    scoring)."""
+    from airflow_postgres_etl_spark.operators import similarity as S
+    from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    flt = S.knn_ivf_centroids(emb, qids, k=10)
+    sq8 = S.knn_ivf_sq8(emb, qids, k=10)
+    f_pairs = {(r.query_id, r.neighbor_id): r.cosine_sim for r in flt.collect()}
+    q_rows = sq8.collect()
+    q_pairs = {(r.query_id, r.neighbor_id): r.sq8_sim for r in q_rows}
+    both = set(f_pairs) & set(q_pairs)
+    assert both, "no common pairs"
+    assert max(abs(f_pairs[p] - q_pairs[p]) for p in both) < 0.02
+    overlap = len(both) / len(f_pairs)
+    assert overlap >= 0.8, f"sq8 top-10 overlap {overlap:.2f}"
