@@ -346,3 +346,52 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     # the state bound is real: watermarks on both inputs
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_stream_ingest_mor_matches_cow(spark, tmp_path):
+    """The trickle-upsert mode: merge_mode='mor' must land EXACTLY the
+    same tables as copy-on-write (differential over the same CSV set),
+    with the per-trigger auto-compaction keeping delta depth below the
+    threshold."""
+    from airflow_postgres_etl_spark.sink import table_delta_depth
+    from airflow_postgres_etl_spark.streaming import stream_ingest as _si
+
+    csv_dir = str(tmp_path / "csv")
+    generate(csv_dir)
+
+    def run(mode, **kw):
+        tr, ev, ck = (str(tmp_path / f"{mode}_{d}") for d in ("tr", "ev", "ck"))
+        q = _si(
+            spark, csv_dir, tr, ev, ck,
+            max_files_per_trigger=1, merge_mode=mode, **kw,
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        return tr, ev
+
+    tr_c, ev_c = run("cow")
+    tr_m, ev_m = run("mor", compact_at_depth=2)
+
+    for cow_t, mor_t in ((tr_c, tr_m), (ev_c, ev_m)):
+        cow_df = read_keyed_table(spark, cow_t)
+        # uploadDate is the T10 audit stamp — job wall-clock, so it
+        # differs between the two runs by construction
+        cols = sorted(c for c in cow_df.columns if c != "uploadDate")
+        a = {tuple(r[c] for c in cols) for r in cow_df.collect()}
+        b = {
+            tuple(r[c] for c in cols)
+            for r in read_keyed_table(spark, mor_t).collect()
+        }
+        assert a == b
+        # auto-compaction bounded the delta chain
+        assert table_delta_depth(mor_t) < 2 + 1
+
+
+def test_stream_ingest_rejects_bad_merge_mode(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="merge_mode"):
+        stream_ingest(
+            spark, str(tmp_path), str(tmp_path / "a"), str(tmp_path / "b"),
+            str(tmp_path / "c"), merge_mode="wat",
+        )
