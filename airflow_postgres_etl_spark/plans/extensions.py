@@ -4526,3 +4526,80 @@ _SQL_SQ8_SIM = (
 def sim_knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_ivf_sq8(emb, KNN_QUERY_IDS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame — the "rolling last hour" per-row aggregate,
+# a frame class nothing else in the library exercises (rows-frames and
+# tumbling/sliding buckets are covered; this is the value-range frame).
+# The frame is defined on epoch SECONDS (integer) so both engines bound
+# it identically — FLOORED on both sides: Spark's unix_timestamp
+# truncates sub-second parts while DuckDB's epoch()::BIGINT would ROUND
+# them (found by the sf0.01 differential; sf0.001 has whole-second ts).
+# RANGE ... CURRENT ROW includes all peers of the current second on both
+# engines, making ties order-independent.
+# One shuffle on event_type, one sort per partition — at 100 TB this is
+# the standard single-window shape (and the partition key keeps the
+# global-sort WindowExec warning away).
+# ---------------------------------------------------------------------------
+@query(
+    "q_time_range_window",
+    """
+    SELECT event_id, event_type,
+           CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,
+           round(sum(value) OVER w, 6) AS sum_prev_hour
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prev_hour"),
+        F.round(F.sum("value").over(w), 6).alias("sum_prev_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Second-moment profiling aggregates: stddev/variance/correlation/
+# covariance — the statistical-profiling class (data-quality drift
+# checks over a training corpus run exactly these).  Both engines use
+# single-pass co-moment updates whose accumulation order differs, so
+# every statistic is rounded (4 dp: these are O(1)-magnitude or
+# group-local quantities — user_id, not raw epoch, is the covariate
+# precisely so the covariance magnitude stays round-stable).
+# ---------------------------------------------------------------------------
+@query(
+    "q_numeric_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS mean_value,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(var_samp(value), 4) AS var_value,
+           round(corr(value, user_id::DOUBLE), 4) AS corr_value_user,
+           round(covar_samp(value, user_id::DOUBLE), 4) AS covar_value_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.corr(F.col("value"), u), 4).alias("corr_value_user"),
+        F.round(F.covar_samp(F.col("value"), u), 4).alias("covar_value_user"),
+    )

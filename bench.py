@@ -115,6 +115,9 @@ HEADLINE = [
     # int8-scalar-quantized IVF scoring tier (4x-compressed candidates)
     "pipeline_chunk_documents",
     "sim_knn_ivf_sq8",
+    # round-5: value-RANGE window frame and second-moment profiling aggs
+    "q_time_range_window",
+    "q_numeric_stats",
 ]
 
 

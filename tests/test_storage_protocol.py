@@ -460,3 +460,78 @@ def test_lookup_keys_reads_only_matching_buckets(spark, tmp_path):
     rows = {(r.oid__id, r.v) for r in hit.collect()}
     assert rows == {("k3", 3), ("k40", 40)}
     assert len(hit.inputFiles()) < total_files  # bucket-pruned, not a scan
+
+
+def test_zorder_beats_1d_clustering_on_box_queries(spark, tmp_path):
+    """Z-order (Morton) clustering: a conjunctive 2-D box read prunes on
+    BOTH columns at once — strictly fewer files than 1-D clustering on
+    either column, identical results, merges still work."""
+    from airflow_postgres_etl_spark.sink import (
+        _load_manifest,
+        cluster_keyed_table,
+        keyed_overwrite_parquet,
+        read_keyed_table,
+        zorder_keyed_table,
+    )
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    # 32x32 grid of independent (x, y)
+    rows = [(f"k{i}", i % 32, i // 32) for i in range(1024)]
+    batch = spark.createDataFrame(rows, ["oid__id", "x", "y"])
+    box = [("x", 0, 7), ("y", 0, 7)]  # 1/16 of the value area
+    expect = {(r.oid__id, r.x, r.y) for r in batch.collect() if r.x <= 7 and r.y <= 7}
+
+    def files_opened(target):
+        df = read_keyed_table(spark, target, where=box)
+        assert {(r.oid__id, r.x, r.y) for r in df.collect()} == expect
+        return len(df.inputFiles())
+
+    t1 = str(tmp_path / "oned")
+    keyed_overwrite_parquet(spark, batch, t1, num_buckets=2, vacuum=False,
+                            stats_cols=["x", "y"])
+    cluster_keyed_table(spark, t1, "x", files_per_bucket=16)
+    n_1d = files_opened(t1)
+
+    t2 = str(tmp_path / "zord")
+    keyed_overwrite_parquet(spark, batch, t2, num_buckets=2, vacuum=False)
+    zorder_keyed_table(spark, t2, ["x", "y"], files_per_bucket=16)
+    m = _load_manifest(t2, LOCAL_STORE)
+    n_total = sum(len(fs) for fs in m["buckets"].values())
+    assert n_total > 2  # buckets actually split along the curve
+    n_z = files_opened(t2)
+    assert n_z < n_1d, f"zorder opened {n_z} files, 1-D clustering {n_1d}"
+    assert n_z < n_total / 2
+
+    # merges continue against the z-ordered layout
+    up = spark.createDataFrame([("k0", 99, 99)], ["oid__id", "x", "y"])
+    keyed_overwrite_parquet(spark, up, t2, num_buckets=2, vacuum=False)
+    got = {
+        (r.x, r.y)
+        for r in read_keyed_table(spark, t2, where=[("x", 90, None)]).collect()
+    }
+    assert got == {(99, 99)}
+
+
+def test_multi_predicate_where_single_tuple_compat(spark, tmp_path):
+    """where= accepts the old single tuple and the new list form with
+    identical semantics."""
+    from airflow_postgres_etl_spark.sink import (
+        keyed_overwrite_parquet,
+        read_keyed_table,
+    )
+
+    target = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(f"k{i}", i, -i) for i in range(50)], ["oid__id", "a", "b"]
+    )
+    keyed_overwrite_parquet(spark, batch, target, stats_cols=["a", "b"])
+    single = {r.oid__id for r in read_keyed_table(spark, target, where=("a", 10, 20)).collect()}
+    listed = {r.oid__id for r in read_keyed_table(spark, target, where=[("a", 10, 20)]).collect()}
+    both = {
+        r.oid__id
+        for r in read_keyed_table(
+            spark, target, where=[("a", 10, 20), ("b", -15, None)]
+        ).collect()
+    }
+    assert single == listed == {f"k{i}" for i in range(10, 21)}
+    assert both == {f"k{i}" for i in range(10, 16)}
