@@ -249,3 +249,28 @@ def test_mor_idempotent_rerun(spark, tmp_path):
     keyed_merge_mor(spark, _rows(spark, batch), target)
     keyed_merge_mor(spark, _rows(spark, batch), target)
     assert _read_set(spark, target) == {("a", 5), ("a", 6), ("b", 2)}
+
+
+def test_describe_keyed_table_reports_health(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import describe_keyed_table
+
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        _rows(spark, [(f"k{i}", i) for i in range(100)]),
+        target,
+        stats_cols=["v"],
+    )
+    keyed_merge_mor(spark, _rows(spark, [("k1", -1)]), target)
+    d = describe_keyed_table(target)
+    assert d["version"] == 2 and d["key"] == "oid__id"
+    assert d["n_files"] == d["n_buckets_live"] >= 1
+    assert d["total_bytes"] > 0 and d["avg_bucket_bytes"] > 0
+    assert d["dirty_buckets"] == 1 and d["max_delta_depth"] == 1
+    assert d["n_delta_files"] >= 1
+    assert d["stats_cols"] == ["v"]
+    assert d["history_versions"] == [1, 2]
+    compact_keyed_table(spark, target)
+    d2 = describe_keyed_table(target)
+    assert d2["dirty_buckets"] == d2["max_delta_depth"] == d2["n_delta_files"] == 0
+    assert d2["retired_files"] >= 1
