@@ -4603,3 +4603,39 @@ def q_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr(F.col("value"), u), 4).alias("corr_value_user"),
         F.round(F.covar_samp(F.col("value"), u), 4).alias("covar_value_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the general form cube/rollup specialize (both already
+# covered); an arbitrary set list plans as ONE Expand + one partial+final
+# aggregate pair, not one scan per set.  grouping_id disambiguates the
+# NULLs that mark rolled-up columns: Spark's grouping_id() and DuckDB's
+# GROUPING(a, b) emit the same bit vector for the same column order.
+# dow is normalized to DuckDB's convention (Sunday = 0; Spark's
+# dayofweek is Sunday = 1).
+# ---------------------------------------------------------------------------
+@query(
+    "q_grouping_sets",
+    """
+    SELECT CAST(GROUPING(event_type, dow) AS BIGINT) AS gid,
+           event_type, dow,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM (SELECT event_type, dayofweek(ts)::BIGINT AS dow, value FROM events)
+    GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        "value",
+    )
+    return base.groupingSets(
+        [["event_type", "dow"], ["event_type"], ["dow"]], "event_type", "dow"
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select("gid", "event_type", "dow", "n", "sum_value")

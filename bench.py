@@ -118,6 +118,7 @@ HEADLINE = [
     # round-5: value-RANGE window frame and second-moment profiling aggs
     "q_time_range_window",
     "q_numeric_stats",
+    "q_grouping_sets",
 ]
 
 

@@ -1,0 +1,193 @@
+"""Incrementally-maintained aggregate views: the manifest-diff refresh
+must equal a from-scratch recompute after every kind of commit (CoW
+merge, MOR delta, compaction), read only changed files on the
+incremental path, and fall back to full recompute whenever the
+file-multiset shortcut would be unsound."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_postgres_etl_spark.sink import (
+    compact_keyed_table,
+    keyed_merge_mor,
+    keyed_overwrite_parquet,
+    read_keyed_table,
+)
+from airflow_postgres_etl_spark.views import (
+    read_aggregate_view,
+    refresh_aggregate_view,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, ["oid__id", "grp", "v"])
+
+
+def _expect(spark, target):
+    """Ground truth: full recompute from the table."""
+    from pyspark.sql import functions as F
+
+    df = read_keyed_table(spark, target)
+    got = (
+        df.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("double")).alias("sum_v"),
+        )
+        .collect()
+    )
+    return {r.grp: (r.n, r.sum_v) for r in got}
+
+
+def _view(spark, mv):
+    return {
+        r.grp: (r.n, r.sum_v) for r in read_aggregate_view(spark, mv).collect()
+    }
+
+
+def _check(spark, target, mv):
+    exp, got = _expect(spark, target), _view(spark, mv)
+    assert set(exp) == set(got)
+    for g in exp:
+        assert exp[g][0] == got[g][0], f"count mismatch for {g}"
+        assert abs(exp[g][1] - got[g][1]) < 1e-6, f"sum mismatch for {g}"
+
+
+def test_incremental_refresh_matches_recompute(spark, tmp_path):
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark,
+        _rows(spark, [(f"k{i}", f"g{i % 3}", float(i)) for i in range(60)]),
+        target,
+        num_buckets=8,
+        vacuum=False,
+    )
+    r = refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    assert r["mode"] == "full"
+    _check(spark, target, mv)
+
+    # replace a few keys + insert new ones -> only touched buckets' files
+    keyed_overwrite_parquet(
+        spark,
+        _rows(spark, [("k1", "g0", 100.0), ("k99", "g2", 7.5)]),
+        target,
+        num_buckets=8,
+        vacuum=False,
+    )
+    r = refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    assert r["mode"] == "incremental"
+    total_files = len(read_keyed_table(spark, target).inputFiles())
+    assert 0 < r["files_read"] < total_files  # did NOT rescan the table
+    _check(spark, target, mv)
+
+    # refresh with nothing new is a no-op
+    assert refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])["mode"] == "noop"
+
+
+def test_group_disappears_when_count_hits_zero(spark, tmp_path):
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark,
+        _rows(spark, [("a", "solo", 1.0), ("b", "big", 2.0), ("c", "big", 3.0)]),
+        target,
+        vacuum=False,
+    )
+    refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    # key "a" (the only 'solo' row) moves to group 'big'
+    keyed_overwrite_parquet(
+        spark, _rows(spark, [("a", "big", 1.0)]), target, vacuum=False
+    )
+    r = refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    assert r["mode"] == "incremental"
+    got = _view(spark, mv)
+    assert "solo" not in got
+    assert got["big"][0] == 3
+    _check(spark, target, mv)
+
+
+def test_mor_deltas_force_full_fallback_until_compacted(spark, tmp_path):
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark,
+        _rows(spark, [(f"k{i}", f"g{i % 2}", 1.0) for i in range(20)]),
+        target,
+        vacuum=False,
+    )
+    refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    # MOR delta: the file multiset no longer equals the snapshot — the
+    # refresh MUST NOT use the manifest diff (it would double-count k0)
+    keyed_merge_mor(spark, _rows(spark, [("k0", "g0", 50.0)]), target)
+    r = refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    assert r["mode"] == "full"
+    _check(spark, target, mv)
+    # compaction cleans the table, but the view's recorded OLD endpoint
+    # is still the unclean MOR version -> one more full refresh...
+    compact_keyed_table(spark, target)
+    keyed_overwrite_parquet(
+        spark, _rows(spark, [("k1", "g1", 9.0)]), target, vacuum=False
+    )
+    r = refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    assert r["mode"] == "full"
+    _check(spark, target, mv)
+    # ...and once BOTH endpoints are clean, incremental resumes
+    keyed_overwrite_parquet(
+        spark, _rows(spark, [("k2", "g0", 4.0)]), target, vacuum=False
+    )
+    r = refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    assert r["mode"] == "incremental"
+    _check(spark, target, mv)
+
+
+def test_vacuumed_old_files_force_full_fallback(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import vacuum_keyed_table
+
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark,
+        _rows(spark, [(f"k{i}", "g", float(i)) for i in range(10)]),
+        target,
+        vacuum=False,
+    )
+    refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    keyed_overwrite_parquet(
+        spark, _rows(spark, [("k0", "g", -1.0)]), target, vacuum=False
+    )
+    # the superseded files (the incremental delta's minus side) are gone
+    vacuum_keyed_table(target, retention_s=0)
+    r = refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    assert r["mode"] == "full"
+    _check(spark, target, mv)
+
+
+def test_mismatched_view_definition_rejected(spark, tmp_path):
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark, _rows(spark, [("a", "g", 1.0)]), target, vacuum=False
+    )
+    refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    with pytest.raises(ValueError, match="different group/sum columns"):
+        refresh_aggregate_view(spark, target, mv, ["oid__id"], ["v"])
+
+
+def test_multi_column_groups_and_null_groups(spark, tmp_path):
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    rows = spark.createDataFrame(
+        [("a", "g1", None, 1.0), ("b", "g1", "x", 2.0), ("c", None, "x", 3.0)],
+        ["oid__id", "grp", "sub", "v"],
+    )
+    keyed_overwrite_parquet(spark, rows, target, vacuum=False)
+    refresh_aggregate_view(spark, target, mv, ["grp", "sub"], ["v"])
+    up = spark.createDataFrame(
+        [("c", None, "x", 30.0)],
+        "oid__id string, grp string, sub string, v double",
+    )
+    keyed_overwrite_parquet(spark, up, target, vacuum=False)
+    r = refresh_aggregate_view(spark, target, mv, ["grp", "sub"], ["v"])
+    assert r["mode"] == "incremental"
+    got = {
+        (r.grp, r.sub): (r.n, r.sum_v)
+        for r in read_aggregate_view(spark, mv).collect()
+    }
+    assert got[(None, "x")] == (1, 30.0)  # null group matched via eqNullSafe
+    assert got[("g1", None)][0] == 1
