@@ -274,3 +274,72 @@ def test_describe_keyed_table_reports_health(spark, tmp_path):
     d2 = describe_keyed_table(target)
     assert d2["dirty_buckets"] == d2["max_delta_depth"] == d2["n_delta_files"] == 0
     assert d2["retired_files"] >= 1
+
+
+def test_mor_random_batch_sequences_match_cow(spark, tmp_path):
+    """Property-style differential: arbitrary interleavings of
+    replace/insert batches (multi-row keys included) with compactions
+    sprinkled in must leave the MOR table identical to the CoW table.
+    A fixed seeded generator (not hypothesis) keeps Spark-session cost
+    bounded while still exploring ~100 batches across 8 sequences."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    keys = [f"k{i}" for i in range(12)]
+    for trial in range(8):
+        cow = str(tmp_path / f"cow{trial}")
+        mor = str(tmp_path / f"mor{trial}")
+        for step in range(rng.randint(3, 6)):
+            batch = []
+            for k in rng.sample(keys, rng.randint(1, 5)):
+                # multi-row child sets for some keys
+                for j in range(rng.randint(1, 3)):
+                    batch.append((k, trial * 1000 + step * 100 + j))
+            df = _rows(spark, batch)
+            keyed_overwrite_parquet(spark, df, cow, num_buckets=4)
+            keyed_merge_mor(spark, df, mor, num_buckets=4)
+            if rng.random() < 0.3:
+                compact_keyed_table(spark, mor)
+        assert _read_set(spark, cow) == _read_set(spark, mor), f"trial {trial}"
+
+
+def test_check_constraints_guard_both_merge_paths(spark, tmp_path):
+    """Delta-style CHECK constraints: recorded once, enforced on every
+    CoW and MOR merge BEFORE anything is written (no version bump, no
+    commit dir on rejection); NULL predicate results violate; existing
+    violations reject the constraint itself; dropping re-admits."""
+    from airflow_postgres_etl_spark.sink import (
+        ConstraintViolation,
+        add_table_constraint,
+        drop_table_constraint,
+        table_constraints,
+    )
+
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(spark, _rows(spark, [("a", 1), ("b", 2)]), target)
+    add_table_constraint(spark, target, "v_positive", "v > 0")
+    assert table_constraints(target) == {"v_positive": "v > 0"}
+
+    v = table_version(target)
+    for merge in (keyed_overwrite_parquet, keyed_merge_mor):
+        with pytest.raises(ConstraintViolation, match="v_positive"):
+            merge(spark, _rows(spark, [("c", -5)]), target)
+    # NULL is a violation, not a pass
+    nulls = spark.createDataFrame([("d", None)], "oid__id string, v long")
+    with pytest.raises(ConstraintViolation):
+        keyed_overwrite_parquet(spark, nulls, target)
+    assert table_version(target) == v  # nothing committed
+    assert _read_set(spark, target) == {("a", 1), ("b", 2)}
+
+    # a conforming batch passes through both paths
+    keyed_merge_mor(spark, _rows(spark, [("c", 5)]), target)
+    assert ("c", 5) in _read_set(spark, target)
+
+    # can't record a constraint the table already violates
+    with pytest.raises(ConstraintViolation, match="existing row"):
+        add_table_constraint(spark, target, "v_small", "v < 3")
+    assert "v_small" not in table_constraints(target)
+
+    drop_table_constraint(target, "v_positive")
+    keyed_overwrite_parquet(spark, _rows(spark, [("e", -1)]), target)
+    assert ("e", -1) in _read_set(spark, target)
