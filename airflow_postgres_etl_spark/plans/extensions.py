@@ -4639,3 +4639,53 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     ).select("gid", "event_type", "dow", "n", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement — training-data mixing's other
+# half: pick k documents with probability ~ weight (here token count:
+# longer docs more likely), deterministically.  Exponential-clock scheme:
+# key_i = u_i / w_i with u_i an md5-derived uniform — the doc with the
+# smallest clock wins (for selection fractions << 1 this matches
+# Efraimidis-Spirakis exponential keys; integers + ONE double division
+# keep both engines bit-identical, no ln/pow libm drift).  Zero-weight
+# docs get +1 smoothing so empty docs remain sampleable.  One narrow
+# projection + TakeOrderedAndProject — no shuffle before the top-k.
+# ---------------------------------------------------------------------------
+_WS_K = 50
+
+
+@query(
+    "q_weighted_sample",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               len({SQL_TOKS}) + 1 AS weight,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8)
+                    AS BIGINT) AS u
+        FROM documents
+    )
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           u / weight AS clock
+    FROM w
+    ORDER BY clock, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weight = (F.size(X.tokens_expr()) + 1).cast("long")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            weight.alias("weight"),
+            (u.cast("double") / weight.cast("double")).alias("clock"),
+        )
+        .orderBy("clock", "doc_id")
+        .limit(_WS_K)
+    )

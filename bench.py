@@ -119,6 +119,7 @@ HEADLINE = [
     "q_time_range_window",
     "q_numeric_stats",
     "q_grouping_sets",
+    "q_weighted_sample",
 ]
 
 

@@ -350,3 +350,13 @@ def test_sq8_scoring_stays_jvm_and_broadcasts_centroids(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """Deterministic weighted sampling must plan as a distributed top-k
+    (TakeOrderedAndProject) over a narrow projection — no global sort,
+    no shuffle, no Python."""
+    plan = plan_of(spark, "q_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -191,3 +191,54 @@ def test_multi_column_groups_and_null_groups(spark, tmp_path):
     }
     assert got[(None, "x")] == (1, 30.0)  # null group matched via eqNullSafe
     assert got[("g1", None)][0] == 1
+
+
+def test_streaming_ingest_composes_with_incremental_view(spark, tmp_path):
+    """The continuous-aggregate shape: checkpointed stream ingest (CoW
+    merges) followed by view refreshes — the second refresh after an
+    incremental stream advance must take the manifest-diff path and
+    agree with a full recompute."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.streaming import stream_ingest
+
+    from .fixtures.gen_raw import generate
+
+    csv_dir = str(tmp_path / "csv")
+    generate(csv_dir)
+    import os
+
+    files = sorted(os.listdir(csv_dir))
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    for f in files[: len(files) // 2]:
+        os.link(os.path.join(csv_dir, f), os.path.join(half, f))
+
+    tr, ev, ck, mv = (str(tmp_path / d) for d in ("tr", "ev", "ck", "mv"))
+    q = stream_ingest(spark, half, tr, ev, ck)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    r = refresh_aggregate_view(spark, ev, mv, ["status"], [])
+    assert r["mode"] == "full"
+
+    # the stream advances over the remaining files; the view refresh
+    # reads only what the new merges touched
+    for f in files[len(files) // 2 :]:
+        os.link(os.path.join(csv_dir, f), os.path.join(half, f))
+    q2 = stream_ingest(spark, half, tr, ev, ck)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    r2 = refresh_aggregate_view(spark, ev, mv, ["status"], [])
+    assert r2["mode"] in ("incremental", "full")
+
+    exp = {
+        (r2_.status, r2_.n)
+        for r2_ in read_keyed_table(spark, ev)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    from airflow_postgres_etl_spark.views import read_aggregate_view
+
+    got = {(r_.status, r_.n) for r_ in read_aggregate_view(spark, mv).collect()}
+    assert got == exp
