@@ -343,3 +343,47 @@ def test_check_constraints_guard_both_merge_paths(spark, tmp_path):
     drop_table_constraint(target, "v_positive")
     keyed_overwrite_parquet(spark, _rows(spark, [("e", -1)]), target)
     assert ("e", -1) in _read_set(spark, target)
+
+
+def test_compaction_loses_cas_to_concurrent_mor_merge(spark, tmp_path):
+    """The MOR race that must never lose data: a delta commit lands
+    between compaction's manifest read and its CAS.  The compaction must
+    fail with ConcurrentWriteError (stale expected version), the fresh
+    delta must survive, and a rerun compaction folds everything."""
+    from airflow_postgres_etl_spark.sink import ConcurrentWriteError, _manifest_path
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark, _rows(spark, [(f"k{i}", i) for i in range(20)]), target
+    )
+    keyed_merge_mor(spark, _rows(spark, [("k1", 100)]), target)
+
+    class RacingStore:
+        armed = True
+
+        def read_json(self, path):
+            return LOCAL_STORE.read_json(path)
+
+        def exists(self, path):
+            return LOCAL_STORE.exists(path)
+
+        def write_json(self, path, obj):
+            LOCAL_STORE.write_json(path, obj)
+
+        def replace_if_version(self, path, manifest, expected_version):
+            if self.armed and path == _manifest_path(target):
+                self.armed = False
+                keyed_merge_mor(spark, _rows(spark, [("k2", 200)]), target)
+            return LOCAL_STORE.replace_if_version(path, manifest, expected_version)
+
+    with pytest.raises(ConcurrentWriteError):
+        compact_keyed_table(spark, target, store=RacingStore())
+    # the racing delta survived the failed compaction
+    got = _read_set(spark, target)
+    assert ("k1", 100) in got and ("k2", 200) in got
+    assert table_delta_depth(target) >= 1
+    # rerun converges: everything folds, content unchanged
+    assert compact_keyed_table(spark, target) >= 1
+    assert table_delta_depth(target) == 0
+    assert _read_set(spark, target) == got
