@@ -10,14 +10,20 @@ from .file_stream import (
     stream_ingest,
     windowed_event_counts,
 )
+from .stateful import (
+    running_user_totals,
+    user_sessions_with_timeout,
+)
 
 __all__ = [
     "build_benchmark_grams",
     "dedup_event_stream",
     "interval_join_streams",
+    "running_user_totals",
     "self_dedup",
     "stream_dedup_ingest",
     "stream_ingest",
     "stream_training_ingest",
+    "user_sessions_with_timeout",
     "windowed_event_counts",
 ]

@@ -63,3 +63,95 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization with EVENT-TIME state expiry — the bounded-state
+# pattern.  running_user_totals above keeps state forever (fine for a
+# bounded key space); per-session state over an unbounded user space
+# MUST expire or the state store grows without limit.  EventTimeTimeout
+# ties expiry to the watermark: when the watermark passes an idle
+# session's (last event + gap), the state store hands the group back
+# with hasTimedOut=True, the final session row is emitted, and the
+# state is REMOVED — state size is bounded by the number of sessions
+# open inside one watermark horizon, independent of total users seen.
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _session_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    def ms(ts) -> int:
+        return int(ts.value // 1_000_000)  # pandas Timestamp -> epoch ms
+
+    def row(start_ms: int, end_ms: int, n: int, closed: bool) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "n_events": [n],
+                "closed": [closed],
+            }
+        )
+
+    if state.hasTimedOut:
+        start_ms, end_ms, n = state.get
+        state.remove()  # the whole point: idle state leaves the store
+        yield row(start_ms, end_ms, n, True)
+        return
+
+    start_ms, end_ms, n = state.get if state.exists else (None, None, 0)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        b_lo, b_hi = ms(pdf["ts"].min()), ms(pdf["ts"].max())
+        start_ms = b_lo if start_ms is None else min(start_ms, b_lo)
+        end_ms = b_hi if end_ms is None else max(end_ms, b_hi)
+        n += len(pdf)
+    if start_ms is None:
+        return
+    state.update((start_ms, end_ms, n))
+    state.setTimeoutTimestamp(end_ms + SESSION_GAP_MS)
+    yield row(start_ms, end_ms, n, False)
+
+
+def user_sessions_with_timeout(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming per-user sessions that CLOSE when the event-time
+    watermark passes (last event + 30 min): emits ``closed=False``
+    running updates while a session is live and one ``closed=True`` row
+    when it expires, at which point its state is deleted.  Use with
+    ``outputMode("update")``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
