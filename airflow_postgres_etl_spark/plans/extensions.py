@@ -4689,3 +4689,51 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("clock", "doc_id")
         .limit(_WS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG / string_agg WITHIN GROUP) — the
+# reporting-layer shape: per event type, the top-5 users as one ordered
+# "user:count" string.  Spark side composes it deterministically from
+# sort_array(collect_list(struct)) so the intra-group order is explicit
+# data, not sink-side luck; the oracle's string_agg(... ORDER BY) mirrors
+# the same (count DESC, user ASC) order via the struct's (-n, user) key.
+# Top-5 per group first, so collect_list holds ≤5 elements per group —
+# bounded, no giant-group risk.
+# ---------------------------------------------------------------------------
+@query(
+    "q_listagg_top_users",
+    """
+    WITH c AS (
+        SELECT event_type, user_id, count(*) AS n
+        FROM events GROUP BY event_type, user_id
+    ),
+    top AS (
+        SELECT * FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY n DESC, user_id) <= 5
+    )
+    SELECT event_type,
+           string_agg(user_id || ':' || n, ',' ORDER BY n DESC, user_id)
+               AS top_users
+    FROM top
+    GROUP BY event_type
+    """,
+)
+def q_listagg_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    top = c.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 5)
+    item = F.struct((-F.col("n")).alias("negn"), F.col("user_id").alias("u"))
+    return top.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(item)),
+                lambda s: F.concat(
+                    s["u"].cast("string"), F.lit(":"), (-s["negn"]).cast("string")
+                ),
+            ),
+            ",",
+        ).alias("top_users")
+    )

@@ -120,6 +120,7 @@ HEADLINE = [
     "q_numeric_stats",
     "q_grouping_sets",
     "q_weighted_sample",
+    "q_listagg_top_users",
 ]
 
 
