@@ -64,6 +64,11 @@ class Engine:
         return ORACLE.get(name)
 
     # -- streaming surface ----------------------------------------------------
+    def table(self, path: str) -> "Table":
+        """Handle over one keyed target: reads, merges (CoW and MOR),
+        maintenance, indexes, constraints, and views in one object."""
+        return Table(self.spark, path)
+
     def stream_ingest(self, csv_dir: str, out_dir: str, checkpoint_dir: str):
         """Continuous variant of :meth:`ingest`: file-source checkpoint as
         the high-water mark, replace-by-key merge per micro-batch."""
@@ -122,3 +127,143 @@ class Engine:
             out_dir,
             checkpoint_dir,
         )
+
+
+class Table:
+    """Handle over one keyed-table target — the whole table-format
+    surface (reads, both merge modes, maintenance, indexes, constraints,
+    views) behind a single object, so a user never assembles the
+    function zoo by hand:
+
+    >>> t = Engine().table("out/events")
+    >>> t.merge_mor(batch); t.compact() if t.delta_depth() > 8 else None
+    >>> t.read(where=[("v", 0, 10)], where_eq=("tag", "x")).show()
+
+    Every method delegates to the tested sink/bloom/views functions —
+    this class adds no behavior, only a surface."""
+
+    def __init__(self, spark: SparkSession, path: str, store=None) -> None:
+        from .storage import LOCAL_STORE
+
+        self.spark = spark
+        self.path = path
+        self.store = store or LOCAL_STORE
+
+    # -- reads --------------------------------------------------------------
+    def read(self, version=None, where=None, where_eq=None) -> DataFrame:
+        from . import sink
+
+        return sink.read_keyed_table(
+            self.spark, self.path, self.store,
+            version=version, where=where, where_eq=where_eq,
+        )
+
+    def lookup(self, keys: list) -> DataFrame:
+        from . import sink
+
+        return sink.lookup_keys(self.spark, self.path, keys, self.store)
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        from . import sink
+
+        return sink.table_changes(
+            self.spark, self.path, from_version, to_version, store=self.store
+        )
+
+    # -- writes -------------------------------------------------------------
+    def merge(self, batch: DataFrame, **kw) -> None:
+        from . import sink
+
+        sink.keyed_overwrite_parquet(self.spark, batch, self.path, store=self.store, **kw)
+
+    def merge_mor(self, batch: DataFrame, **kw) -> None:
+        from . import sink
+
+        sink.keyed_merge_mor(self.spark, batch, self.path, store=self.store, **kw)
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self) -> int:
+        from . import sink
+
+        return sink.compact_keyed_table(self.spark, self.path, self.store)
+
+    def vacuum(self, retention_s: float | None = None) -> int:
+        from . import sink
+
+        if retention_s is None:
+            retention_s = sink.DEFAULT_RETENTION_S
+        return sink.vacuum_keyed_table(self.path, retention_s, self.store)
+
+    def rebucket(self, num_buckets: int) -> None:
+        from . import sink
+
+        sink.rebucket_keyed_table(self.spark, self.path, num_buckets, self.store)
+
+    def cluster(self, by_col: str, files_per_bucket: int = 4) -> None:
+        from . import sink
+
+        sink.cluster_keyed_table(
+            self.spark, self.path, by_col, files_per_bucket, self.store
+        )
+
+    def zorder(self, cols: list[str], files_per_bucket: int = 4) -> None:
+        from . import sink
+
+        sink.zorder_keyed_table(
+            self.spark, self.path, cols, files_per_bucket, self.store
+        )
+
+    def add_bloom_index(self, col: str, **kw) -> int:
+        from . import bloom
+
+        return bloom.add_bloom_index(self.spark, self.path, col, store=self.store, **kw)
+
+    # -- constraints --------------------------------------------------------
+    def add_constraint(self, name: str, predicate: str) -> None:
+        from . import sink
+
+        sink.add_table_constraint(self.spark, self.path, name, predicate, self.store)
+
+    def drop_constraint(self, name: str) -> None:
+        from . import sink
+
+        sink.drop_table_constraint(self.path, name, self.store)
+
+    def constraints(self) -> dict[str, str]:
+        from . import sink
+
+        return sink.table_constraints(self.path, self.store)
+
+    # -- introspection ------------------------------------------------------
+    def version(self) -> int | None:
+        from . import sink
+
+        return sink.table_version(self.path, self.store)
+
+    def history(self) -> list[int]:
+        from . import sink
+
+        return sink.table_history(self.path, self.store)
+
+    def describe(self) -> dict:
+        from . import sink
+
+        return sink.describe_keyed_table(self.path, self.store)
+
+    def delta_depth(self) -> int:
+        from . import sink
+
+        return sink.table_delta_depth(self.path, self.store)
+
+    # -- materialized views -------------------------------------------------
+    def refresh_view(self, mv_path: str, group_cols: list[str], sum_cols: list[str]) -> dict:
+        from . import views
+
+        return views.refresh_aggregate_view(
+            self.spark, self.path, mv_path, group_cols, sum_cols, self.store
+        )
+
+    def read_view(self, mv_path: str) -> DataFrame:
+        from . import views
+
+        return views.read_aggregate_view(self.spark, mv_path, self.store)

@@ -97,3 +97,45 @@ def test_readme_user_journey(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(api, "get_spark", lambda *a, **k: spark)
     exec(compile(code, str(readme), "exec"), {})
+
+
+def test_table_facade_covers_the_format_surface(spark, tmp_path):
+    """Engine.table(): one handle drives merge (both modes), read with
+    skipping, compaction, constraints, bloom index, views, and
+    introspection — all delegating to the tested functions."""
+    from airflow_postgres_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    t = eng.table(str(tmp_path / "kv"))
+    t.merge(spark.createDataFrame(
+        [(f"k{i}", f"tag{i}", float(i)) for i in range(40)],
+        ["oid__id", "tag", "v"],
+    ), num_buckets=4, stats_cols=["v"], vacuum=False)
+    assert t.version() == 1 and t.history() == [1]
+
+    t.add_constraint("v_nonneg", "v >= 0")
+    import pytest as _pytest
+
+    from airflow_postgres_etl_spark.sink import ConstraintViolation
+
+    with _pytest.raises(ConstraintViolation):
+        t.merge(spark.createDataFrame([("x", "t", -1.0)], ["oid__id", "tag", "v"]))
+
+    t.merge_mor(spark.createDataFrame([("k1", "fresh", 99.0)], ["oid__id", "tag", "v"]),
+                num_buckets=4)
+    assert t.delta_depth() == 1
+    assert {r.tag for r in t.lookup(["k1"]).collect()} == {"fresh"}
+    assert t.compact() >= 1 and t.delta_depth() == 0
+
+    t.add_bloom_index("tag")
+    hit = t.read(where_eq=("tag", "tag7"))
+    assert [r.oid__id for r in hit.collect()] == ["k7"]
+
+    r = t.refresh_view(str(tmp_path / "mv"), ["tag"], ["v"])
+    assert r["mode"] == "full"
+    assert t.read_view(str(tmp_path / "mv")).count() == 40
+
+    d = t.describe()
+    assert d["version"] == t.version() and d["dirty_buckets"] == 0
+    assert t.constraints() == {"v_nonneg": "v >= 0"}
+    assert t.changes(1).count() >= 1
