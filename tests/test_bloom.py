@@ -58,6 +58,12 @@ def test_unindexed_new_files_always_read(spark, tmp_path):
     keyed_overwrite_parquet(spark, fresh, target, num_buckets=8, vacuum=False)
     got = read_keyed_table(spark, target, where_eq=("tag", "brand-new-tag"))
     assert [(r.oid__id, r.v) for r in got.collect()] == [("k9999", 9999)]
+    # blooms of UNTOUCHED files survive the merge (carried like stats):
+    # a probe for an old tag still prunes to far fewer than all files
+    n_all = len(read_keyed_table(spark, target).inputFiles())
+    old_hit = read_keyed_table(spark, target, where_eq=("tag", "tag123"))
+    assert [r.oid__id for r in old_hit.collect()] == ["k123"]
+    assert len(old_hit.inputFiles()) < n_all / 2
     # re-indexing restores pruning AND converges under the CAS
     add_bloom_index(spark, target, "tag")
     again = read_keyed_table(spark, target, where_eq=("tag", "brand-new-tag"))
