@@ -212,3 +212,66 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + exact verification.
+# Exact "words with frequency > n/T" normally shuffles the ENTIRE
+# vocabulary; at corpus scale the vocab is billions of rare tokens and
+# the shuffle is the cost.  Misra-Gries (capacity T) per partition keeps
+# at most T counters and guarantees every item with partition count
+# > n_p/T survives; since a global count > n/T forces count > n_p/T in
+# at least ONE partition (else summing contradicts), the UNION of
+# per-partition candidate sets is a SUPERSET of the global heavy
+# hitters for ANY partitioning.  An exact count restricted to those
+# ≤ T·partitions candidates (broadcast semi-join) then yields the EXACT
+# answer — the sketch only prunes the shuffle, it never touches the
+# result.  (Misra & Gries 1982; the SpaceSaving/FREQUENT family.)
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_candidates(words, capacity: int, word_col: str = "word"):
+    """Distinct candidate words: per-partition Misra-Gries survivors.
+
+    ``words`` is a one-string-column DataFrame (one row per token
+    occurrence).  Python boundary is Arrow-batched ``mapInPandas`` with
+    one bounded dict (≤ ``capacity`` counters) per PARTITION — linear
+    work, constant memory, no shuffle."""
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf[word_col]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < capacity:
+                    counters[w] = 1
+                else:
+                    # decrement-all: drop zeros (amortized O(1) via dict
+                    # rebuild only when full)
+                    counters = {k: c - 1 for k, c in counters.items() if c > 1}
+        yield pd.DataFrame({word_col: list(counters.keys())})
+
+    return words.mapInPandas(mg, schema=f"{word_col} string").distinct()
+
+
+def heavy_hitters(docs, threshold_frac: int = 200, text_col: str = "text"):
+    """Words appearing more than ``n_tokens / threshold_frac`` times,
+    with EXACT counts — candidates from Misra-Gries, counts verified.
+
+    Columns: ``word, n`` (count DESC, word ASC)."""
+    words = docs.select(F.explode(tokens_expr(text_col)).alias("word"))
+    cand = misra_gries_candidates(words, capacity=threshold_frac + 1)
+    counted = (
+        words.join(F.broadcast(cand), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = words.select(F.count(F.lit(1)).alias("t"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * threshold_frac > F.col("t"))
+        .select("word", "n")
+        .orderBy(F.desc("n"), F.asc("word"))
+    )

@@ -4737,3 +4737,32 @@ def q_listagg_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("top_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: exact "count > n/100" words computed through per-
+# partition Misra-Gries candidate pruning + exact verification (see
+# operators/text.py).  The sketch bounds the vocabulary shuffle to
+# ≤ capacity x partitions candidate words at ANY corpus size; the
+# superset guarantee makes the result EXACT for any partitioning, so
+# the oracle is the plain exact GROUP BY ... HAVING — the differential
+# proves the pruning drops nothing.
+# ---------------------------------------------------------------------------
+_HH_T = 100
+
+
+@query(
+    "text_heavy_hitters",
+    f"""
+    WITH w AS (SELECT unnest({SQL_TOKS}) AS word FROM documents),
+    t AS (SELECT count(*) AS total FROM w)
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM w CROSS JOIN t
+    GROUP BY word, t.total
+    HAVING count(*) * {_HH_T} > t.total
+    ORDER BY n DESC, word
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.heavy_hitters(docs, threshold_frac=_HH_T)

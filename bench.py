@@ -121,6 +121,7 @@ HEADLINE = [
     "q_grouping_sets",
     "q_weighted_sample",
     "q_listagg_top_users",
+    "text_heavy_hitters",
 ]
 
 

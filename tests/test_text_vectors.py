@@ -404,3 +404,36 @@ def test_sq8_cosine_tracks_float_cosine(spark):
     assert max(abs(f_pairs[p] - q_pairs[p]) for p in both) < 0.02
     overlap = len(both) / len(f_pairs)
     assert overlap >= 0.8, f"sq8 top-10 overlap {overlap:.2f}"
+
+
+def test_misra_gries_candidates_superset_under_any_partitioning(spark):
+    """The MG superset guarantee is what makes heavy_hitters exact: for
+    every partitioning tried, all words with global count > n/T must be
+    in the candidate set, and the verified result must equal the exact
+    answer."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.operators.text import (
+        heavy_hitters,
+        misra_gries_candidates,
+    )
+
+    # skewed corpus: 'alpha' 300x, 'beta' 150x, 120 singletons
+    words = (
+        ["alpha"] * 300 + ["beta"] * 150 + [f"rare{i}" for i in range(120)]
+    )
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    T = 10  # threshold: count > 570/10 = 57 -> {alpha, beta}
+    exact = {("alpha", 300), ("beta", 150)}
+    for parts in (1, 3, 13):
+        w = (
+            docs.select(F.explode(F.split("text", " ")).alias("word"))
+            .repartition(parts)
+        )
+        cand = {
+            r.word for r in misra_gries_candidates(w, capacity=T + 1).collect()
+        }
+        assert {"alpha", "beta"} <= cand
+        assert len(cand) <= (T + 1) * parts  # bounded candidate set
+    got = {(r.word, r.n) for r in heavy_hitters(docs, threshold_frac=T).collect()}
+    assert got == exact
