@@ -87,6 +87,13 @@ def refresh_aggregate_view(
     "source_version": int}``.  ``incremental`` means only the files
     added/removed since the view's recorded snapshot were scanned.
     """
+    reserved = {"n"} | {f"sum_{c}" for c in sum_cols}
+    clash = reserved & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"group column(s) {sorted(clash)} collide with the view's "
+            "aggregate output columns (n, sum_<col>)"
+        )
     manifest = _load_manifest(target, store)
     if manifest is None:
         raise FileNotFoundError(f"no keyed table committed at {target}")

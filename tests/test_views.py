@@ -242,3 +242,11 @@ def test_streaming_ingest_composes_with_incremental_view(spark, tmp_path):
 
     got = {(r_.status, r_.n) for r_ in read_aggregate_view(spark, mv).collect()}
     assert got == exp
+
+
+def test_colliding_group_column_names_rejected(spark, tmp_path):
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    rows = spark.createDataFrame([("a", "g", 1.0)], ["oid__id", "n", "v"])
+    keyed_overwrite_parquet(spark, rows, target, vacuum=False)
+    with pytest.raises(ValueError, match="collide"):
+        refresh_aggregate_view(spark, target, mv, ["n"], ["v"])
