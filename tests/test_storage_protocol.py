@@ -535,3 +535,22 @@ def test_multi_predicate_where_single_tuple_compat(spark, tmp_path):
     }
     assert single == listed == {f"k{i}" for i in range(10, 21)}
     assert both == {f"k{i}" for i in range(10, 16)}
+
+
+def test_zorder_unknown_column_rejected(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import (
+        keyed_overwrite_parquet,
+        zorder_keyed_table,
+    )
+
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([("a", 1)], ["oid__id", "v"]),
+        target,
+        vacuum=False,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table"):
+        zorder_keyed_table(spark, target, ["v", "nope"])
