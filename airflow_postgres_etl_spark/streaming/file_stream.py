@@ -136,6 +136,7 @@ def interval_join_streams(
     *,
     watermark: str = "10 minutes",
     max_lag: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM interval join: each click pairs with the same user's
     view that happened at most ``max_lag`` before it — the attribution
@@ -152,12 +153,24 @@ def interval_join_streams(
 
     State per key is therefore O(events within watermark + lag), not
     O(stream) — the property that makes this runnable forever at
-    100 TB/day.  Inner join: unmatched rows simply age out; switch to
-    ``leftOuter`` for unattributed-click analysis (same bounds).
+    100 TB/day.  ``how="inner"``: unmatched rows simply age out.
+    ``how="leftOuter"`` preserves the CLICK side for unattributed-click
+    analysis: a click with no matching view is emitted with NULL
+    ``view_id``/``v_ts`` — but only once the watermark proves no view
+    can still arrive (the null row appears when state expires, not when
+    the click does; same state bounds).
 
     Both inputs must be STREAMING DataFrames with ``user_id``, ``ts``,
     ``event_id`` columns (e.g. two filtered readers of an events
     stream).
+
+    Operational hazard, measured: the join's effective watermark is the
+    MIN over both branches' watermarks
+    (``spark.sql.streaming.multipleWatermarkPolicy=min``), so a branch
+    that stops receiving events pins the global watermark and the outer
+    join emits no more null rows (and evicts no more state).  If one
+    side can legitimately go idle, feed it heartbeat events or switch
+    the policy to ``max`` accepting its late-data trade-off.
     """
     v = views.withWatermark("ts", watermark).select(
         F.col("user_id").alias("v_user"),
@@ -174,8 +187,20 @@ def interval_join_streams(
         & (c.c_ts >= v.v_ts)
         & (c.c_ts <= v.v_ts + F.expr(f"INTERVAL {max_lag}"))
     )
-    return v.join(c, cond, "inner").select(
-        F.col("v_user").alias("user_id"),
+    if how == "inner":
+        return v.join(c, cond, "inner").select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            "v_ts",
+            "c_ts",
+        )
+    if how != "leftOuter":
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
+    # clicks preserved: the left side of an outer stream-stream join is
+    # the one whose unmatched rows are emitted at state expiry
+    return c.join(v, cond, "leftOuter").select(
+        F.col("c_user").alias("user_id"),
         "view_id",
         "click_id",
         "v_ts",

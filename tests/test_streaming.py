@@ -395,3 +395,94 @@ def test_stream_ingest_rejects_bad_merge_mode(spark, tmp_path):
             spark, str(tmp_path), str(tmp_path / "a"), str(tmp_path / "b"),
             str(tmp_path / "c"), merge_mode="wat",
         )
+
+
+def test_interval_join_left_outer_emits_unattributed_clicks(spark, tmp_path):
+    """leftOuter stream-stream interval join: a click with no matching
+    view must surface with NULL view columns — but only after the
+    watermark proves no view can still arrive (driven by a later
+    event-time batch, no wall-clock sleeps)."""
+    import datetime as dt
+
+    from airflow_postgres_etl_spark.streaming import interval_join_streams
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, user_id long, ts timestamp, kind string"
+    src = str(tmp_path / "src")
+
+    def write(rows, mode, age_s):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(src)
+        # the file source orders micro-batches by mtime: stamp each
+        # write's age so batches replay in event-time order (same
+        # technique as the dedup-stream test above)
+        import time as _time
+
+        now = _time.time()
+        for f in os.listdir(src):
+            full = os.path.join(src, f)
+            if f.endswith(".parquet") and os.path.getmtime(full) > now - 1:
+                os.utime(full, (now - age_s, now - age_s))
+
+    # batch 1: user 1 view+click (attributed), user 2 click only
+    write(
+        [
+            (1, 1, t0, "view"),
+            (2, 1, t0 + dt.timedelta(minutes=1), "click"),
+            (3, 2, t0 + dt.timedelta(minutes=1), "click"),
+        ],
+        "overwrite",
+        age_s=120,
+    )
+    # batches 2 and 3: far-future events advance the watermark past
+    # batch 1.  BOTH kinds are needed: the join's watermark is the MIN
+    # over the two branch watermarks, so an idle clicks branch would
+    # stall it forever (measured — views-only advancing batches left the
+    # watermark pinned at batch 1's click time and no null ever
+    # emitted).  Eviction also happens while processing a LATER batch,
+    # hence two advancing batches.
+    write(
+        [
+            (20, 99, t0 + dt.timedelta(hours=2), "view"),
+            (21, 99, t0 + dt.timedelta(hours=2, minutes=1), "click"),
+        ],
+        "append",
+        age_s=60,
+    )
+    write(
+        [
+            (30, 98, t0 + dt.timedelta(hours=3), "view"),
+            (31, 98, t0 + dt.timedelta(hours=3, minutes=1), "click"),
+        ],
+        "append",
+        age_s=0,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    joined = interval_join_streams(
+        stream.filter("kind = 'view'"),
+        stream.filter("kind = 'click'"),
+        how="leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    rows = spark.sql("SELECT * FROM attrib").collect()
+    got = {(r.user_id, r.click_id, r.view_id) for r in rows}
+    assert (1, 2, 1) in got          # attributed click joined its view
+    assert (2, 3, None) in got       # unattributed click emitted w/ NULLs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="how must be"):
+        interval_join_streams(stream, stream, how="full")
