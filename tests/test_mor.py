@@ -387,3 +387,44 @@ def test_compaction_loses_cas_to_concurrent_mor_merge(spark, tmp_path):
     assert compact_keyed_table(spark, target) >= 1
     assert table_delta_depth(target) == 0
     assert _read_set(spark, target) == got
+
+
+def test_mor_merge_loses_cas_to_concurrent_mor_merge(spark, tmp_path):
+    """Two MOR writers from the same snapshot: the second CAS must fail
+    cleanly (ConcurrentWriteError), the winner's delta stays, the
+    loser's files are orphans for vacuum — and a retry of the losing
+    batch converges."""
+    from airflow_postgres_etl_spark.sink import ConcurrentWriteError, _manifest_path
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(spark, _rows(spark, [("a", 1), ("b", 2)]), target)
+
+    class RacingStore:
+        armed = True
+
+        def read_json(self, path):
+            return LOCAL_STORE.read_json(path)
+
+        def exists(self, path):
+            return LOCAL_STORE.exists(path)
+
+        def write_json(self, path, obj):
+            LOCAL_STORE.write_json(path, obj)
+
+        def replace_if_version(self, path, manifest, expected_version):
+            if self.armed and path == _manifest_path(target):
+                self.armed = False
+                keyed_merge_mor(spark, _rows(spark, [("b", 22)]), target)
+            return LOCAL_STORE.replace_if_version(path, manifest, expected_version)
+
+    with pytest.raises(ConcurrentWriteError):
+        keyed_merge_mor(spark, _rows(spark, [("a", 11)]), target, store=RacingStore())
+    assert _read_set(spark, target) == {("a", 1), ("b", 22)}
+    # the losing batch retries cleanly and both deltas are live
+    keyed_merge_mor(spark, _rows(spark, [("a", 11)]), target)
+    assert _read_set(spark, target) == {("a", 11), ("b", 22)}
+    # loser's orphaned commit dir is collectable
+    removed = vacuum_keyed_table(target, retention_s=0)
+    assert removed >= 1
+    assert _read_set(spark, target) == {("a", 11), ("b", 22)}
