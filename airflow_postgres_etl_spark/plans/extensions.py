@@ -4766,3 +4766,78 @@ _HH_T = 100
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.heavy_hitters(docs, threshold_frac=_HH_T)
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct count — "distinct users active in the trailing 7
+# days, per day".  Window functions cannot express DISTINCT over a
+# moving frame; the naive form joins every day against every activity
+# row in its window (O(days x activity) — the oracle below, fine at
+# test scale, a disaster at 100 TB).  The engine side uses the exact
+# interval-boundary decomposition instead: per user, activity days
+# sessionize with a 7-day gap into coverage intervals (each active day
+# covers [d, d+6]); each interval contributes +1 at its start and -1
+# the day after it ends; a prefix sum over the (tiny, post-aggregate)
+# day spine is then the exact rolling distinct count.  Cost: one
+# distinct, one per-user window, one day-cardinality global cumsum —
+# O(activity), no day x user join.  The differential proves the
+# decomposition equals the definitional query exactly.
+# ---------------------------------------------------------------------------
+_RD_WIN = 7  # trailing window, days
+
+
+@query(
+    "q_rolling_distinct_users",
+    f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active_7d
+    FROM days d
+    JOIN ud u ON u.day BETWEEN d.day - {_RD_WIN - 1} AND d.day
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("day")
+    gap = F.datediff(F.col("day"), F.lag("day").over(wu))
+    sess = F.sum(
+        (gap.isNull() | (gap > _RD_WIN - 1)).cast("int")
+    ).over(wu)
+    intervals = (
+        ud.withColumn("__sess", sess)
+        .groupBy("user_id", "__sess")
+        .agg(F.min("day").alias("start"), F.max("day").alias("end"))
+    )
+    deltas = intervals.select(
+        F.col("start").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        intervals.select(
+            F.date_add("end", _RD_WIN).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    # day cardinality is tiny post-aggregate — the global cumsum window
+    # is the safe Q3-class global window, never per-event
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    rolling = (
+        spine.join(per_day, "day", "left")
+        .withColumn("n", F.sum(F.coalesce("d", F.lit(0))).over(wd))
+    )
+    active_days = ud.select("day").distinct()
+    return (
+        rolling.join(active_days, "day")
+        .select("day", F.col("n").cast("long").alias("n_active_7d"))
+        .orderBy("day")
+    )

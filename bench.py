@@ -122,6 +122,7 @@ HEADLINE = [
     "q_weighted_sample",
     "q_listagg_top_users",
     "text_heavy_hitters",
+    "q_rolling_distinct_users",
 ]
 
 
