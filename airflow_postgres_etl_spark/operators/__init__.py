@@ -1,4 +1,13 @@
-from . import dedup, joins, multimodal, scd, similarity, skew, text  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    joins,
+    multimodal,
+    scd,
+    selection,
+    similarity,
+    skew,
+    text,
+)
 from .ingest import (
     add_audit_columns,
     build_events,

@@ -170,6 +170,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def span_coverage(
+    df: DataFrame,
+    col: str = "text",
+    key: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Duplicated-span coverage: for each document, the fraction of its
+    distinct ``n``-token spans that also occur in at least one OTHER
+    document — the exact-substring duplication signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), as a
+    per-document score instead of their suffix-array span removal.  High
+    coverage = boilerplate / template / near-copy; the score feeds the
+    same keep-filter as the quality signals in ``pipeline_clean_corpus``.
+
+    Columns: ``doc_id, n_spans, n_shared, shared_frac`` (rounded 6).
+    Documents with fewer than ``n`` tokens have no spans and are absent.
+
+    Scale shape: spans are distinct PER DOC (``_doc_shingles``), so the
+    per-span ``count(*)`` IS the containing-doc count — one hash-agg
+    shuffle over exploded spans, one equi-join back (each exploded row
+    matches exactly one count row — linear fan-out even for stop-phrase
+    spans present in millions of docs; only the >1 flag travels), one
+    per-doc re-aggregate.  No pairwise expansion anywhere: cost is
+    O(total spans), unlike the all-pairs Jaccard baseline.
+    """
+    ex = _exploded_shingles(df, col, key, n)
+    counts = ex.groupBy("shingle").agg(F.count("*").alias("__n_docs"))
+    shared_flag = (F.col("__n_docs") > 1).cast("long")
+    return (
+        ex.join(counts, "shingle")
+        .groupBy(key, "n_shingles")
+        .agg(F.sum(shared_flag).alias("n_shared"))
+        .select(
+            key,
+            F.col("n_shingles").cast("long").alias("n_spans"),
+            F.col("n_shared"),
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, col: str = "text", key: str = "doc_id", n: int = 3
 ) -> DataFrame:

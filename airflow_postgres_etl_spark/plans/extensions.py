@@ -4841,3 +4841,184 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.col("n").cast("long").alias("n_active_7d"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage — the exact-substring duplication signal
+# (Lee et al. 2022) as a per-document score: fraction of a doc's distinct
+# 5-token spans that occur in ≥1 other doc.  One span hash-agg + one
+# linear equi-join back — never pairwise (see operators.dedup.span_coverage).
+# ---------------------------------------------------------------------------
+_SPAN_N = 5
+_SQL_SPANS_5 = (
+    f"CASE WHEN len(w) >= {_SPAN_N} THEN "
+    f"list_distinct(list_transform(generate_series(1, len(w)-{_SPAN_N - 1}), "
+    f"i -> array_to_string(w[i:i+{_SPAN_N - 1}], ' '))) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+@query(
+    "dedup_span_coverage",
+    f"""
+    WITH w AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SPANS_5}) AS span FROM w),
+    sc AS (SELECT span, count(*) AS n_docs FROM sh GROUP BY span)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN sc.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           round(sum(CASE WHEN sc.n_docs > 1 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS shared_frac
+    FROM sh JOIN sc USING (span)
+    GROUP BY sh.doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.span_coverage(docs, n=_SPAN_N).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection — "best docs until the budget is spent":
+# keep the maximal (n_chars DESC, doc_id) prefix whose cumulative token
+# count fits floor(0.4 · total tokens).  The running total is decomposed
+# group-prefix + within-group-prefix (operators.selection) so no per-row
+# global window appears in the plan; the budget is a broadcast scalar,
+# never a collect.  n_chars stands in for any bounded-cardinality
+# priority (rounded quality scores plug in unchanged).
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_token_budget_select",
+    f"""
+    WITH d AS (
+        SELECT doc_id, source, n_chars, len({SQL_TOKS}) AS n_tokens
+        FROM documents
+    ),
+    b AS (SELECT CAST(floor(0.4 * sum(n_tokens)) AS BIGINT) AS budget FROM d),
+    c AS (
+        SELECT *, sum(n_tokens) OVER (
+            ORDER BY n_chars DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum
+        FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+    FROM c CROSS JOIN b
+    WHERE cum <= budget
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import budget_scalar, ordered_prefix_by_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(X.tokens_expr()).alias("n_tokens"),
+    )
+    kept = ordered_prefix_by_budget(
+        d,
+        budget_scalar(d, "n_tokens", 0.4),
+        priority="n_chars",
+        cost="n_tokens",
+        key="doc_id",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): embedding-space
+# near-duplicate removal — quantizer cells bound the pair space, exact
+# cosine ≥ threshold verifies, connected components pick one
+# representative (min id) per semantic cluster, the rest anti-join away.
+# The embedding twin of pipeline_near_dedup_corpus: same composed shape
+# (candidates → verify → components → anti-join), vectors instead of
+# shingles.  Oracle = the same recursive-CTE fixpoint over the
+# quantizer-pair definition.
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_semantic_dedup",
+    f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS c_id, v AS cvv, sqrt(list_dot_product(v, v)) AS cnorm
+        FROM e WHERE vec_id < {S.N_IVF_CELLS}
+    ),
+    vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vnorm FROM e),
+    csims AS (
+        SELECT vn.vec_id, c.c_id,
+               round(list_dot_product(vn.v, c.cvv) /
+                     nullif(vn.vnorm * c.cnorm, 0.0), 6) AS csim
+        FROM vn CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, c_id AS cell FROM csims
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, c_id DESC) <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT p.vec_a, p.vec_b
+        FROM cand p
+        JOIN e ea ON ea.vec_id = p.vec_a
+        JOIN e eb ON eb.vec_id = p.vec_b
+        WHERE round(list_dot_product(ea.v, eb.v) /
+                    nullif(sqrt(list_dot_product(ea.v, ea.v)) *
+                           sqrt(list_dot_product(eb.v, eb.v)), 0.0), 6) >= 0.45
+    ),
+    sym AS (
+        SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION
+        SELECT vec_b AS a, vec_a AS b FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    dropped AS (SELECT node AS vec_id FROM comp WHERE node <> component)
+    SELECT emb.label,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM embeddings emb
+    LEFT JOIN dropped d ON emb.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    GROUP BY emb.label
+    ORDER BY emb.label
+    """,
+)
+def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_ivf(emb, threshold=0.45)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    dropped = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("vec_id")
+    )
+    kept = emb.join(dropped, "vec_id", "left_anti")
+    return (
+        kept.groupBy("label")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("label")
+    )

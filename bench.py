@@ -123,6 +123,9 @@ HEADLINE = [
     "q_listagg_top_users",
     "text_heavy_hitters",
     "q_rolling_distinct_users",
+    "dedup_span_coverage",
+    "pipeline_token_budget_select",
+    "pipeline_semantic_dedup",
 ]
 
 

@@ -1,0 +1,158 @@
+"""Budget-prefix selection (operators/selection.py) and duplicated-span
+coverage (operators/dedup.span_coverage): the decomposed running total
+must equal the naive global-window prefix on every input shape —
+priority ties spanning partitions, a budget that cuts mid-group, and
+the degenerate budgets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from airflow_postgres_etl_spark.operators.dedup import span_coverage
+from airflow_postgres_etl_spark.operators.selection import (
+    budget_scalar,
+    ordered_prefix_by_budget,
+)
+
+
+def _frame(spark):
+    # priorities with heavy ties (three rows at 30, three at 20) so the
+    # within-group running sum and the group-prefix both matter; keys
+    # deliberately interleaved against priority order
+    rows = [
+        (1, 30, 7),
+        (2, 20, 5),
+        (3, 30, 4),
+        (4, 10, 9),
+        (5, 20, 6),
+        (6, 30, 2),
+        (7, 20, 3),
+        (8, 10, 8),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, prio long, cost long")
+
+
+def _naive_prefix(df, budget: int):
+    w = Window.orderBy(F.desc("prio"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        df.withColumn("__cum", F.sum("cost").over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_prefix_matches_naive_at_every_budget(spark):
+    df = _frame(spark)
+    total = sum(r.cost for r in df.collect())
+    for budget in range(0, total + 2):
+        got = _ids(
+            ordered_prefix_by_budget(
+                df, budget, priority="prio", cost="cost", key="doc_id"
+            )
+        )
+        want = _ids(_naive_prefix(df, budget))
+        assert got == want, f"budget={budget}: {got} != {want}"
+
+
+def test_prefix_budget_cuts_mid_group(spark):
+    df = _frame(spark)
+    # order is (30: 1,3,6 = 7,4,2), (20: 2,5,7 = 5,6,3), (10: 4,8 = 9,8)
+    # cum after prio-30 group = 13; budget 18 admits doc 2 (cum 18) but
+    # not doc 5 (cum 24) — the cut lands inside the prio-20 group
+    kept = _ids(
+        ordered_prefix_by_budget(
+            df, 18, priority="prio", cost="cost", key="doc_id"
+        )
+    )
+    assert kept == [1, 2, 3, 6]
+
+
+def test_prefix_budget_scalar_dataframe(spark):
+    df = _frame(spark)
+    # frac=0.5 of total 44 → floor(22.0) = 22: admits the prio-30 group
+    # (13) + doc 2 (18), rejects doc 5 (24)
+    b = budget_scalar(df, "cost", 0.5)
+    assert b.collect()[0].budget == 22
+    kept = _ids(
+        ordered_prefix_by_budget(df, b, priority="prio", cost="cost", key="doc_id")
+    )
+    assert kept == [1, 2, 3, 6]
+    # scalar-budget path must not leak helper columns
+    out = ordered_prefix_by_budget(
+        df, b, priority="prio", cost="cost", key="doc_id"
+    )
+    assert set(out.columns) == {"doc_id", "prio", "cost"}
+
+
+def test_prefix_degenerate_budgets(spark):
+    df = _frame(spark)
+    assert _ids(ordered_prefix_by_budget(df, 0, priority="prio", cost="cost", key="doc_id")) == []
+    assert (
+        _ids(ordered_prefix_by_budget(df, 10_000, priority="prio", cost="cost", key="doc_id"))
+        == _ids(df)
+    )
+
+
+def test_prefix_no_global_per_row_window(spark):
+    """The plan gate: the only unpartitioned window runs over the
+    per-priority AGGREGATE, never the input rows — the window that sees
+    raw rows must be hash-partitioned on the priority column."""
+    import re
+
+    df = _frame(spark)
+    plan = (
+        ordered_prefix_by_budget(df, 18, priority="prio", cost="cost", key="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the per-row running sum: windowspecdefinition(prio, doc_id ASC ...)
+    # — prio as the PARTITION arg, so it parallelizes by priority group
+    assert re.search(
+        r"windowspecdefinition\(prio#\d+L, doc_id#\d+L ASC", plan
+    ), plan
+    # exactly one single-partition exchange, and it feeds the per-priority
+    # aggregate (bounded rows), not the raw input
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    single = plan.split("Exchange SinglePartition", 1)[1]
+    assert "HashAggregate" in single.split("Window", 1)[0] or "HashAggregate" in single, plan
+
+
+def test_span_coverage_crafted(spark):
+    # d1 and d2 share their full 5-token span; d3 is unique; d4 too short
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "one two three four five six"),
+        (4, "too short here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_shared, r.shared_frac)
+        for r in span_coverage(df, n=5).collect()
+    }
+    assert got[1] == (1, 1, 1.0)
+    assert got[2] == (1, 1, 1.0)
+    # d3 has two 5-token spans, none shared
+    assert got[3] == (2, 0, 0.0)
+    assert 4 not in got  # < 5 tokens → no spans → absent
+
+
+def test_span_coverage_within_doc_repeat_not_shared(spark):
+    # the same span repeated INSIDE one doc is not "shared": spans are
+    # distinct per doc before the containing-doc count
+    rows = [
+        (1, "a b c d e a b c d e"),
+        (2, "v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_shared for r in span_coverage(df, n=5).collect()}
+    assert got[1] == 0
+    assert got[2] == 0

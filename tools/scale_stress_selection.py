@@ -1,0 +1,136 @@
+"""Scale stress for the two corpus-curation operators added after r4's
+measured set:
+
+- ``span_coverage`` (duplicated-span signal): replicate the sf0.1
+  documents N× with per-copy token salting (same scheme as
+  ``scale_stress_dedup``: cross-copy spans can never collide, each copy
+  keeps the base span-frequency distribution).  The claim: wall time and
+  exploded-span volume grow ~linearly in N — there is no pairwise stage
+  to saturate, only a span hash-agg and a linear join back.
+
+- ``ordered_prefix_by_budget`` (token-budget selection): replicate with
+  shifted doc_ids only (costs/priorities unchanged).  The claim the
+  decomposition exists to pin: the single-partition window runs over
+  |distinct priorities| rows, which stays CONSTANT as the corpus grows
+  (n_chars domain is fixed), so wall time grows ~linearly while the
+  naive global-window formulation would serialize the whole corpus
+  through one task.
+
+Usage: python tools/scale_stress_selection.py [n_copies ...]  (default 1 4 16 64)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airflow_postgres_etl_spark.operators import dedup as D  # noqa: E402
+from airflow_postgres_etl_spark.operators import text as X  # noqa: E402
+from airflow_postgres_etl_spark.operators.selection import (  # noqa: E402
+    budget_scalar,
+    ordered_prefix_by_budget,
+)
+from airflow_postgres_etl_spark.session import get_spark  # noqa: E402
+from airflow_postgres_etl_spark.sources.parquet_source import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(docs, n: int, salt_text: bool):
+    copies = []
+    for i in range(n):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        if salt_text and i:
+            c = c.withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1cpy{i}")
+            )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    ns = [int(a) for a in sys.argv[1:]] or [1, 4, 16, 64]
+    spark = get_spark(app_name="scale_stress_selection")
+    base = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+
+    span_rows, budget_rows = [], []
+    for n in ns:
+        docs = replicate(base, n, salt_text=True)
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        cov = D.span_coverage(docs, n=5)
+        agg = cov.agg(
+            F.count("*").alias("docs_scored"),
+            F.sum("n_spans").alias("total_spans"),
+            F.sum("n_shared").alias("total_shared"),
+        ).collect()[0]
+        wall = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        span_rows.append(
+            {
+                "n_copies": n,
+                "docs": n_docs,
+                "docs_scored": agg.docs_scored,
+                "total_spans": agg.total_spans,
+                "total_shared": agg.total_shared,
+                "t_sec": wall,
+                "sec_per_1k_docs": round(wall / n_docs * 1000, 3),
+            }
+        )
+        print(json.dumps(span_rows[-1]), flush=True)
+
+    for n in ns:
+        docs = replicate(base, n, salt_text=False)
+        d = docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.size(X.tokens_expr()).alias("n_tokens"),
+        )
+        n_docs = d.count()
+        n_prios = d.select("n_chars").distinct().count()
+        t0 = time.perf_counter()
+        kept = ordered_prefix_by_budget(
+            d,
+            budget_scalar(d, "n_tokens", 0.4),
+            priority="n_chars",
+            cost="n_tokens",
+            key="doc_id",
+        ).count()
+        wall = round(time.perf_counter() - t0, 2)
+        budget_rows.append(
+            {
+                "n_copies": n,
+                "docs": n_docs,
+                "distinct_priorities": n_prios,
+                "kept": kept,
+                "t_sec": wall,
+                "sec_per_1k_docs": round(wall / n_docs * 1000, 3),
+            }
+        )
+        print(json.dumps(budget_rows[-1]), flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_stress_selection",
+                "span_coverage": span_rows,
+                "budget_select": budget_rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
