@@ -320,6 +320,7 @@ def embedding_near_dup_ivf(
     assignments: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Global near-duplicate vector pairs via the geometric quantizer.
 
@@ -331,9 +332,19 @@ def embedding_near_dup_ivf(
     method the candidate set is approximate by design, and the pair space
     is per-cell quadratic instead of global.
 
+    ``centroids`` overrides the default id-sampled quantizer with a
+    caller-supplied frame (``c_id, __cvv, __cnorm`` — e.g. a persisted
+    index's centroid table, or batch-seeded centroids for micro-batches
+    whose id range does not start at 0; see ``streaming.vec_stream``).
+
     Columns: ``vec_a, vec_b, cosine_sim``.
     """
-    sims = _centroid_sims(emb, _centroids(emb, n_cells, id_col, vec_col), vec_col)
+    cent = (
+        centroids
+        if centroids is not None
+        else _centroids(emb, n_cells, id_col, vec_col)
+    )
+    sims = _centroid_sims(emb, cent, vec_col)
     wv = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.desc("c_id"))
     assigned = (
         sims.withColumn("__rn", F.row_number().over(wv))
@@ -377,6 +388,16 @@ IVF_MAX_APPENDED_FRACTION = 0.2
 
 def _ivf_meta_path(path: str) -> str:
     return f"{path.rstrip('/')}/{IVF_META_NAME}"
+
+
+def ivf_index_exists(path: str, store=None) -> bool:
+    """Probe the committed meta object through the storage seam — never
+    the local filesystem (an ``os.path.isdir`` probe is always False on
+    s3://-style paths and would silently rebuild per batch; same hazard
+    the MinHash index probe closed, ADVICE r4)."""
+    from ..storage import LOCAL_STORE
+
+    return (store or LOCAL_STORE).read_json(_ivf_meta_path(path)) is not None
 
 
 def build_ivf_index(

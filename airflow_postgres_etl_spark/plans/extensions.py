@@ -4862,15 +4862,20 @@ _SQL_SPANS_5 = (
     "dedup_span_coverage",
     f"""
     WITH w AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
-    sh AS (SELECT doc_id, unnest({_SQL_SPANS_5}) AS span FROM w),
-    sc AS (SELECT span, count(*) AS n_docs FROM sh GROUP BY span)
+    sh0 AS (SELECT doc_id, unnest({_SQL_SPANS_5}) AS span FROM w),
+    sh AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(span), 1, 15) AS BIGINT) AS span_h
+        FROM sh0
+    ),
+    sc AS (SELECT span_h, count(*) AS n_docs FROM sh GROUP BY span_h)
     SELECT sh.doc_id,
            CAST(count(*) AS BIGINT) AS n_spans,
            CAST(sum(CASE WHEN sc.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_shared,
            round(sum(CASE WHEN sc.n_docs > 1 THEN 1 ELSE 0 END)
                  / count(*), 6) AS shared_frac
-    FROM sh JOIN sc USING (span)
+    FROM sh JOIN sc USING (span_h)
     GROUP BY sh.doc_id
     ORDER BY doc_id
     """,

@@ -14,6 +14,10 @@ from .stateful import (
     running_user_totals,
     user_sessions_with_timeout,
 )
+from .vec_stream import (
+    semantic_self_dedup,
+    stream_semantic_ingest,
+)
 
 __all__ = [
     "build_benchmark_grams",
@@ -21,8 +25,10 @@ __all__ = [
     "interval_join_streams",
     "running_user_totals",
     "self_dedup",
+    "semantic_self_dedup",
     "stream_dedup_ingest",
     "stream_ingest",
+    "stream_semantic_ingest",
     "stream_training_ingest",
     "user_sessions_with_timeout",
     "windowed_event_counts",

@@ -1,0 +1,161 @@
+"""Streaming SEMANTIC dedup ingest — the embedding twin of
+``doc_stream.stream_dedup_ingest``: vectors arrive continuously and a
+vector is admitted to the corpus only if it is not a semantic
+near-duplicate (cosine ≥ threshold) of anything accepted before it, in
+any earlier micro-batch or earlier (by id) in its own batch.
+
+Same composition discipline as the document flow — the file-source
+checkpoint is the high-water mark, the persisted IVF index IS the dedup
+state, and each micro-batch runs in-batch dedup → index dedup → append
+survivors to the index, then the corpus.  Index-before-corpus order
+gives at-most-once admission (a replayed batch finds its survivors
+already indexed and drops them — the right trade for training data, see
+the doc_stream module doc).
+
+Quantizer lifecycle: the FIRST batch's survivors build the index (its
+lowest-id vectors seed the centroids); every later batch assigns
+against the frozen quantizer.  Appends never move centroids, so run
+``similarity.maybe_refresh_ivf_index`` periodically (the drift guard /
+compaction analog) and re-run the recall gate after a rebuild.
+
+At 100 TB: per-batch cost is batch × n_cells for assignment plus a
+cell-pruned candidate join against only the probed partitions of the
+index (``knn_against_index`` — dynamic partition pruning keeps unprobed
+cells unread); the accepted corpus is never re-scanned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.vectors import l2_norm_expr
+from ..operators.similarity import (
+    N_IVF_CELLS,
+    append_to_ivf_index,
+    build_ivf_index,
+    embedding_near_dup_ivf,
+    ivf_index_exists,
+    knn_against_index,
+)
+
+VEC_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def _seed_centroids(
+    batch: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Quantizer seeds for a frame with an ARBITRARY id range: the
+    ``n_cells`` lowest-id vectors (deterministic; the default
+    ``_centroids`` rule ``id < n_cells`` assumes ids start at 0, which
+    holds for base tables but not for a mid-stream micro-batch)."""
+    return (
+        batch.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("__cvv"),
+            l2_norm_expr(F.col(vec_col)).alias("__cnorm"),
+        )
+    )
+
+
+def semantic_self_dedup(
+    batch: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = N_IVF_CELLS,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """In-batch semantic dedup: drop every vector whose cosine vs a
+    LOWER id in the same batch is ≥ threshold.  Greedy by id, same
+    conservative rule as the document ``self_dedup``: in a chain a<b<c
+    both b and c drop.  ``centroids`` defaults to batch-seeded
+    (:func:`_seed_centroids`); the steady-state caller passes the
+    index's frozen centroid table so in-batch and cross-batch candidate
+    generation use the same quantizer."""
+    cent = (
+        centroids
+        if centroids is not None
+        else _seed_centroids(batch, n_cells, id_col, vec_col)
+    )
+    pairs = embedding_near_dup_ivf(
+        batch,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=cent,
+    )
+    drop = pairs.select(F.col("vec_b").alias(id_col)).distinct()
+    return batch.join(drop, id_col, "left_anti")
+
+
+def stream_semantic_ingest(
+    spark: SparkSession,
+    vecs_dir: str,
+    index_path: str,
+    corpus_out: str,
+    checkpoint_dir: str,
+    *,
+    threshold: float = 0.95,
+    n_cells: int = N_IVF_CELLS,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Continuous semantic-dedup ingest: parquet file stream of
+    (vec_id, embedding, label) → in-batch dedup → cosine probe against
+    the persisted IVF index → append survivors to the index, then the
+    corpus.  ``vec_id`` must be globally unique across the stream.
+
+    Build-vs-append probes the index META through the storage seam
+    (:func:`..operators.similarity.ivf_index_exists`), never the local
+    filesystem."""
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(vecs_dir)
+    )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        had_index = ivf_index_exists(index_path)
+        if had_index:
+            cent = batch.sparkSession.read.parquet(
+                f"{index_path}/centroids"
+            ).select(
+                "c_id",
+                F.col("cvec").alias("__cvv"),
+                F.col("cnorm").alias("__cnorm"),
+            )
+            survivors = semantic_self_dedup(
+                batch, threshold, n_cells, centroids=cent
+            )
+            nn = knn_against_index(survivors, index_path, k=1)
+            drop = (
+                nn.filter(F.col("cosine_sim") >= threshold)
+                .select(F.col("query_id").alias("vec_id"))
+                .distinct()
+            )
+            survivors = survivors.join(drop, "vec_id", "left_anti")
+        else:
+            survivors = semantic_self_dedup(batch, threshold, n_cells)
+        # same read-modify-write hazard as the document stream: the
+        # survivors' plan READS index_path (knn probe); the index append
+        # triggers refreshByPath, so materialize NOW and cut the lineage
+        survivors = survivors.localCheckpoint(eager=True)
+        try:
+            if survivors.take(1):
+                if had_index:
+                    append_to_ivf_index(survivors, index_path)
+                else:
+                    build_ivf_index(survivors, index_path, n_cells)
+                survivors.write.mode("append").parquet(corpus_out)
+        finally:
+            survivors.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

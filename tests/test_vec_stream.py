@@ -1,0 +1,130 @@
+"""Streaming semantic-dedup ingest (streaming/vec_stream.py): the
+persisted IVF index is the cross-batch dedup state; in-batch greedy
+dedup drops higher-id near-dups; restart with no new files is a no-op."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_postgres_etl_spark.operators.similarity import (
+    ivf_appended_fraction,
+    ivf_index_exists,
+)
+from airflow_postgres_etl_spark.streaming.vec_stream import (
+    semantic_self_dedup,
+    stream_semantic_ingest,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_semantic_self_dedup_greedy_by_id(spark):
+    # 1 and 3 are near-identical (cos ~0.9999); 2 is orthogonal; chain
+    # rule: 3 drops against 1. Batch ids start far from 0, so the seeds
+    # must come from the batch itself, not the id<n_cells rule.
+    batch = _vecs(
+        spark,
+        [
+            (101, [1.0, 0.0, 0.0, 0.0], 0),
+            (102, [0.0, 1.0, 0.0, 0.0], 0),
+            (103, [0.99, 0.01, 0.0, 0.0], 0),
+        ],
+    )
+    kept = {r.vec_id for r in semantic_self_dedup(batch, 0.9, n_cells=2).collect()}
+    assert kept == {101, 102}
+
+
+def test_stream_semantic_ingest_cross_batch(spark, tmp_path):
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    b1 = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.0, 1.0, 0.0, 0.0], 0),
+            (3, [0.99, 0.01, 0.0, 0.0], 0),  # in-batch near-dup of 1
+        ],
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got1 = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2}
+    assert ivf_index_exists(idx)
+
+    b2 = _vecs(
+        spark,
+        [
+            (10, [0.98, 0.02, 0.0, 0.0], 1),  # near-dup of accepted 1
+            (11, [0.0, 0.0, 1.0, 0.0], 1),    # novel direction
+        ],
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    got2 = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 2, 11}
+
+    # the index covers exactly the accepted corpus, and the drift
+    # counter saw the append
+    indexed = {
+        r.vec_id
+        for r in spark.read.parquet(f"{idx}/vectors").select("vec_id").collect()
+    }
+    assert indexed == {1, 2, 11}
+    assert ivf_appended_fraction(idx) == pytest.approx(1 / 3)
+
+    # restart with no new files: nothing appended anywhere
+    q3 = stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2
+    )
+    q3.awaitTermination(120)
+    assert q3.exception() is None
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}
+    assert ivf_appended_fraction(idx) == pytest.approx(1 / 3)
+
+
+def test_stream_semantic_matches_batch_decisions(spark, tmp_path):
+    """Two micro-batches admit exactly what the greedy-by-id batch rule
+    over the union admits (ids ordered across batches): streaming
+    composition introduces no extra accepts or drops."""
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    rows1 = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+    ]
+    rows2 = [
+        (3, [0.99, 0.01, 0.0, 0.0], 0),   # drops vs 1
+        (4, [0.0, 0.99, 0.01, 0.0], 0),   # drops vs 2
+        (5, [0.0, 0.0, 0.0, 1.0], 0),     # novel
+    ]
+    _vecs(spark, rows1).coalesce(1).write.mode("append").parquet(src)
+    q = stream_semantic_ingest(spark, src, idx, out, ck, threshold=0.9, n_cells=2)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    _vecs(spark, rows2).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_semantic_ingest(spark, src, idx, out, ck, threshold=0.9, n_cells=2)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    union = _vecs(spark, rows1 + rows2)
+    batch_kept = {
+        r.vec_id for r in semantic_self_dedup(union, 0.9, n_cells=2).collect()
+    }
+    stream_kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert stream_kept == batch_kept == {1, 2, 5}
