@@ -104,6 +104,29 @@ class Engine:
             threshold=threshold,
         )
 
+    def stream_semantic_ingest(
+        self,
+        vecs_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        *,
+        threshold: float = 0.95,
+    ):
+        """Continuous EMBEDDING acquisition with cross-batch semantic
+        dedup (cosine ≥ threshold vs anything accepted): survivors land
+        in ``<out_dir>/corpus``, the cell-partitioned IVF index (the
+        dedup state) in ``<out_dir>/index``."""
+        from .streaming import stream_semantic_ingest
+
+        return stream_semantic_ingest(
+            self.spark,
+            vecs_dir,
+            os.path.join(out_dir, "index"),
+            os.path.join(out_dir, "corpus"),
+            checkpoint_dir,
+            threshold=threshold,
+        )
+
     def stream_training_ingest(
         self,
         docs_dir: str,

@@ -80,6 +80,36 @@ def test_engine_streaming_surfaces(spark, tmp_path):
     assert read_minhash_index(spark, str(tmp_path / "out" / "index")).count() > 0
 
 
+def test_engine_semantic_stream_surface(spark, tmp_path):
+    """Engine.stream_semantic_ingest wires the vec_stream flow: the
+    near-dup vector is rejected, the IVF index lands next to the corpus."""
+    from airflow_postgres_etl_spark.api import Engine
+    from airflow_postgres_etl_spark.operators.similarity import ivf_index_exists
+
+    eng = Engine(spark)
+    src = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.99, 0.01, 0.0, 0.0], 0),
+            (3, [0.0, 1.0, 0.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(src)
+
+    q = eng.stream_semantic_ingest(
+        src, str(tmp_path / "out"), str(tmp_path / "ck"), threshold=0.9
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    kept = {
+        r.vec_id
+        for r in spark.read.parquet(str(tmp_path / "out" / "corpus")).collect()
+    }
+    assert kept == {1, 3}
+    assert ivf_index_exists(str(tmp_path / "out" / "index"))
+
+
 def test_readme_user_journey(spark, tmp_path, monkeypatch):
     """The README's 'User journey' code block runs VERBATIM: the doc is
     executable, not aspirational.  Extracted from README.md at test time
