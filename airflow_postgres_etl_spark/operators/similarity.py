@@ -668,10 +668,16 @@ def knn_ivf_sq8(
 
     Columns: ``query_id, neighbor_id, sq8_sim`` (rounded 6).
     """
-    coded = emb.withColumn("__q8", sq8_expr(vec_col))
-    cand = ivf_cells(coded, n_cells, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("__q8").alias("__cv8"), "cell"
+    # quantize AFTER cell assignment: the crossJoin × window assignment
+    # subtree then moves only the float vectors (same bytes as the float
+    # path), not vectors + code arrays (measured: candidate side
+    # 2.1 s → 1.2 s at sf0.1; results identical — codes are per-row)
+    cand = ivf_cells(emb, n_cells, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_expr(vec_col).alias("__cv8"),
+        "cell",
     )
+    coded = emb.withColumn("__q8", sq8_expr(vec_col))
     qsims = _centroid_sims(
         coded.filter(F.col(id_col).isin(query_ids)),
         _centroids(emb, n_cells, id_col, vec_col),
