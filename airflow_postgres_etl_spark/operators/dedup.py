@@ -226,6 +226,94 @@ def span_coverage(
     )
 
 
+def remove_shared_spans(
+    df: DataFrame,
+    col: str = "text",
+    key: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the apply step Lee et al. 2022
+    actually perform, vs :func:`span_coverage`'s score): every ``n``-token
+    span that occurs in more than one document is removed from every
+    document EXCEPT the lowest-id one containing it (one canonical copy
+    survives, the repo-wide keep-min-id convention); overlapping shared
+    spans remove the union of their token positions.
+
+    Columns: ``doc_id, n_tokens, n_removed, cleaned_fp`` — ``cleaned_fp``
+    is the md5 of the surviving tokens rejoined by single spaces (the
+    canonical form; differential-pinned against the oracle), ``n_removed``
+    the count of removed token positions.  Docs with no shared spans pass
+    through with ``n_removed = 0``.
+
+    Scale shape: positional spans explode to O(total tokens) rows keyed
+    by the 60-bit span hash (same collision trade as
+    :func:`span_coverage` — a collision can only over-remove); one
+    hash-agg for (containing-doc count, keep id), one linear join back,
+    one position-explode + distinct, one per-doc rebuild.  No pairwise
+    stage, no suffix array — the distributed approximation of the
+    suffix-automaton pass, exact for span granularity ``n``.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    w = register_cache(
+        df.repartition(parallelism).select(
+            F.col(key), tokens_expr(col).alias("__w")
+        )
+    )
+    count = F.size("__w") - (n - 1)
+    posed = w.select(
+        F.col(key),
+        F.col("__w"),
+        F.explode(
+            F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+    ).select(
+        F.col(key),
+        F.col("pos"),
+        _token_hash60(
+            F.array_join(F.slice(F.col("__w"), F.col("pos"), n), " ")
+        ).alias("__span_h"),
+    )
+    shared = (
+        posed.groupBy("__span_h")
+        .agg(
+            F.countDistinct(key).alias("__n_docs"),
+            F.min(key).alias("__keep_id"),
+        )
+        .filter(F.col("__n_docs") > 1)
+    )
+    cov = (
+        posed.join(shared, "__span_h")
+        .filter(F.col(key) != F.col("__keep_id"))
+        .select(
+            F.col(key),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("__i"),
+        )
+        .distinct()
+    )
+    ca = cov.groupBy(key).agg(
+        F.count("*").alias("__n_removed"), F.collect_set("__i").alias("__cov")
+    )
+    empty_cov = F.array().cast("array<int>")
+    kept = F.filter(
+        F.col("__w"),
+        lambda x, i: ~F.array_contains(
+            F.coalesce(F.col("__cov"), empty_cov), i + F.lit(1)
+        ),
+    )
+    return w.join(ca, key, "left").select(
+        F.col(key),
+        F.size("__w").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("__n_removed"), F.lit(0)).cast("long").alias(
+            "n_removed"
+        ),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_fp"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, col: str = "text", key: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -5027,3 +5027,57 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"))
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup REMOVAL (Lee et al. 2022's apply step): every
+# shared 5-token span is cut from every doc except its lowest-id holder;
+# cleaned_fp pins the rebuilt text bit-for-bit, so the differential
+# verifies every surviving token position (see
+# operators.dedup.remove_shared_spans for the scale shape).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_span_removal",
+    f"""
+    WITH w AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+    p AS (
+        SELECT doc_id, w,
+               unnest(CASE WHEN len(w) >= {_SPAN_N}
+                      THEN generate_series(1, len(w)-{_SPAN_N - 1})
+                      ELSE [] END) AS pos
+        FROM w
+    ),
+    s AS (
+        SELECT doc_id, pos,
+               CAST('0x' || substr(md5(array_to_string(
+                   w[pos:pos+{_SPAN_N - 1}], ' ')), 1, 15) AS BIGINT) AS span_h
+        FROM p
+    ),
+    d AS (
+        SELECT span_h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_id
+        FROM s GROUP BY span_h
+    ),
+    cov AS (
+        SELECT DISTINCT s.doc_id, t.i
+        FROM s JOIN d USING (span_h),
+             unnest(generate_series(s.pos, s.pos+{_SPAN_N - 1})) AS t(i)
+        WHERE d.n_docs > 1 AND s.doc_id <> d.keep_id
+    ),
+    ca AS (
+        SELECT doc_id, count(*) AS n_removed, list(i) AS covlist
+        FROM cov GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(ca.n_removed, 0) AS BIGINT) AS n_removed,
+           -- DuckDB: array_to_string([]) is NULL, Spark's array_join is ''
+           md5(coalesce(array_to_string(list_filter(w.w,
+               (x, i) -> NOT list_contains(coalesce(ca.covlist, []), i)),
+               ' '), '')) AS cleaned_fp
+    FROM w LEFT JOIN ca USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.remove_shared_spans(docs, n=_SPAN_N).orderBy("doc_id")

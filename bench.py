@@ -126,6 +126,7 @@ HEADLINE = [
     "dedup_span_coverage",
     "pipeline_token_budget_select",
     "pipeline_semantic_dedup",
+    "dedup_span_removal",
 ]
 
 

@@ -203,3 +203,49 @@ def test_span_coverage_within_doc_repeat_not_shared(spark):
     got = {r.doc_id: r.n_shared for r in span_coverage(df, n=5).collect()}
     assert got[1] == 0
     assert got[2] == 0
+
+
+def test_span_removal_keeps_canonical_copy(spark):
+    from airflow_postgres_etl_spark.operators.dedup import remove_shared_spans
+
+    # doc 2 repeats doc 1's full 5-token span → removed from 2, kept in 1;
+    # doc 3 shares nothing; doc 4 too short for any span
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "one two three four five"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_fp)
+        for r in remove_shared_spans(df, n=5).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1] == (5, 0, md5("alpha beta gamma delta epsilon"))
+    assert got[2] == (5, 5, md5(""))  # every position cut, canonical in 1
+    assert got[3] == (5, 0, md5("one two three four five"))
+    assert got[4] == (2, 0, md5("too short"))  # no spans → untouched
+
+
+def test_span_removal_overlap_union(spark):
+    from airflow_postgres_etl_spark.operators.dedup import remove_shared_spans
+
+    # doc 2 embeds doc 1's span at offset 2: its positions 3..7 are
+    # covered; surrounding tokens survive and rejoin
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "pre1 pre2 alpha beta gamma delta epsilon post1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_removed, r.cleaned_fp)
+        for r in remove_shared_spans(df, n=5).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1] == (0, md5("alpha beta gamma delta epsilon"))
+    assert got[2] == (5, md5("pre1 pre2 post1"))
