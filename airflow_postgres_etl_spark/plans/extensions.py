@@ -5081,3 +5081,96 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.remove_shared_spans(docs, n=_SPAN_N).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes source classifier — the closed-form stand-in for the
+# fastText-style classifier every corpus pipeline trains to score
+# documents (CCNet / GPT-3 quality filtering): add-one-smoothed
+# multinomial NB over the corpus's own (source, term) counts, every doc
+# scored against every class, argmax → confusion matrix.  No ML library
+# and no iterative optimizer, so it runs as three aggregates + one
+# broadcast join.  Log-probs are quantized to integer micro-nats BEFORE
+# summation: per-doc class scores are then exact BIGINT sums, making the
+# argmax (and its cand-name tie-break) bit-identical cross-engine — no
+# float-accumulation-order drift in the decision, the same integer trick
+# as q_ewma_hourly.  At scale: the (vocab × sources) model table
+# broadcasts; the scoring join fans each token ×|sources| with map-side
+# partial aggregation collapsing to (doc × sources) before the shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "text_source_classifier",
+    f"""
+    WITH t AS (SELECT doc_id, source, unnest({SQL_TOKS}) AS term FROM documents),
+    cnts AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY source, term),
+    totals AS (SELECT source, count(*) AS n_s FROM t GROUP BY source),
+    vocab AS (SELECT DISTINCT term FROM t),
+    v AS (SELECT count(*) AS v FROM vocab),
+    grid AS (
+        SELECT totals.source AS cand, vocab.term,
+               CAST(floor(1000000.0 * ln((coalesce(cnts.cnt, 0) + 1.0)
+                                         / (totals.n_s + v.v))) AS BIGINT)
+                   AS lp_q
+        FROM vocab CROSS JOIN totals
+        LEFT JOIN cnts ON cnts.source = totals.source
+                      AND cnts.term = vocab.term
+        CROSS JOIN v
+    ),
+    scored AS (
+        SELECT t.doc_id, t.source, g.cand, sum(g.lp_q) AS score_q
+        FROM t JOIN grid g USING (term)
+        GROUP BY t.doc_id, t.source, g.cand
+    ),
+    pred AS (
+        SELECT doc_id, source, cand FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_q DESC, cand) = 1
+    )
+    SELECT source AS true_source, cand AS predicted,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY source, cand
+    ORDER BY true_source, predicted
+    """,
+)
+def text_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", F.explode(X.tokens_expr()).alias("term"))
+    cnts = t.groupBy("source", "term").agg(F.count("*").alias("cnt"))
+    totals = t.groupBy("source").agg(F.count("*").alias("n_s"))
+    vocab = t.select("term").distinct()
+    v_size = vocab.agg(F.count("*").alias("v"))
+    grid = (
+        vocab.crossJoin(totals)
+        .join(cnts, ["source", "term"], "left")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            F.col("source").alias("cand"),
+            "term",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_s") + F.col("v"))
+                )
+            )
+            .cast("long")
+            .alias("lp_q"),
+        )
+    )
+    scored = (
+        t.join(F.broadcast(grid), "term")
+        .groupBy("doc_id", "source", "cand")
+        .agg(F.sum("lp_q").alias("score_q"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("cand"))
+    pred = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return (
+        pred.groupBy(
+            F.col("source").alias("true_source"),
+            F.col("cand").alias("predicted"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("true_source", "predicted")
+    )

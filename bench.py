@@ -127,6 +127,7 @@ HEADLINE = [
     "pipeline_token_budget_select",
     "pipeline_semantic_dedup",
     "dedup_span_removal",
+    "text_source_classifier",
 ]
 
 
