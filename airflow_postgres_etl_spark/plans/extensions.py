@@ -5174,3 +5174,77 @@ def text_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("true_source", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window anomaly flags — the monitoring query a continuous
+# pipeline runs over its own throughput: per (event_type, hour), flag
+# counts more than 3 sigma from the trailing-24h mean.  The z-test is
+# algebraically cleared of division and sqrt —
+#     (x − μ)² > 9σ²  ⇔  (n·x − Σx)² > 9·(n·Σx² − (Σx)²)
+# — so every quantity is an exact integer (the q_ewma_hourly trick):
+# no float accumulation anywhere, the flag is bit-identical
+# cross-engine with no rounding rule.  Keyed RANGE window (hour-index
+# values, not rows — missing hours need no gap-fill spine); partitioned
+# by event_type, so at scale it is one keyed window over post-aggregate
+# rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q_anomaly_hours",
+    """
+    WITH h AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS hr
+        FROM events
+    ),
+    hourly AS (SELECT event_type, hr, count(*) AS cnt FROM h GROUP BY 1, 2),
+    wstat AS (
+        SELECT event_type, hr, cnt,
+               count(*) OVER w AS n_w,
+               sum(cnt) OVER w AS sx,
+               sum(cnt * cnt) OVER w AS sxx
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hr, cnt,
+           CAST(n_w AS BIGINT) AS n_window,
+           CAST((n_w * cnt - sx) * (n_w * cnt - sx) AS BIGINT)
+               > CAST(9 * (n_w * sxx - sx * sx) AS BIGINT) AS is_anomaly
+    FROM wstat
+    ORDER BY event_type, hr
+    """,
+)
+def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / F.lit(3600))
+            .cast("long")
+            .alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rangeBetween(-23, Window.currentRow)
+    )
+    n_w = F.count("*").over(w)
+    sx = F.sum("cnt").over(w)
+    sxx = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    lhs = n_w * F.col("cnt") - sx
+    return (
+        hourly.select(
+            "event_type",
+            "hr",
+            "cnt",
+            n_w.cast("long").alias("n_window"),
+            ((lhs * lhs) > F.lit(9) * (n_w * sxx - sx * sx)).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("event_type", "hr")
+    )

@@ -128,6 +128,7 @@ HEADLINE = [
     "pipeline_semantic_dedup",
     "dedup_span_removal",
     "text_source_classifier",
+    "q_anomaly_hours",
 ]
 
 
