@@ -57,7 +57,49 @@ def replicate(docs, n: int, salt_text: bool):
     return out
 
 
+def removal_stress(ns: list[int]) -> None:
+    """``remove_shared_spans`` at N× (salted copies — cross-copy spans
+    never collide, so removed-position totals must be exactly linear and
+    wall time ~linear: hash-agg + linear join back + rebuild, no
+    pairwise stage)."""
+    spark = get_spark(app_name="scale_stress_span_removal")
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = []
+    for n in ns:
+        docs = replicate(base, n, salt_text=True)
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        agg = (
+            D.remove_shared_spans(docs, n=5)
+            .agg(
+                F.count("*").alias("docs"),
+                F.sum("n_removed").alias("total_removed"),
+                F.sum((F.col("n_removed") > 0).cast("long")).alias(
+                    "docs_touched"
+                ),
+            )
+            .collect()[0]
+        )
+        wall = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "n_copies": n,
+                "docs": n_docs,
+                "docs_touched": agg.docs_touched,
+                "total_removed": agg.total_removed,
+                "t_sec": wall,
+                "sec_per_1k_docs": round(wall / n_docs * 1000, 3),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"metric": "scale_stress_span_removal", "rows": rows}))
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--removal"]:
+        removal_stress([int(a) for a in sys.argv[2:]] or [1, 4, 16, 64])
+        return
     ns = [int(a) for a in sys.argv[1:]] or [1, 4, 16, 64]
     spark = get_spark(app_name="scale_stress_selection")
     base = load_table(spark, SF_DIR, "documents").select(
