@@ -360,3 +360,35 @@ def test_weighted_sample_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_removal_no_pairwise_no_python(spark):
+    """Exact-substring removal: positional hash-agg + equi-joins only —
+    no cartesian pair stage, no Python evaluation, and the shared-span
+    model joins back by hash key (equi SortMerge/Hash join)."""
+    plan = plan_of(spark, "dedup_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_classifier_broadcasts_model_grid(spark):
+    """NB classifier: the (vocab × sources) model table broadcasts onto
+    the token stream; partial aggregation collapses the ×|sources|
+    fan-out map-side before the (doc × class) shuffle."""
+    plan = plan_of(spark, "text_source_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # map-side combine of quantized scores
+    assert "BatchEvalPython" not in plan
+
+
+def test_anomaly_hours_window_is_keyed_range(spark):
+    """The trailing-24h stats run as ONE keyed window over post-aggregate
+    hour rows: partitioned by event_type (never a global window) with a
+    value-RANGE frame."""
+    plan = plan_of(spark, "q_anomaly_hours")
+    import re
+
+    w = re.search(r"Window \[.*specifiedwindowframe\(RangeFrame[^\n]*", plan)
+    assert w, plan
+    assert "event_type" in w.group(0), w.group(0)
+    assert plan.count("Exchange SinglePartition") == 0, plan
