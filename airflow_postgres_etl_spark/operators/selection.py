@@ -62,7 +62,10 @@ def ordered_prefix_by_budget(
     Exactness: groups are distinct ``priority`` values, so
     group-prefix + within-group-prefix is precisely the global running
     total; ``key`` must be unique (ties within a group are ordered by
-    it, so the kept set is deterministic).
+    it, so the kept set is deterministic).  ``priority`` and ``cost``
+    must be non-NULL: a NULL priority never equi-joins back to its
+    group (the row would silently drop) and a NULL cost vanishes from
+    sums — filter or impute upstream.
 
     Scale shape: one hash-agg shuffle (per-priority cost), one
     single-partition window over the AGGREGATED frame only, one

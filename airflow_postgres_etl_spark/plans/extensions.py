@@ -5187,7 +5187,10 @@ def text_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-engine with no rounding rule.  Keyed RANGE window (hour-index
 # values, not rows — missing hours need no gap-fill spine); partitioned
 # by event_type, so at scale it is one keyed window over post-aggregate
-# rows.
+# rows.  BIGINT headroom: (n·x − Σx)² ≤ (24·max_hourly_count)², which
+# overflows 2⁶³ once a single (type, hour) exceeds ~1.2e8 events — cast
+# the two compare operands to DECIMAL(38,0) beyond that rate (the test
+# SFs sit ~5 orders of magnitude below it).
 # ---------------------------------------------------------------------------
 @query(
     "q_anomaly_hours",

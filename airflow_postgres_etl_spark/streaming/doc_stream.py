@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..caching import cache_scope
 from ..operators.dedup import (
     append_to_minhash_index,
     build_minhash_index,
@@ -96,6 +97,14 @@ def stream_dedup_ingest(
     )
 
     def process(batch: DataFrame, epoch_id: int) -> None:
+        # operator caches (the shingle frames under the LSH self-join)
+        # are intra-batch reuse buffers: release them with the batch, or
+        # a long-running stream accumulates one cached corpus per
+        # micro-batch until eviction pressure (caching.py)
+        with cache_scope():
+            _process_batch(batch)
+
+    def _process_batch(batch: DataFrame) -> None:
         survivors = self_dedup(batch, threshold, max_band_size)
         had_index = minhash_index_exists(index_path)
         if had_index:

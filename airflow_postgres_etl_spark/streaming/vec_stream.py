@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..caching import cache_scope
 from ..functions.vectors import l2_norm_expr
 from ..operators.similarity import (
     N_IVF_CELLS,
@@ -118,6 +119,12 @@ def stream_semantic_ingest(
     )
 
     def process(batch: DataFrame, epoch_id: int) -> None:
+        # release the quantizer-assignment caches with the batch (same
+        # per-micro-batch cache lifecycle as the document stream)
+        with cache_scope():
+            _process_batch(batch)
+
+    def _process_batch(batch: DataFrame) -> None:
         had_index = ivf_index_exists(index_path)
         if had_index:
             cent = batch.sparkSession.read.parquet(

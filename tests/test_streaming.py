@@ -163,7 +163,10 @@ def test_stream_dedup_ingest_drops_cross_batch_near_dups(spark, tmp_path):
     """Streaming corpus ingest: a doc near-duplicating anything accepted
     in an EARLIER micro-batch run is dropped (the persisted MinHash index
     is the dedup state); genuinely new docs are accepted and indexed."""
+    from airflow_postgres_etl_spark import caching
     from airflow_postgres_etl_spark.streaming import stream_dedup_ingest
+
+    n_caches_before = len(caching._ACTIVE)
 
     src, idx, out, ck = (
         str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
@@ -212,6 +215,8 @@ def test_stream_dedup_ingest_drops_cross_batch_near_dups(spark, tmp_path):
     q3 = stream_dedup_ingest(spark, src, idx, out, ck)
     q3.awaitTermination(120)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}
+    # per-batch cache lifecycle: shingle caches released with each batch
+    assert len(caching._ACTIVE) == n_caches_before
 
 
 def test_stream_training_ingest_matches_batch_application(spark, tmp_path):

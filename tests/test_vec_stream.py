@@ -41,6 +41,9 @@ def test_semantic_self_dedup_greedy_by_id(spark):
 
 
 def test_stream_semantic_ingest_cross_batch(spark, tmp_path):
+    from airflow_postgres_etl_spark import caching
+
+    n_caches_before = len(caching._ACTIVE)
     src, idx, out, ck = (
         str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
     )
@@ -95,6 +98,11 @@ def test_stream_semantic_ingest_cross_batch(spark, tmp_path):
     assert q3.exception() is None
     assert {r.vec_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}
     assert ivf_appended_fraction(idx) == pytest.approx(1 / 3)
+
+    # per-batch cache lifecycle: the quantizer-assignment caches each
+    # micro-batch registers are released with the batch — a long-running
+    # stream must not accumulate them
+    assert len(caching._ACTIVE) == n_caches_before
 
 
 def test_stream_semantic_matches_batch_decisions(spark, tmp_path):
