@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..caching import register_cache
 from .text import tokens_expr
@@ -220,6 +221,86 @@ def span_coverage(
             F.col("n_shingles").cast("long").alias("n_spans"),
             F.col("n_shared"),
             F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    col: str = "text",
+    key: str = "doc_id",
+    mod: int = 16,
+) -> DataFrame:
+    """Content-defined chunking dedup signal: split each document into
+    variable-length chunks at content-determined boundaries (a token is
+    a boundary iff its 60-bit hash ≡ 0 mod ``mod`` — expected chunk
+    length ``mod`` tokens), fingerprint each chunk, and report per doc
+    how many of its distinct chunks occur in at least one other doc.
+
+    The storage-dedup construction (LBFS/rsync family) applied to text:
+    boundaries depend only on LOCAL content, so an edit disturbs only
+    the one or two chunks around it while every other chunk keeps its
+    exact identity.  Versus :func:`span_coverage` (overlapping n-grams,
+    one span per token position) the trade is granularity for cost:
+    chunks are NON-overlapping, so the sharing join carries ~tokens/mod
+    rows instead of ~tokens rows — a ``mod``× cheaper corpus signal at
+    coarser (expected ``mod``-token) resolution.
+
+    Columns: ``doc_id, n_chunks, n_shared, shared_frac`` (rounded 6);
+    ``n_chunks`` counts DISTINCT chunk fingerprints per doc.  Docs with
+    zero tokens are absent.
+
+    Scale shape: one posexplode (O(total tokens)), one KEYED window
+    (chunk ids = running boundary count per doc — partitioned by doc,
+    never global), two hash aggregates and a linear join back on the
+    chunk fingerprint.  No pairwise stage.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    w = df.repartition(parallelism).select(
+        F.col(key), tokens_expr(col).alias("__w")
+    )
+    p = w.select(F.col(key), F.posexplode("__w").alias("pos0", "tok"))
+    b = p.select(
+        F.col(key),
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("tok"),
+        ((_token_hash60(F.col("tok")) % mod) == 0).cast("int").alias("__is_b"),
+    )
+    wv = (
+        Window.partitionBy(key)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = b.withColumn("__chunk_id", F.sum("__is_b").over(wv))
+    # ordered rebuild inside the aggregate: collect (pos, tok) structs,
+    # sort by pos, join — deterministic regardless of partitioning
+    chunk_fp = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        )
+    )
+    chunks = c.groupBy(key, "__chunk_id").agg(chunk_fp.alias("chunk_fp"))
+    dc = chunks.select(F.col(key), "chunk_fp").distinct()
+    cf = dc.groupBy("chunk_fp").agg(F.count("*").alias("__n_docs"))
+    shared_flag = (F.col("__n_docs") > 1).cast("long")
+    return (
+        dc.join(cf, "chunk_fp")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(shared_flag).alias("n_shared"),
+        )
+        .select(
+            key,
+            F.col("n_chunks"),
+            F.col("n_shared"),
+            F.round(F.col("n_shared") / F.col("n_chunks"), 6).alias(
                 "shared_frac"
             ),
         )

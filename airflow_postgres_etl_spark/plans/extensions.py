@@ -5251,3 +5251,56 @@ def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (the LBFS/rsync construction on text):
+# local-content boundaries keep chunk identity stable under edits, and
+# chunks are NON-overlapping — ~tokens/16 rows through the sharing join
+# vs span_coverage's one-per-token, the cheaper corpus-level signal at
+# coarser resolution.  See operators.dedup.cdc_chunk_stats.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cdc_chunks",
+    f"""
+    WITH w AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+    p AS (
+        SELECT doc_id, unnest(w) AS tok,
+               unnest(generate_series(1, len(w))) AS pos
+        FROM w
+    ),
+    b AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                         % 16 = 0
+                    THEN 1 ELSE 0 END AS is_b
+        FROM p
+    ),
+    c AS (
+        SELECT doc_id, pos, tok,
+               sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS chunk_id
+        FROM b
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+        FROM c GROUP BY doc_id, chunk_id
+    ),
+    dc AS (SELECT DISTINCT doc_id, chunk_fp FROM chunks),
+    cf AS (SELECT chunk_fp, count(*) AS n_docs FROM dc GROUP BY chunk_fp)
+    SELECT dc.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN cf.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           round(sum(CASE WHEN cf.n_docs > 1 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS shared_frac
+    FROM dc JOIN cf USING (chunk_fp)
+    GROUP BY dc.doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.cdc_chunk_stats(docs, mod=16).orderBy("doc_id")

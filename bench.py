@@ -129,6 +129,7 @@ HEADLINE = [
     "dedup_span_removal",
     "text_source_classifier",
     "q_anomaly_hours",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -249,3 +249,26 @@ def test_span_removal_overlap_union(spark):
     md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
     assert got[1] == (0, md5("alpha beta gamma delta epsilon"))
     assert got[2] == (5, md5("pre1 pre2 post1"))
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """CDC property: an edit disturbs only the chunk containing it —
+    every other chunk keeps its exact identity, so a near-copy with one
+    token changed still shares most chunks with the original."""
+    from airflow_postgres_etl_spark.operators.dedup import cdc_chunk_stats
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six seven eight nine ten")
+    toks = base.split()
+    edited = toks.copy()
+    edited[len(toks) // 2] = "EDITED"
+    rows = [(1, base), (2, " ".join(edited)), (3, "unrelated words entirely distinct here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # mod=4 → expected ~4-token chunks over ~35 tokens → several chunks
+    got = {r.doc_id: r for r in cdc_chunk_stats(df, mod=4).collect()}
+    assert got[1].n_chunks >= 3
+    # the pair shares all chunks except the (at most two) around the edit
+    assert got[1].n_shared >= got[1].n_chunks - 2
+    assert got[2].n_shared >= got[2].n_chunks - 2
+    assert got[3].n_shared == 0
