@@ -704,3 +704,200 @@ def knn_ivf_sq8(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "sq8_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization with asymmetric-distance (ADC) scoring —
+# the third compression tier of the FAISS progression built here
+# (IVF-Flat -> IVF-SQ8 -> IVF-PQ).  Vectors are split into PQ_M
+# subspaces; each sub-vector is replaced by the id of its nearest
+# sub-codebook centroid, so a 64-dim float32 vector becomes PQ_M small
+# codes (16 bytes at 32 subspaces x 4-bit codes — 16x vs float32).  A query never decodes the
+# corpus: it precomputes its distance to every sub-centroid once (the
+# ADC table, PQ_M x PQ_K entries) and scores a candidate as the SUM of
+# PQ_M table lookups.
+#
+# Exactness discipline: per-term squared distances are quantized to
+# integer micro-units BEFORE any summation —
+#     term_q = floor(((a_i - b_i) * (a_i - b_i)) * 1e6)  (BIGINT)
+# — so sub-distances, codebook argmins (tie -> lower centroid id), and
+# ADC sums are all exact integer arithmetic: no float-accumulation
+# order anywhere, bit-identical cross-engine (the q_ewma /
+# text_source_classifier trick applied to geometry).
+# ---------------------------------------------------------------------------
+# Config chosen by a measured sweep on the sf0.1 embeddings (recall@10
+# vs brute force, 30 queries): 8x8/K16 0.28, 8x8/K64 0.33, 16x4/K16
+# 0.40, 16x4/K64 0.50, 32x2/K16 0.52; 2-3 Lloyd refinement iterations
+# buy only ~+0.06 (16x4/K64 -> 0.58) and were left out to keep the
+# codebook rule deterministic-sample-only.  HONEST LIMITATION, measured:
+# these synthetic embeddings are near-isotropic 64-d — the
+# distance-concentration worst case for PQ — so recall saturates ~0.5
+# where SQ8 reaches 0.94; PQ's 16-byte codes (16x compression vs float,
+# 4x vs SQ8) are the right tier only when the data has low intrinsic
+# dimension or the byte budget forces it.  The gate in
+# tests/test_ann_recall.py pins the measured level so regressions (not
+# aspirations) fail.
+PQ_M = 32       # subspaces (64-dim -> 32 x 2)
+PQ_SUBDIM = 2
+PQ_K = 16       # sub-centroids per subspace (4-bit codes)
+
+
+def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, s, sub): each vector L2-NORMALIZED then split into PQ_M
+    double sub-arrays.  Normalization makes ADC's L2 ranking equal the
+    stack's cosine ranking (‖â−b̂‖² = 2 − 2·cos for unit vectors) — the
+    correctness precondition for comparing against the cosine tiers.
+    (On THIS testdata norms are nearly constant, so the measured recall
+    barely moves; on real variable-norm embeddings unnormalized L2 and
+    cosine rank differently and this step is load-bearing.)  Zero
+    vectors pass through unnormalized (cosine is NULL-undefined for
+    them anyway; none exist in the testdata)."""
+    # two-step select: the norm is BOUND to an attribute before the
+    # division lambda references it — a lambda re-evaluates any
+    # non-attribute expression per element (the O(n²) trap
+    # dedup.shingles_from_tokens documents)
+    vd = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col), vd.alias("__vd")).withColumn(
+        "__nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("__vd"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    v = F.when(F.col("__nrm") == 0.0, F.col("__vd")).otherwise(
+        F.transform(F.col("__vd"), lambda x: x / F.col("__nrm"))
+    )
+    return (
+        base.select(F.col(id_col), v.alias("__v"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+            F.col("__v"),
+        )
+        .select(
+            F.col(id_col),
+            "s",
+            F.slice(
+                F.col("__v"), F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM
+            ).alias("sub"),
+        )
+    )
+
+
+def _pq_dist_q(a: Column, b: Column) -> Column:
+    """Integer-quantized squared distance: sum of per-term
+    floor(((a_i-b_i)^2) * 1e6) — exact BIGINT, order-free."""
+    terms = F.zip_with(
+        a, b, lambda x, y: F.floor(((x - y) * (x - y)) * F.lit(1000000.0))
+    )
+    return F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, t: acc + t.cast("long")
+    )
+
+
+def pq_codebook(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Sub-codebooks: the first PQ_K vectors' sub-vectors per subspace
+    (id-sampled, deterministic — the same no-RNG quantizer rule as
+    ``_centroids``).  PQ_M × PQ_K rows; broadcasts everywhere."""
+    return _pq_subvectors(
+        emb.filter(F.col(id_col) < PQ_K), id_col, vec_col
+    ).select(F.col(id_col).alias("pq_c"), "s", F.col("sub").alias("csub"))
+
+
+def pq_encode(
+    emb: DataFrame, codebook: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, s, code): nearest sub-centroid per (vector, subspace) —
+    argmin over integer-quantized distances, tie → lower centroid id."""
+    subs = _pq_subvectors(emb, id_col, vec_col)
+    d = subs.join(F.broadcast(codebook), "s").select(
+        F.col(id_col),
+        "s",
+        F.col("pq_c"),
+        _pq_dist_q(F.col("sub"), F.col("csub")).alias("__d_q"),
+    )
+    best = d.groupBy(id_col, "s").agg(
+        F.min(F.struct(F.col("__d_q"), F.col("pq_c"))).alias("__best")
+    )
+    return best.select(F.col(id_col), "s", F.col("__best.pq_c").alias("code"))
+
+
+def knn_ivf_pq(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = N_IVF_CELLS,
+    probes: int = IVF_PROBES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF multi-probe ANN scored by PQ/ADC: identical candidate
+    generation to :func:`knn_ivf_centroids` (float coarse quantizer,
+    ``probes`` cells per query); candidates are scored as the sum of
+    PQ_M integer table lookups — the corpus side touches only its
+    PQ codes (~PQ_M small ints per vector vs dim floats; at 100 TB the
+    candidate scan reads ~16× fewer bytes than float, ~4× fewer than
+    SQ8), and the ADC distance table (queries × PQ_M × PQ_K rows)
+    broadcasts.
+
+    Columns: ``query_id, neighbor_id, adc_dist_q`` — the exact integer
+    ADC distance (ascending = most similar), directly differential-able
+    with no rounding rule.
+    """
+    codebook = pq_codebook(emb, id_col, vec_col)
+    codes = pq_encode(emb, codebook, id_col, vec_col)
+
+    # coarse quantizer: same float-space cell assignment as the other
+    # IVF tiers (codes play no part in candidate generation)
+    cand_cells = ivf_cells(emb, n_cells, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell"
+    )
+    qsims = _centroid_sims(
+        emb.filter(F.col(id_col).isin(query_ids)),
+        _centroids(emb, n_cells, id_col, vec_col),
+        vec_col,
+    )
+    wq = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.desc("c_id"))
+    probe = (
+        qsims.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= probes)
+        .select(F.col(id_col).alias("query_id"), F.col("c_id").alias("cell"))
+    )
+
+    # ADC tables: every query's integer distance to every sub-centroid
+    adc = (
+        _pq_subvectors(
+            emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col
+        )
+        .join(F.broadcast(pq_codebook(emb, id_col, vec_col)), "s")
+        .select(
+            F.col(id_col).alias("query_id"),
+            "s",
+            F.col("pq_c").alias("code"),
+            _pq_dist_q(F.col("sub"), F.col("csub")).alias("__d_q"),
+        )
+    )
+
+    pairs = (
+        probe.join(cand_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        pairs.join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(adc), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d_q").alias("adc_dist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist_q")
+    )

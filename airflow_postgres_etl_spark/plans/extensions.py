@@ -5304,3 +5304,100 @@ def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.cdc_chunk_stats(docs, mod=16).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization + asymmetric-distance scoring — the third
+# compression tier of the ANN stack (Flat -> SQ8 -> PQ; see
+# operators.similarity.knn_ivf_pq).  Every per-term squared distance is
+# floored to integer micro-units BEFORE summation, so codebook argmins
+# and ADC sums are exact BIGINT arithmetic on both engines — the output
+# integer distances differential with no rounding rule.
+# ---------------------------------------------------------------------------
+_SQL_PQ_DQ = (
+    "list_sum(list_transform(generate_series(1, {sd}), "
+    "i -> CAST(floor((({a}[i] - {b}[i]) * ({a}[i] - {b}[i])) * 1000000.0) "
+    "AS BIGINT)))"
+)
+
+
+@query(
+    "sim_knn_ivf_pq",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    en AS (
+        SELECT vec_id,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS v
+        FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+              FROM e) t
+    ),
+    sp AS (SELECT unnest(generate_series(0, {S.PQ_M - 1})) AS s),
+    cb AS (
+        SELECT en.vec_id AS pq_c, sp.s,
+               en.v[sp.s*{S.PQ_SUBDIM}+1 : sp.s*{S.PQ_SUBDIM}+{S.PQ_SUBDIM}]
+                   AS csub
+        FROM en, sp WHERE en.vec_id < {S.PQ_K}
+    ),
+    subs AS (
+        SELECT en.vec_id, sp.s,
+               en.v[sp.s*{S.PQ_SUBDIM}+1 : sp.s*{S.PQ_SUBDIM}+{S.PQ_SUBDIM}]
+                   AS sub
+        FROM en, sp
+    ),
+    enc AS (
+        SELECT vec_id, s, pq_c AS code FROM (
+            SELECT subs.vec_id, subs.s, cb.pq_c,
+                   {_SQL_PQ_DQ.format(sd=S.PQ_SUBDIM, a="subs.sub", b="cb.csub")} AS d_q
+            FROM subs JOIN cb USING (s)
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d_q, pq_c) = 1
+    ),
+    adc AS (
+        SELECT subs.vec_id AS query_id, subs.s, cb.pq_c AS code,
+               {_SQL_PQ_DQ.format(sd=S.PQ_SUBDIM, a="subs.sub", b="cb.csub")} AS d_q
+        FROM subs JOIN cb USING (s)
+        WHERE subs.vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})
+    ),
+    cent AS (SELECT vec_id AS c_id, v AS cvv FROM e WHERE vec_id < {S.N_IVF_CELLS}),
+    csims AS (
+        SELECT e.vec_id, c.c_id,
+               round(list_dot_product(e.v, c.cvv) /
+                     nullif(sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(c.cvv, c.cvv)), 0.0), 6) AS csim
+        FROM e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, c_id AS cell FROM csims
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, c_id DESC) = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, c_id AS cell FROM csims
+        WHERE vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, c_id DESC) <= {S.IVF_PROBES}
+    ),
+    pairs AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign a ON a.cell = p.cell
+        WHERE p.query_id <> a.vec_id
+    ),
+    scored AS (
+        SELECT pr.query_id, pr.neighbor_id,
+               CAST(sum(adc.d_q) AS BIGINT) AS adc_dist_q
+        FROM pairs pr
+        JOIN enc ON enc.vec_id = pr.neighbor_id
+        JOIN adc ON adc.query_id = pr.query_id
+                AND adc.s = enc.s AND adc.code = enc.code
+        GROUP BY pr.query_id, pr.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_dist_q FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist_q, neighbor_id) <= 10
+    """,
+)
+def sim_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_ivf_pq(emb, KNN_QUERY_IDS, k=10)

@@ -130,6 +130,7 @@ HEADLINE = [
     "text_source_classifier",
     "q_anomaly_hours",
     "dedup_cdc_chunks",
+    "sim_knn_ivf_pq",
 ]
 
 

@@ -189,3 +189,34 @@ def test_ivf_sq8_recall_at_10_stays_above_0_9(spark):
         assert recall >= 0.9, f"SQ8 recall@10 {recall:.3f}"
     finally:
         emb.unpersist()
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="sf0.1 testdata absent")
+def test_ivf_pq_recall_at_10_stays_above_measured_floor(spark):
+    """The PQ tier is gated at its MEASURED level, not SQ8's: on this
+    near-isotropic synthetic corpus (PQ's distance-concentration worst
+    case — see the config sweep in operators/similarity.py) 32×2/K16
+    measures recall@10 = 0.52.  The gate at ≥ 0.45 catches encode/ADC
+    regressions while stating honestly that PQ is the byte-budget tier,
+    not the quality tier, on data like this."""
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    try:
+        query_ids = [
+            r.vec_id
+            for r in emb.select("vec_id").orderBy("vec_id").limit(N_QUERIES).collect()
+        ]
+
+        def topk(df):
+            out: dict[int, set[int]] = {}
+            for r in df.collect():
+                out.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return out
+
+        exact = topk(S.knn_brute_force(emb, query_ids, k=K))
+        approx = topk(S.knn_ivf_pq(emb, query_ids, k=K))
+        recall = sum(
+            len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+        ) / len(exact)
+        assert recall >= 0.45, f"PQ recall@10 {recall:.3f}"
+    finally:
+        emb.unpersist()
