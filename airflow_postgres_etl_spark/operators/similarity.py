@@ -1,6 +1,6 @@
 """Similarity search over the ``embeddings`` table (``array<float>``).
 
-Four tiers, mirroring a production ANN stack:
+A production ANN stack's tiers, from exact to maximally compressed:
 
 - **Brute-force top-k** (the exactness baseline, ``BASELINE_ONLY``):
   broadcast the (tiny) query set against all vectors — a
@@ -18,6 +18,13 @@ Four tiers, mirroring a production ANN stack:
   hyperplanes give each vector a sign-bit bucket; candidates share the
   bucket (equi-join).  Planes derive deterministically from md5 so the
   DuckDB oracle reproduces them exactly — no RNG, no driver state.
+- **Compressed scoring tiers on the IVF candidates**: SQ8 (int8
+  max-abs codes, 4× fewer candidate bytes, measured recall 0.94) and
+  PQ/ADC (``knn_ivf_pq``: 16-byte product-quantization codes, 16×,
+  integer-exact ADC sums; recall is data-dependent — see the measured
+  sweep at the PQ constants).  A persisted cell-partitioned index
+  (``build_ivf_index``/``knn_against_index``) serves the continuous
+  flows.
 
 All dot products accumulate left-to-right in double on both engines, and
 similarities are rounded before any threshold/top-k so the two engines

@@ -5401,3 +5401,135 @@ _SQL_PQ_DQ = (
 def sim_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_ivf_pq(emb, KNN_QUERY_IDS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Population-stability drift (PSI) — the data-quality monitor a corpus
+# pipeline runs when a source's distribution may have shifted: per
+# event_type, PSI between the early and late halves of the time range
+# over 10 equal-width value buckets, Laplace-smoothed.  PSI terms
+# (p−q)·ln(p/q) are non-negative and are floored to integer NANO-units
+# BEFORE the per-type sum, so the statistic and the drift flag are
+# exact BIGINT arithmetic (the classifier/anomaly trick).  Empty
+# buckets matter (that's where drift shows), so the (type × bucket)
+# grid is generated and counts coalesce to 0.  Shape: two scalar
+# aggregates broadcast, one (type, bucket) hash-agg, one tiny grid
+# join — nothing scales with more than the event count.
+# ---------------------------------------------------------------------------
+@query(
+    "q_psi_value_drift",
+    """
+    WITH s AS (
+        SELECT (min(floor(epoch(ts))) + max(floor(epoch(ts)))) / 2.0 AS mid,
+               min(value) AS vmin, max(value) AS vmax
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT e.event_type,
+               least(9, CAST(floor((e.value - s.vmin) * 10.0 /
+                             nullif(s.vmax - s.vmin, 0.0)) AS BIGINT)) AS bkt,
+               CASE WHEN floor(epoch(e.ts)) < s.mid THEN 1 ELSE 0 END AS early
+        FROM events e CROSS JOIN s
+        WHERE e.value IS NOT NULL
+    ),
+    c AS (
+        SELECT event_type, coalesce(bkt, 0) AS bkt,
+               sum(early) AS ce, sum(1 - early) AS cl
+        FROM b GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, g.bkt
+        FROM (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL) t,
+             (SELECT unnest(generate_series(0, 9)) AS bkt) g
+    ),
+    f AS (
+        SELECT grid.event_type, grid.bkt,
+               coalesce(c.ce, 0) AS ce, coalesce(c.cl, 0) AS cl
+        FROM grid LEFT JOIN c USING (event_type, bkt)
+    ),
+    tot AS (
+        SELECT event_type, sum(ce) AS te, sum(cl) AS tl
+        FROM f GROUP BY 1
+    ),
+    terms AS (
+        SELECT f.event_type,
+               CAST(floor((((f.ce + 1.0) / (tot.te + 10.0))
+                           - ((f.cl + 1.0) / (tot.tl + 10.0)))
+                          * ln(((f.ce + 1.0) / (tot.te + 10.0))
+                               / ((f.cl + 1.0) / (tot.tl + 10.0)))
+                          * 1000000000.0) AS BIGINT) AS term_q
+        FROM f JOIN tot USING (event_type)
+    )
+    SELECT event_type,
+           CAST(sum(term_q) AS BIGINT) AS psi_nano,
+           sum(term_q) > 200000000 AS is_drift
+    FROM terms GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return psi_value_drift(events)
+
+
+def psi_value_drift(events: DataFrame) -> DataFrame:
+    """PSI drift statistic per event_type (see the section comment);
+    factored out so crafted-distribution tests can drive it directly."""
+    spark = events.sparkSession
+    events = events.filter(F.col("value").isNotNull())
+    ep = F.floor(F.unix_timestamp("ts"))
+    s = events.agg(
+        ((F.min(ep) + F.max(ep)) / F.lit(2.0)).alias("mid"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    b = events.crossJoin(F.broadcast(s)).select(
+        "event_type",
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                * F.lit(10.0)
+                / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))
+            ).cast("long"),
+        ).alias("bkt"),
+        F.when(ep < F.col("mid"), F.lit(1)).otherwise(F.lit(0)).alias("early"),
+    )
+    c = (
+        b.select("event_type", F.coalesce("bkt", F.lit(0)).alias("bkt"), "early")
+        .groupBy("event_type", "bkt")
+        .agg(
+            F.sum("early").alias("ce"),
+            F.sum(F.lit(1) - F.col("early")).alias("cl"),
+        )
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(10).select(F.col("id").cast("long").alias("bkt"))
+        )
+    )
+    f = grid.join(c, ["event_type", "bkt"], "left").select(
+        "event_type",
+        "bkt",
+        F.coalesce("ce", F.lit(0)).alias("ce"),
+        F.coalesce("cl", F.lit(0)).alias("cl"),
+    )
+    tot = f.groupBy("event_type").agg(
+        F.sum("ce").alias("te"), F.sum("cl").alias("tl")
+    )
+    p = (F.col("ce") + F.lit(1.0)) / (F.col("te") + F.lit(10.0))
+    q = (F.col("cl") + F.lit(1.0)) / (F.col("tl") + F.lit(10.0))
+    term_q = F.floor((p - q) * F.log(p / q) * F.lit(1000000000.0)).cast("long")
+    terms = f.join(tot, "event_type").select(
+        "event_type", term_q.alias("term_q")
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.sum("term_q").cast("long").alias("psi_nano"),
+            (F.sum("term_q") > F.lit(200000000)).alias("is_drift"),
+        )
+        .orderBy("event_type")
+    )

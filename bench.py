@@ -131,6 +131,7 @@ HEADLINE = [
     "q_anomaly_hours",
     "dedup_cdc_chunks",
     "sim_knn_ivf_pq",
+    "q_psi_value_drift",
 ]
 
 

@@ -272,3 +272,26 @@ def test_cdc_chunks_edit_locality(spark):
     assert got[1].n_shared >= got[1].n_chunks - 2
     assert got[2].n_shared >= got[2].n_chunks - 2
     assert got[3].n_shared == 0
+
+
+def test_psi_drift_flag_fires_on_shifted_distribution(spark):
+    """PSI monitor: a value distribution that SHIFTS between the early
+    and late halves flags drift; a stationary one does not."""
+    import datetime as dt
+
+    from airflow_postgres_etl_spark.plans.extensions import psi_value_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'shifted': early values near 0.05, late values near 0.95
+    # 'stable': identical distribution in both halves
+    for i in range(200):
+        early = i < 100
+        ts = t0 + dt.timedelta(hours=0 if early else 10)
+        rows.append((ts, "shifted", 0.05 if early else 0.95))
+        rows.append((ts, "stable", (i % 10) / 10.0))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = {r.event_type: (r.psi_nano, r.is_drift) for r in psi_value_drift(df).collect()}
+    assert got["shifted"][1] is True
+    assert got["stable"][1] is False
+    assert got["shifted"][0] > got["stable"][0] >= 0
