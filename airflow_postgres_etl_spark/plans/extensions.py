@@ -5533,3 +5533,47 @@ def psi_value_drift(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix — the provenance diagnostic before
+# mixing sources: for every source pair, how many distinct 5-token
+# spans appear in BOTH (the same boilerplate/article syndicated into
+# two crawls inflates that pair; exact-fingerprint overlap is zero on
+# this corpus, so the span granularity is what actually measures
+# leakage).  One (source, span-hash) distinct aggregate + a
+# per-span pair expansion bounded by distinct sources per span.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cross_source_overlap",
+    f"""
+    WITH w AS (SELECT doc_id, source, {SQL_TOKS} AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT source,
+               CAST('0x' || substr(md5(span), 1, 15) AS BIGINT) AS span_h
+        FROM (SELECT doc_id, source, unnest({_SQL_SPANS_5}) AS span FROM w)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_spans
+    FROM sh a JOIN sh b ON a.span_h = b.span_h AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = D._exploded_shingles(docs, "text", "doc_id", 5)
+    src_spans = (
+        ex.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", D._token_hash60(F.col("shingle")).alias("span_h"))
+        .distinct()
+    )
+    a = src_spans.select(F.col("span_h"), F.col("source").alias("source_a"))
+    b = src_spans.select(F.col("span_h"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "span_h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_spans"))
+        .orderBy("source_a", "source_b")
+    )

@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "sim_knn_ivf_pq",
     "q_psi_value_drift",
+    "dedup_cross_source_overlap",
 ]
 
 
