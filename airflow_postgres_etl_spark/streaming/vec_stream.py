@@ -33,12 +33,14 @@ from pyspark.sql.streaming import StreamingQuery
 from ..caching import cache_scope
 from ..functions.vectors import l2_norm_expr
 from ..operators.similarity import (
+    IVF_MAX_APPENDED_FRACTION,
     N_IVF_CELLS,
     append_to_ivf_index,
     build_ivf_index,
     embedding_near_dup_ivf,
     ivf_index_exists,
     knn_against_index,
+    maybe_refresh_ivf_index,
 )
 
 VEC_SCHEMA = "vec_id long, embedding array<float>, label int"
@@ -103,6 +105,7 @@ def stream_semantic_ingest(
     threshold: float = 0.95,
     n_cells: int = N_IVF_CELLS,
     max_files_per_trigger: int = 10,
+    refresh_fraction: float | None = IVF_MAX_APPENDED_FRACTION,
 ) -> StreamingQuery:
     """Continuous semantic-dedup ingest: parquet file stream of
     (vec_id, embedding, label) → in-batch dedup → cosine probe against
@@ -111,7 +114,15 @@ def stream_semantic_ingest(
 
     Build-vs-append probes the index META through the storage seam
     (:func:`..operators.similarity.ivf_index_exists`), never the local
-    filesystem."""
+    filesystem.
+
+    ``refresh_fraction``: after each append, if the index's appended
+    mass exceeds this fraction the quantizer is re-trained from the
+    accepted corpus (``maybe_refresh_ivf_index`` — appends never move
+    centroids, so a drifted stream otherwise degrades candidate
+    recall).  The same in-band maintenance rhythm as
+    ``stream_ingest(merge_mode="mor")``'s auto-compaction; pass None to
+    run refresh out-of-band instead."""
     stream = (
         spark.readStream.schema(VEC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -157,6 +168,16 @@ def stream_semantic_ingest(
                 else:
                     build_ivf_index(survivors, index_path, n_cells)
                 survivors.write.mode("append").parquet(corpus_out)
+                if had_index and refresh_fraction is not None:
+                    # corpus written first, so the rebuild corpus ⊇ the
+                    # index contents — never narrower than the state it
+                    # replaces
+                    maybe_refresh_ivf_index(
+                        batch.sparkSession.read.parquet(corpus_out),
+                        index_path,
+                        max_appended_fraction=refresh_fraction,
+                        n_cells=n_cells,
+                    )
         finally:
             survivors.unpersist()
 

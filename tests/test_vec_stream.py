@@ -57,7 +57,8 @@ def test_stream_semantic_ingest_cross_batch(spark, tmp_path):
     )
     b1.coalesce(1).write.mode("append").parquet(src)
     q = stream_semantic_ingest(
-        spark, src, idx, out, ck, threshold=0.9, n_cells=2
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None,
     )
     q.awaitTermination(120)
     assert q.exception() is None
@@ -74,7 +75,8 @@ def test_stream_semantic_ingest_cross_batch(spark, tmp_path):
     )
     b2.coalesce(1).write.mode("append").parquet(src)
     q2 = stream_semantic_ingest(
-        spark, src, idx, out, ck, threshold=0.9, n_cells=2
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None,
     )
     q2.awaitTermination(120)
     assert q2.exception() is None
@@ -92,7 +94,8 @@ def test_stream_semantic_ingest_cross_batch(spark, tmp_path):
 
     # restart with no new files: nothing appended anywhere
     q3 = stream_semantic_ingest(
-        spark, src, idx, out, ck, threshold=0.9, n_cells=2
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None,
     )
     q3.awaitTermination(120)
     assert q3.exception() is None
@@ -136,3 +139,42 @@ def test_stream_semantic_matches_batch_decisions(spark, tmp_path):
     }
     stream_kept = {r.vec_id for r in spark.read.parquet(out).collect()}
     assert stream_kept == batch_kept == {1, 2, 5}
+
+
+def test_stream_semantic_auto_refresh(spark, tmp_path):
+    """In-band drift guard: once appended mass crosses the threshold the
+    quantizer is re-trained from the accepted corpus — the appended
+    counter resets to 0 and dedup decisions are unchanged (the rebuilt
+    index holds exactly the corpus)."""
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    _vecs(
+        spark,
+        [(1, [1.0, 0.0, 0.0, 0.0], 0), (2, [0.0, 1.0, 0.0, 0.0], 0)],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_semantic_ingest(spark, src, idx, out, ck, threshold=0.9, n_cells=2)
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    # batch 2 appends 1 of 3 vectors (fraction 1/3 > default 0.2) →
+    # in-band rebuild fires and resets the counter
+    _vecs(spark, [(10, [0.0, 0.0, 1.0, 0.0], 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = stream_semantic_ingest(spark, src, idx, out, ck, threshold=0.9, n_cells=2)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert ivf_appended_fraction(idx) == 0.0
+
+    # dedup behavior unchanged after the rebuild: near-dup of vec 1
+    # still rejected, novel direction admitted
+    _vecs(
+        spark,
+        [(20, [0.99, 0.01, 0.0, 0.0], 1), (21, [0.0, 0.0, 0.0, 1.0], 1)],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q3 = stream_semantic_ingest(spark, src, idx, out, ck, threshold=0.9, n_cells=2)
+    q3.awaitTermination(120)
+    assert q3.exception() is None
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 10, 21}
