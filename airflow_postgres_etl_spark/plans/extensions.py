@@ -5577,3 +5577,80 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_spans"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity filtering, APPLIED (CCNet's actual keep/drop step): score
+# every doc with the corpus-unigram fluency signal (text_unigram_logprob's
+# expression, rounded 6 BEFORE thresholding so both engines cut the same
+# set), take the exact interpolated p90 as the cut (Spark `percentile`
+# == DuckDB `quantile_cont`, rounded 6), drop docs above it, report
+# per-source keep/drop counts.  Shape: the two unigram aggregates + one
+# ordered-agg scalar broadcast + one narrow filter — no new shuffle
+# class beyond the scoring pass itself.
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_perplexity_filter",
+    f"""
+    WITH t AS (
+        SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+    ),
+    v AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+    g AS (SELECT (SELECT count(*) FROM t) AS n, (SELECT count(*) FROM v) AS vs),
+    scored AS (
+        SELECT t.doc_id,
+               round(avg(-ln((v.cnt + 1.0) / (g.n + g.vs))), 6) AS nlp
+        FROM t JOIN v USING (term) CROSS JOIN g
+        GROUP BY t.doc_id
+    ),
+    cut AS (SELECT round(quantile_cont(nlp, 0.9), 6) AS p90 FROM scored)
+    SELECT d.source,
+           CAST(sum(CASE WHEN s.nlp <= cut.p90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN s.nlp > cut.p90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM documents d
+    JOIN scored s USING (doc_id)
+    CROSS JOIN cut
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(X.tokens_expr()).alias("term"))
+    v = t.groupBy("term").agg(F.count("*").alias("cnt"))
+    g = t.agg(F.count("*").alias("n")).crossJoin(
+        v.agg(F.count("*").alias("vs"))
+    )
+    scored = (
+        t.join(v, "term")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("cnt") + F.lit(1.0))
+                        / (F.col("n") + F.col("vs"))
+                    )
+                ),
+                6,
+            ).alias("nlp")
+        )
+    )
+    cut = scored.agg(
+        F.round(F.expr("percentile(nlp, 0.9)"), 6).alias("p90")
+    )
+    kept_flag = (F.col("nlp") <= F.col("p90")).cast("long")
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .crossJoin(F.broadcast(cut))
+        .groupBy("source")
+        .agg(
+            F.sum(kept_flag).alias("n_kept"),
+            F.sum(F.lit(1) - kept_flag).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )

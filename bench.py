@@ -133,6 +133,7 @@ HEADLINE = [
     "sim_knn_ivf_pq",
     "q_psi_value_drift",
     "dedup_cross_source_overlap",
+    "pipeline_perplexity_filter",
 ]
 
 
