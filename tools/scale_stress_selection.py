@@ -96,9 +96,83 @@ def removal_stress(ns: list[int]) -> None:
     print(json.dumps({"metric": "scale_stress_span_removal", "rows": rows}))
 
 
+def classifier_cdc_stress(ns: list[int]) -> None:
+    """NB classifier and CDC chunking at N× (unsalted for the
+    classifier — the vocab and the broadcast model grid stay CONSTANT
+    while the corpus grows, so the token×|sources| fan-out must
+    collapse map-side and wall time stay ~linear; salted for CDC so
+    chunk sharing is per-copy and totals exactly linear)."""
+    from airflow_postgres_etl_spark.plans.queries import QUERIES  # noqa: F401
+    from airflow_postgres_etl_spark.plans import extensions as E
+
+    spark = get_spark(app_name="scale_stress_classifier_cdc")
+    base = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    rows = []
+    for n in ns:
+        docs = replicate(base, n, salt_text=False)
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        # inline the classifier body over the replicated frame: same
+        # code path as the registered query, different input
+        t = docs.select(
+            "doc_id", "source", F.explode(X.tokens_expr()).alias("term")
+        )
+        cnts = t.groupBy("source", "term").agg(F.count("*").alias("cnt"))
+        totals = t.groupBy("source").agg(F.count("*").alias("n_s"))
+        vocab = t.select("term").distinct()
+        v_size = vocab.agg(F.count("*").alias("v"))
+        grid = (
+            vocab.crossJoin(totals)
+            .join(cnts, ["source", "term"], "left")
+            .crossJoin(F.broadcast(v_size))
+            .select(
+                F.col("source").alias("cand"), "term",
+                F.floor(F.lit(1000000.0) * F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_s") + F.col("v")))).cast("long").alias("lp_q"),
+            )
+        )
+        from pyspark.sql.window import Window
+        scored = (
+            t.join(F.broadcast(grid), "term")
+            .groupBy("doc_id", "source", "cand")
+            .agg(F.sum("lp_q").alias("score_q"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("cand"))
+        pred = scored.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        )
+        n_correct = pred.filter(F.col("source") == F.col("cand")).count()
+        wall_c = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+
+        docs_s = replicate(base, n, salt_text=True)
+        t0 = time.perf_counter()
+        agg = (
+            D.cdc_chunk_stats(docs_s, mod=16)
+            .agg(F.sum("n_chunks").alias("chunks"), F.sum("n_shared").alias("shared"))
+            .collect()[0]
+        )
+        wall_k = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        rows.append({
+            "n_copies": n, "docs": n_docs,
+            "nb_correct": n_correct, "t_classifier_sec": wall_c,
+            "cdc_chunks": agg.chunks, "cdc_shared": agg.shared,
+            "t_cdc_sec": wall_k,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"metric": "scale_stress_classifier_cdc", "rows": rows}))
+
+
 def main() -> None:
     if sys.argv[1:2] == ["--removal"]:
         removal_stress([int(a) for a in sys.argv[2:]] or [1, 4, 16, 64])
+        return
+    if sys.argv[1:2] == ["--classifier-cdc"]:
+        classifier_cdc_stress([int(a) for a in sys.argv[2:]] or [1, 4, 16, 64])
         return
     ns = [int(a) for a in sys.argv[1:]] or [1, 4, 16, 64]
     spark = get_spark(app_name="scale_stress_selection")
