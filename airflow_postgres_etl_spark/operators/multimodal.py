@@ -284,6 +284,85 @@ def attach_wav_payload(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     return docs.select(key).mapInPandas(run, f"{key} long, payload binary")
 
 
+def attach_wav_square_payload(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Deterministic square-wave WAV payload per document — the fixture
+    for waveform ANALYSIS (not just container arithmetic): mono PCM16 at
+    AUDIO_FIXTURE_RATE, ``64 + id % 97`` samples alternating ``+a, -a``
+    with ``a = md5_16(id) % 32768`` (mod keeps the negation inside
+    int16; a can be 0, the all-silent degenerate case).  Every analysis
+    statistic — peak, energy, zero crossings, silence — is then an
+    integer-exact closed form in ``(n, a)`` the DuckDB oracle reproduces
+    from ``doc_id`` alone, so a decoder reading wrong offsets or a stats
+    pass dropping samples mismatches immediately."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[key]:
+                did = int(did)
+                n = 64 + did % 97
+                a = (
+                    int.from_bytes(hashlib.md5(str(did).encode()).digest()[:2], "big")
+                    % 32768
+                )
+                samples = np.full(n, a, dtype=np.int16)
+                samples[1::2] = -a
+                payloads.append(codecs.encode_wav(samples, AUDIO_FIXTURE_RATE))
+            yield pd.DataFrame({key: pdf[key], "payload": payloads})
+
+    return docs.select(key).mapInPandas(run, f"{key} long, payload binary")
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak_amp", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("n_silent", T.LongType()),
+    ]
+)
+
+
+def extract_audio_stats(df: DataFrame) -> DataFrame:
+    """Waveform-analysis pass over decoded PCM — the audio analog of the
+    raster channel-means decode: peak ``max|s|``, energy ``sum(s^2)``
+    (exact BIGINT — no float accumulation, bit-identical cross-engine),
+    zero crossings (strict sign flips ``s_i * s_{i+1} < 0``), and silent
+    sample count (``s == 0``).  All computed from the decoded stream
+    with vectorized numpy inside one Arrow batch; binary in, five longs
+    out, no shuffle.  Max energy at the fixture sizes is
+    ``160 * 32767^2 < 2^38`` — five orders of magnitude of BIGINT
+    headroom."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, _rate = codecs.decode_wav(bytes(payload))
+                s = frames[:, 0].astype(np.int64)
+                rows.append(
+                    (
+                        int(did),
+                        s.shape[0],
+                        int(np.abs(s).max()) if s.size else 0,
+                        int((s * s).sum()),
+                        int((s[:-1] * s[1:] < 0).sum()),
+                        int((s == 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "peak_amp", "energy",
+                    "zero_crossings", "n_silent",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -2673,6 +2673,45 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(resampled).orderBy("doc_id")
 
 
+# Waveform ANALYSIS over decoded PCM — the feature-extraction step after
+# decode (loudness / activity gating, the audio quality-filter
+# primitives).  The square-wave fixture (+a, -a alternating,
+# a = md5_16(id) % 32768) makes every statistic an integer-exact closed
+# form: peak = a, energy = n*a^2 (exact BIGINT, no float accumulation),
+# zero crossings = n-1 strict sign flips for a > 0, silence = n iff
+# a = 0.  A decode reading wrong offsets breaks the alternation and
+# mismatches zero_crossings; a stats pass dropping samples mismatches
+# energy.
+@query(
+    "multimodal_audio_stats",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(64 + doc_id % 97 AS BIGINT) AS n,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                   % 32768 AS a
+        FROM documents
+    )
+    SELECT doc_id,
+           n AS n_samples,
+           a AS peak_amp,
+           n * a * a AS energy,
+           CASE WHEN a > 0 THEN n - 1 ELSE CAST(0 AS BIGINT) END AS zero_crossings,
+           CASE WHEN a = 0 THEN n ELSE CAST(0 AS BIGINT) END AS n_silent
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_wav_square_payload,
+        extract_audio_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_stats(attach_wav_square_payload(docs)).orderBy("doc_id")
+
+
 # VIDEO modality through the REAL BMV container (operators/codecs.py): a
 # header-indexed stream of equal-size BMP frames.  Fixture per doc:
 # 2+id%7 frames of (4+id%13)×(4+id%11); the oracle reproduces the

@@ -134,6 +134,7 @@ HEADLINE = [
     "q_psi_value_drift",
     "dedup_cross_source_overlap",
     "pipeline_perplexity_filter",
+    "multimodal_audio_stats",
 ]
 
 

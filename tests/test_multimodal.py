@@ -268,6 +268,46 @@ def test_real_audio_chain(spark):
         assert r.mean_amp == amp
 
 
+def test_audio_stats_square_wave_and_silence(spark):
+    """Waveform analysis over the square-wave fixture: peak/energy/
+    crossings/silence match the (n, a) closed forms, including the
+    all-silent degenerate case (a = 0), which the md5-driven fixture
+    never produces for small ids, so it is built by hand here."""
+    import hashlib as _hl2
+
+    import numpy as np
+
+    from airflow_postgres_etl_spark.operators import codecs
+    from airflow_postgres_etl_spark.operators.multimodal import (
+        attach_wav_square_payload,
+        extract_audio_stats,
+    )
+
+    docs = spark.range(25).withColumnRenamed("id", "doc_id")
+    stats = {
+        r.doc_id: r
+        for r in extract_audio_stats(attach_wav_square_payload(docs)).collect()
+    }
+    for i in range(25):
+        n = 64 + i % 97
+        a = int.from_bytes(_hl2.md5(str(i).encode()).digest()[:2], "big") % 32768
+        s = stats[i]
+        assert s.n_samples == n
+        assert s.peak_amp == a
+        assert s.energy == n * a * a
+        assert s.zero_crossings == (n - 1 if a > 0 else 0)
+        assert s.n_silent == (n if a == 0 else 0)
+
+    silent = spark.createDataFrame(
+        [(7, codecs.encode_wav(np.zeros(50, dtype=np.int16), 8000))],
+        "doc_id long, payload binary",
+    )
+    r = extract_audio_stats(silent).collect()[0]
+    assert (r.n_samples, r.peak_amp, r.energy, r.zero_crossings, r.n_silent) == (
+        50, 0, 0, 0, 50,
+    )
+
+
 import hashlib as _hl
 
 from airflow_postgres_etl_spark.operators import codecs
