@@ -716,6 +716,25 @@ def simhash_near_pairs(
         simhash_signatures(df, col, key)
         .withColumn("h", F.conv("simhash", 2, 10).cast("long"))
     )
+    return bitsig_near_pairs(sig, key, radius, max_block_size)
+
+
+def bitsig_near_pairs(
+    sig: DataFrame,
+    key: str = "doc_id",
+    radius: int = 4,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Hamming-radius all-pairs over ANY SIMHASH_BITS-bit signature frame
+    — the pigeonhole-block join body shared by text SimHash and image
+    perceptual hashing (operators.multimodal.image_ahash): signatures
+    in, verified pairs out, signature CONSTRUCTION is the caller's.
+
+    ``sig`` must carry ``(key, simhash: 60-char bitstring, h: long)``
+    and should already be cached if building it is expensive (both
+    sides of the self-join read it).  Columns: ``doc_a, doc_b,
+    hamming`` (key_a < key_b).
+    """
     ex = _block_table(sig, key, radius)
     if max_block_size is not None:
         ex = _drop_hot_groups(ex, ["block_idx", "block_bits"], max_block_size)

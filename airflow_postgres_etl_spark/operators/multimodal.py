@@ -606,3 +606,121 @@ def sample_video_frames_real(df: DataFrame, every_k: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA])
 
     return df.select("doc_id", "payload").mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing — the visual analog of text SimHash, and the
+# entry point for IMAGE near-dup dedup: average-hash (aHash) over decoded
+# pixels, then hamming-radius pairs through the same pigeonhole-block
+# join text dedup uses (operators.dedup.bitsig_near_pairs).  60 bits on
+# purpose: the signature is drop-in compatible with SIMHASH_BITS block
+# machinery and fits a signed BIGINT exactly on both engines.
+# ---------------------------------------------------------------------------
+
+AHASH_W, AHASH_H = 10, 6  # 60 pixels = SIMHASH_BITS
+AHASH_BITS = AHASH_W * AHASH_H
+
+
+def attach_gradient_bmp_payload(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Deterministic 10×6 gray BMP per document — the aHash fixture,
+    designed so near-dups exist BY CONSTRUCTION and nothing else pairs.
+
+    Each doc draws a base image id ``a = md5_16(id) % 256``; pixel rank
+    ``r = y*10 + x`` has gray ``md5_16(f"{a}:{r}") % 256`` — uniform and
+    INDEPENDENT per (a, r), so two different base images are ~30 bits
+    apart and never land within a small hamming radius by accident.  On
+    top, one planted edit: pixel ``p = id % 60`` gets +128 (mod 256).
+    Docs sharing ``a`` are therefore the same photo with one-pixel
+    edits — identical when ``p`` also agrees, hamming ~2 otherwise (the
+    two edited pixels' bits, ± mean-shift borderline flips) — while
+    cross-``a`` pairs stay far.  Every gray value is still a closed
+    form in ``(doc_id, r)`` the oracle reproduces exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[key]:
+                did = int(did)
+                a = (
+                    int.from_bytes(hashlib.md5(str(did).encode()).digest()[:2], "big")
+                    % 256
+                )
+                v = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.md5(f"{a}:{r}".encode()).digest()[:2], "big"
+                        )
+                        % 256
+                        for r in range(AHASH_BITS)
+                    ],
+                    dtype=np.int64,
+                )
+                v[did % AHASH_BITS] = (v[did % AHASH_BITS] + 128) % 256
+                px = (
+                    v.astype(np.uint8)
+                    .reshape(AHASH_H, AHASH_W)[:, :, None]
+                    .repeat(3, axis=2)
+                )
+                payloads.append(codecs.encode_bmp(px))
+            yield pd.DataFrame({key: pdf[key], "payload": payloads})
+
+    return docs.select(key).mapInPandas(run, f"{key} long, payload binary")
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.StringType()),
+        T.StructField("h", T.LongType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Average-hash over genuinely decoded pixels: gray value per pixel
+    (exact for the gray fixture — all channels equal), bit ``r`` set iff
+    the pixel is over the image mean.  The comparison is cleared of
+    division — ``60·v > Σv`` — so every bit is integer-exact and
+    bit-identical cross-engine; no float mean, no rounding rule.
+
+    Emits ``(doc_id, simhash: 60-char bitstring MSB-first, h: long)`` —
+    the same signature contract as ``dedup.simhash_signatures``, so the
+    hamming pair machinery applies unchanged.  An image whose decoded
+    size is not 10×6 raises: hash inputs must be pre-resized
+    (``resize_media``), silently hashing mixed geometries would make
+    distances meaningless."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = codecs.decode_bmp(bytes(payload))
+                if px.shape[:2] != (AHASH_H, AHASH_W):
+                    raise ValueError(
+                        f"aHash expects {AHASH_W}x{AHASH_H} input, got "
+                        f"{px.shape[1]}x{px.shape[0]} — resize first"
+                    )
+                gray = px.astype(np.int64).sum(axis=2) // 3
+                v = gray.reshape(-1)
+                s = int(v.sum())
+                bit = AHASH_BITS * v > s
+                bits = "".join("1" if b else "0" for b in bit)
+                rows.append((int(did), bits, int(bits, 2)))
+            yield pd.DataFrame(rows, columns=["doc_id", "simhash", "h"])
+
+    return df.select("doc_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame, radius: int = 4, max_block_size: int | None = None
+) -> DataFrame:
+    """Image near-dup pairs: decode → aHash → pigeonhole-block hamming
+    join (shared with text SimHash — ``dedup.bitsig_near_pairs``).
+    Signatures are cached (both sides of the self-join read them; one
+    narrow row per image) and released via the operator-cache registry.
+    Columns: ``doc_a, doc_b, hamming``."""
+    from ..caching import register_cache
+    from .dedup import bitsig_near_pairs
+
+    sig = register_cache(image_ahash(df))
+    return bitsig_near_pairs(sig, "doc_id", radius, max_block_size)

@@ -2712,6 +2712,90 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_stats(attach_wav_square_payload(docs)).orderBy("doc_id")
 
 
+# Image perceptual hashing — average-hash over genuinely decoded BMP
+# pixels, 60 bits so the signature is drop-in compatible with the text
+# SimHash pigeonhole machinery.  The gradient fixture makes every bit a
+# closed form: pixel r has gray (a + 37r) % 256 with a = md5_16(id) %
+# 256, and the over-mean test is division-free (60·v > Σv) — the oracle
+# rebuilds the exact hash from doc_id arithmetic alone, so a decoder
+# reading the wrong byte order or a hash pass using a float mean
+# mismatches bit-for-bit.
+_AHASH_ORACLE_CTE = """
+    base AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                   % 256 AS a
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id,
+               r.r,
+               (CAST('0x' || substr(md5(CAST(d.a AS VARCHAR) || ':'
+                                        || CAST(r.r AS VARCHAR)), 1, 4) AS BIGINT)
+                    % 256
+                + CASE WHEN r.r = d.doc_id % 60 THEN 128 ELSE 0 END) % 256 AS v
+        FROM base d,
+             (SELECT unnest(generate_series(0, 59)) AS r) r
+    ),
+    tot AS (SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id),
+    sig AS (
+        SELECT px.doc_id,
+               string_agg(CASE WHEN 60 * px.v > tot.s THEN '1' ELSE '0' END,
+                          '' ORDER BY px.r) AS simhash,
+               CAST(SUM(CASE WHEN 60 * px.v > tot.s
+                             THEN CAST(1 AS BIGINT) << (59 - px.r)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h
+        FROM px JOIN tot USING (doc_id)
+        GROUP BY px.doc_id
+    )
+"""
+
+
+@query(
+    "multimodal_image_ahash",
+    f"""
+    WITH {_AHASH_ORACLE_CTE}
+    SELECT doc_id, simhash, h FROM sig ORDER BY doc_id
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_gradient_bmp_payload, image_ahash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_ahash(attach_gradient_bmp_payload(docs)).orderBy("doc_id")
+
+
+# Image NEAR-DUP pairs: aHash + the shared hamming pigeonhole-block
+# join (dedup.bitsig_near_pairs) — visual dedup with the text-dedup
+# plan shape (block equi-join, popcount verify map-side, no cartesian).
+# The oracle goes quadratic on purpose (500 docs at the gate SF): exact
+# hamming over all pairs is the ground truth the pigeonhole join must
+# reproduce COMPLETELY — any pair the block join misses is a
+# correctness failure, not a recall tradeoff.
+@query(
+    "multimodal_image_near_dup",
+    f"""
+    WITH {_AHASH_ORACLE_CTE}
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 4
+    ORDER BY doc_a, doc_b
+    """,
+)
+def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_gradient_bmp_payload,
+        image_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_near_dup_pairs(
+        attach_gradient_bmp_payload(docs), radius=4
+    ).orderBy("doc_a", "doc_b")
+
+
 # VIDEO modality through the REAL BMV container (operators/codecs.py): a
 # header-indexed stream of equal-size BMP frames.  Fixture per doc:
 # 2+id%7 frames of (4+id%13)×(4+id%11); the oracle reproduces the

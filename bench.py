@@ -135,6 +135,8 @@ HEADLINE = [
     "dedup_cross_source_overlap",
     "pipeline_perplexity_filter",
     "multimodal_audio_stats",
+    "multimodal_image_ahash",
+    "multimodal_image_near_dup",
 ]
 
 

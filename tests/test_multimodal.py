@@ -308,6 +308,65 @@ def test_audio_stats_square_wave_and_silence(spark):
     )
 
 
+def _ahash_closed_form(did: int) -> tuple[str, int]:
+    import hashlib as _hl3
+
+    a = int.from_bytes(_hl3.md5(str(did).encode()).digest()[:2], "big") % 256
+    v = [
+        int.from_bytes(_hl3.md5(f"{a}:{r}".encode()).digest()[:2], "big") % 256
+        for r in range(60)
+    ]
+    v[did % 60] = (v[did % 60] + 128) % 256
+    s = sum(v)
+    bits = "".join("1" if 60 * x > s else "0" for x in v)
+    return bits, int(bits, 2)
+
+
+def test_image_ahash_matches_closed_form(spark):
+    """The decode→gray→over-mean pass reproduces the fixture's (doc_id, r)
+    closed form bit-for-bit — integer threshold (60·v > Σv), no float
+    mean anywhere."""
+    from airflow_postgres_etl_spark.operators.multimodal import (
+        attach_gradient_bmp_payload,
+        image_ahash,
+    )
+
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    got = {
+        r.doc_id: (r.simhash, r.h)
+        for r in image_ahash(attach_gradient_bmp_payload(docs)).collect()
+    }
+    for i in range(40):
+        assert got[i] == _ahash_closed_form(i), i
+
+
+def test_image_near_dup_complete_vs_brute_force(spark):
+    """The pigeonhole-block join returns EXACTLY the brute-force
+    hamming ≤ radius pair set — completeness is by construction
+    (radius+1 blocks), so a missing pair is a bug, not recall."""
+    from airflow_postgres_etl_spark.operators.multimodal import (
+        attach_gradient_bmp_payload,
+        image_near_dup_pairs,
+    )
+
+    n, radius = 150, 4
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in image_near_dup_pairs(
+            attach_gradient_bmp_payload(docs), radius=radius
+        ).collect()
+    }
+    sigs = [_ahash_closed_form(i)[1] for i in range(n)]
+    want = {
+        (i, j, bin(sigs[i] ^ sigs[j]).count("1"))
+        for i in range(n)
+        for j in range(i + 1, n)
+        if bin(sigs[i] ^ sigs[j]).count("1") <= radius
+    }
+    assert got == want and want  # non-empty: planted near-dups exist
+
+
 import hashlib as _hl
 
 from airflow_postgres_etl_spark.operators import codecs

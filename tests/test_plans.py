@@ -119,6 +119,17 @@ def test_simhash_near_no_cartesian_no_python(spark):
     assert "EvalPython" not in plan
 
 
+def test_image_near_dup_block_join_shape(spark):
+    """Image aHash near-dup runs the text-SimHash plan shape: Arrow
+    mapInPandas for the decode (never row-wise Python), then the
+    pigeonhole-block equi-join — no cartesian anywhere."""
+    plan = plan_of(spark, "multimodal_image_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" in plan
+
+
 def test_rollup_cascade_materializes_levels(spark):
     """Continuous-aggregate shape: minute and hour levels are cached, so
     the hour/day branches read the materialized level below them instead
