@@ -2796,6 +2796,53 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# Capped scale-default twin (the dedup_simhash_near_capped pattern for
+# images): blocks over the cap are dropped BEFORE the self-join — the
+# skew guard for boilerplate imagery (logos, watermarks, blank frames)
+# whose identical hashes would otherwise make one block quadratic.  The
+# cap is deliberately tight (3) so the drop path is oracle-exercised at
+# the driver's gate SF: the fixture's base-image groups are ~2 docs at
+# sf0.01, so real groups of 4+ exist and ARE dropped, and the oracle
+# reproduces exactly that.
+_AHASH_MAX_BLOCK = 3
+_SQL_AHASH_BLOCKS = " UNION ALL ".join(
+    f"SELECT doc_id, h, {i} AS block_idx, "
+    f"substr(simhash, {pos}, {ln}) AS block_bits FROM sig"
+    for i, (pos, ln) in enumerate(D.simhash_blocks(4))
+)
+
+
+@query(
+    "multimodal_image_near_dup_capped",
+    f"""
+    WITH {_AHASH_ORACLE_CTE},
+    blocks AS ({_SQL_AHASH_BLOCKS}),
+    kept AS (
+        SELECT b.* FROM blocks b
+        JOIN (SELECT block_idx, block_bits FROM blocks
+              GROUP BY 1, 2 HAVING count(*) <= {_AHASH_MAX_BLOCK}) ok
+        USING (block_idx, block_bits)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM kept a
+    JOIN kept b ON a.block_idx = b.block_idx AND a.block_bits = b.block_bits
+                AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 4
+    """,
+)
+def multimodal_image_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_gradient_bmp_payload,
+        image_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_near_dup_pairs(
+        attach_gradient_bmp_payload(docs), radius=4, max_block_size=_AHASH_MAX_BLOCK
+    )
+
+
 # VIDEO modality through the REAL BMV container (operators/codecs.py): a
 # header-indexed stream of equal-size BMP frames.  Fixture per doc:
 # 2+id%7 frames of (4+id%13)×(4+id%11); the oracle reproduces the

@@ -137,6 +137,7 @@ HEADLINE = [
     "multimodal_audio_stats",
     "multimodal_image_ahash",
     "multimodal_image_near_dup",
+    "multimodal_image_near_dup_capped",
 ]
 
 
