@@ -750,7 +750,8 @@ _SQL_SIMHASH_LONG = " + ".join(
 
 @query(
     "dedup_simhash_near",
-    f"""
+    baseline_only=True,
+    oracle=f"""
     WITH t AS (
         SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS tok FROM documents
     ), h AS (
@@ -2774,7 +2775,8 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness failure, not a recall tradeoff.
 @query(
     "multimodal_image_near_dup",
-    f"""
+    baseline_only=True,
+    oracle=f"""
     WITH {_AHASH_ORACLE_CTE}
     SELECT a.doc_id AS doc_a,
            b.doc_id AS doc_b,
@@ -3812,8 +3814,9 @@ def pack_sequences_frame(
     ),
     c AS (
         SELECT doc_id, n_tokens,
-               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+               CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS s
         FROM t
     )
     SELECT doc_id, n_tokens,
@@ -4071,8 +4074,9 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c2 AS (
         SELECT doc_id, source, n_tokens,
-               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+               CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS s
         FROM p
     )
     SELECT doc_id, source, n_tokens,

@@ -35,11 +35,13 @@ from ..sources.parquet_source import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-#: Queries whose plan shape is deliberately quadratic (all-pairs / cross
-#: join): they exist ONLY as exactness oracles for their bucketed
-#: production twins and must never be run at scale.  Downstream users
-#: should treat membership here as "do not ship"; the scale paths are the
-#: LSH / IVF / pigeonhole variants that pass the same differentials.
+#: Queries whose plan shape deliberately does not scale — all-pairs /
+#: cross joins, or uncapped pigeonhole block joins whose candidate set
+#: saturates (measured at 64x): they exist ONLY as exactness baselines
+#: for their bucketed/capped production twins and must never be run at
+#: scale.  Downstream users should treat membership here as "do not
+#: ship"; the scale paths are the LSH / IVF / pigeonhole-`*_capped`
+#: variants that pass the same differentials.
 BASELINE_ONLY: set[str] = set()
 
 

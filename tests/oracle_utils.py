@@ -31,9 +31,20 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime as _dt
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
+        # Spark DATE columns arrive as object dtype holding datetime.date
+        # while DuckDB DATE fetches as datetime64 — same driver-level value;
+        # normalize to datetime64 so the dtype-class gate compares like
+        # with like (driver r5 confirms date-vs-datetime pairs hash equal).
+        if s.dtype == object and s.map(
+            lambda v: v is None or isinstance(v, _dt.date)
+        ).all() and s.notna().any():
+            s = pd.to_datetime(s)
+            df[c] = s
         if pd.api.types.is_datetime64_any_dtype(s):
             # strip tz for naive comparison (Spark session TZ pinned to UTC)
             try:
@@ -47,12 +58,36 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
 
 
+def _dtype_class(s: pd.Series) -> str:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "integer"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, *, float_tol: float = 0.0) -> None:
     got = _canon(spark_df.toPandas())
     exp = _canon(oracle_df)
     assert list(got.columns) == list(exp.columns), (
         f"column mismatch: spark={list(got.columns)} oracle={list(exp.columns)}"
     )
+    # Dtype-class gate: the driver hashes raw values, so an integer Spark
+    # column against a float oracle column (e.g. DuckDB windowed sum(BIGINT)
+    # -> HUGEINT -> pandas float64) hash-mismatches even when every value is
+    # numerically equal.  Catch that typing drift locally instead of letting
+    # `0 == 0.0` pass the value comparison below (round-5 blind spot).
+    for c in got.columns:
+        gc, ec = _dtype_class(got[c]), _dtype_class(exp[c])
+        assert gc == ec, (
+            f"dtype-class mismatch in column {c!r}: spark={gc} ({got[c].dtype}) "
+            f"oracle={ec} ({exp[c].dtype}) — cast the oracle (or the query) so "
+            f"integer meets integer; the driver's value hash is dtype-strict"
+        )
     assert len(got) == len(exp), f"row count: spark={len(got)} oracle={len(exp)}"
     for c in got.columns:
         g, e = got[c], exp[c]

@@ -65,8 +65,37 @@ def test_session_window_exact_boundary(spark, tmp_path):
     assert len(starts) == 2  # exactly-1800 gap merged; 1801 split
 
 
+def test_compare_rejects_dtype_class_drift(spark):
+    """Regression for the round-5 blind spot: DuckDB's windowed ``sum(BIGINT)``
+    returns HUGEINT, which pandas materializes as float64, so the driver's
+    dtype-strict value hash fails while a lax ``0 == 0.0`` comparison passes.
+    Pin the DuckDB conversion, and assert ``compare`` now rejects the
+    integer-vs-float pairing even when every value is numerically equal."""
+    import duckdb
+
+    con = duckdb.connect()
+    hug = con.execute(
+        "SELECT COALESCE(sum(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND 1 PRECEDING), 0) AS s FROM (SELECT CAST(0 AS BIGINT) AS x)"
+    ).fetchdf()
+    con.close()
+    assert str(hug["s"].dtype) == "float64", (
+        "DuckDB HUGEINT no longer converts to float64 — revisit this pin"
+    )
+    spark_df = spark.createDataFrame([(0,)], "s: bigint")
+    with pytest.raises(AssertionError, match="dtype-class"):
+        compare(spark_df, hug)
+
+
 def test_baseline_only_marker_names_registered_queries():
     from airflow_postgres_etl_spark.plans import BASELINE_ONLY
 
-    assert BASELINE_ONLY == {"dedup_ngram_jaccard", "sim_knn_brute_force"}
+    assert BASELINE_ONLY == {
+        "dedup_ngram_jaccard",
+        "sim_knn_brute_force",
+        # uncapped exact-recall twins: the pigeonhole block join saturates
+        # (measured at 64x); the `*_capped` twins are the shippable defaults
+        "dedup_simhash_near",
+        "multimodal_image_near_dup",
+    }
     assert BASELINE_ONLY <= set(QUERIES)
