@@ -226,6 +226,29 @@ def _centroids(
     )
 
 
+def seed_centroids(
+    emb: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Quantizer seeds for a frame with an ARBITRARY id range: the
+    ``n_cells`` lowest-id vectors (deterministic).  The default
+    :func:`_centroids` rule ``id < n_cells`` assumes ids start at 0 —
+    true for the base tables the oracle twins read, FALSE for a
+    mid-stream micro-batch or a corpus whose ids begin past ``n_cells``;
+    that rule would then seed an EMPTY quantizer and every assignment
+    would be null (ADVICE r5, high).  Streaming/refresh callers pass
+    this frame via the ``centroids=`` override on
+    :func:`build_ivf_index` / :func:`maybe_refresh_ivf_index`."""
+    return (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("__cvv"),
+            l2_norm_expr(F.col(vec_col)).alias("__cnorm"),
+        )
+    )
+
+
 def _centroid_sims(df: DataFrame, cent: DataFrame, vec_col: str) -> DataFrame:
     """Per-(vector, centroid) rounded cosine: the IVF assignment frame.
 
@@ -252,14 +275,22 @@ def ivf_cells(
     n_cells: int = N_IVF_CELLS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest coarse centroid (``cell``).
 
     argmax = max over (csim, c_id) structs — ties break to the larger
     c_id, mirrored exactly by the oracle's ``ORDER BY csim DESC, c_id
     DESC``.  One hash aggregate over the assignment frame, no window.
-    """
-    sims = _centroid_sims(emb, _centroids(emb, n_cells, id_col, vec_col), vec_col)
+    ``centroids`` overrides the default id-sampled quantizer (see
+    :func:`seed_centroids` for when the ``id < n_cells`` default is
+    invalid)."""
+    cent = (
+        centroids
+        if centroids is not None
+        else _centroids(emb, n_cells, id_col, vec_col)
+    )
+    sims = _centroid_sims(emb, cent, vec_col)
     best = sims.groupBy(id_col).agg(
         F.max(F.struct(F.col("csim"), F.col("c_id"))).alias("__best")
     )
@@ -437,6 +468,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     store=None,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index: vectors with precomputed norms,
     partitioned by assigned ``cell`` (``<path>/vectors``), plus the tiny
@@ -446,15 +478,27 @@ def build_ivf_index(
     The cell partitioning is what makes queries cheap at 100 TB: a probe
     touches only its cells' files (dynamic partition pruning on the cell
     equi-join), ~probes/n_cells of the corpus; norms are paid once at
-    build instead of per query."""
+    build instead of per query.
+
+    ``centroids`` (``c_id, __cvv, __cnorm``) overrides the default
+    ``id < n_cells`` quantizer seeds — REQUIRED when ``emb``'s id range
+    does not start at 0 (a streaming first batch, a refresh over a
+    corpus whose lowest id exceeds ``n_cells``): the default rule would
+    then commit an EMPTY centroid table and a meta object, so later
+    batches crash reading empty parquet (ADVICE r5).  Use
+    :func:`seed_centroids`."""
     from ..storage import LOCAL_STORE
 
-    cent = _centroids(emb, n_cells, id_col, vec_col)
+    cent = (
+        centroids
+        if centroids is not None
+        else _centroids(emb, n_cells, id_col, vec_col)
+    )
     cent.select(
         "c_id", F.col("__cvv").alias("cvec"), F.col("__cnorm").alias("cnorm")
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     (
-        ivf_cells(emb, n_cells, id_col, vec_col)
+        ivf_cells(emb, n_cells, id_col, vec_col, centroids=cent)
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -539,18 +583,23 @@ def maybe_refresh_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     store=None,
+    centroids: DataFrame | None = None,
 ) -> bool:
     """Drift guard: when the appended fraction exceeds the threshold,
     re-train the quantizer by rebuilding the index from ``emb`` (the
     caller's full current corpus — source-of-truth table plus appended
     batches; rebuilding from the index's own files would be a
     read-modify-write on the path being overwritten).  Returns True if a
-    rebuild happened.  Re-run the recall gate (tests/test_ann_recall.py)
-    after refresh — the gate, not this guard, is what certifies the new
-    quantizer."""
+    rebuild happened.  ``centroids`` threads through to
+    :func:`build_ivf_index` — pass :func:`seed_centroids` output whenever
+    ``emb``'s id range may not start at 0.  Re-run the recall gate
+    (tests/test_ann_recall.py) after refresh — the gate, not this guard,
+    is what certifies the new quantizer."""
     if ivf_appended_fraction(path, store) <= max_appended_fraction:
         return False
-    build_ivf_index(emb, path, n_cells, id_col, vec_col, store=store)
+    build_ivf_index(
+        emb, path, n_cells, id_col, vec_col, store=store, centroids=centroids
+    )
     return True
 
 
@@ -879,7 +928,7 @@ def knn_ivf_pq(
         _pq_subvectors(
             emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col
         )
-        .join(F.broadcast(pq_codebook(emb, id_col, vec_col)), "s")
+        .join(F.broadcast(codebook), "s")
         .select(
             F.col(id_col).alias("query_id"),
             "s",

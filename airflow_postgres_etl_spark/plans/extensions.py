@@ -2716,8 +2716,9 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Image perceptual hashing — average-hash over genuinely decoded BMP
 # pixels, 60 bits so the signature is drop-in compatible with the text
 # SimHash pigeonhole machinery.  The gradient fixture makes every bit a
-# closed form: pixel r has gray (a + 37r) % 256 with a = md5_16(id) %
-# 256, and the over-mean test is division-free (60·v > Σv) — the oracle
+# closed form: pixel r has gray (md5_16(a:r) + [r == doc_id % 60]·128)
+# % 256 with a = md5_16(doc_id) % 256 (the +128 is the planted edit),
+# and the over-mean test is division-free (60·v > Σv) — the oracle
 # rebuilds the exact hash from doc_id arithmetic alone, so a decoder
 # reading the wrong byte order or a hash pass using a float mean
 # mismatches bit-for-bit.
@@ -5600,14 +5601,19 @@ def sim_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
         SELECT e.event_type,
-               least(9, CAST(floor((e.value - s.vmin) * 10.0 /
-                             nullif(s.vmax - s.vmin, 0.0)) AS BIGINT)) AS bkt,
+               -- degenerate range (vmax == vmin) floors to NULL via the
+               -- nullif: make the NULL -> bucket 0 rule EXPLICIT before
+               -- least (least skips NULLs on both engines, so least(9,
+               -- NULL) would silently pick 9; ADVICE r5)
+               least(9, coalesce(
+                   CAST(floor((e.value - s.vmin) * 10.0 /
+                        nullif(s.vmax - s.vmin, 0.0)) AS BIGINT), 0)) AS bkt,
                CASE WHEN floor(epoch(e.ts)) < s.mid THEN 1 ELSE 0 END AS early
         FROM events e CROSS JOIN s
         WHERE e.value IS NOT NULL
     ),
     c AS (
-        SELECT event_type, coalesce(bkt, 0) AS bkt,
+        SELECT event_type, bkt,
                sum(early) AS ce, sum(1 - early) AS cl
         FROM b GROUP BY 1, 2
     ),
@@ -5657,21 +5663,27 @@ def psi_value_drift(events: DataFrame) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
+    # degenerate range (vmax == vmin): the nullif makes the floor NULL;
+    # coalesce to bucket 0 BEFORE least — F.least skips NULLs, so
+    # least(9, NULL) would silently bucket to 9 (ADVICE r5); any engine
+    # whose least propagates NULL would diverge.  Explicit on both sides.
     b = events.crossJoin(F.broadcast(s)).select(
         "event_type",
         F.least(
             F.lit(9),
-            F.floor(
-                (F.col("value") - F.col("vmin"))
-                * F.lit(10.0)
-                / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))
-            ).cast("long"),
+            F.coalesce(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * F.lit(10.0)
+                    / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ),
         ).alias("bkt"),
         F.when(ep < F.col("mid"), F.lit(1)).otherwise(F.lit(0)).alias("early"),
     )
     c = (
-        b.select("event_type", F.coalesce("bkt", F.lit(0)).alias("bkt"), "early")
-        .groupBy("event_type", "bkt")
+        b.groupBy("event_type", "bkt")
         .agg(
             F.sum("early").alias("ce"),
             F.sum(F.lit(1) - F.col("early")).alias("cl"),

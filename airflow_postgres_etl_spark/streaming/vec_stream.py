@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..caching import cache_scope
-from ..functions.vectors import l2_norm_expr
 from ..operators.similarity import (
     IVF_MAX_APPENDED_FRACTION,
     N_IVF_CELLS,
@@ -41,27 +40,17 @@ from ..operators.similarity import (
     ivf_index_exists,
     knn_against_index,
     maybe_refresh_ivf_index,
+    seed_centroids,
 )
 
 VEC_SCHEMA = "vec_id long, embedding array<float>, label int"
 
-
-def _seed_centroids(
-    batch: DataFrame, n_cells: int, id_col: str, vec_col: str
-) -> DataFrame:
-    """Quantizer seeds for a frame with an ARBITRARY id range: the
-    ``n_cells`` lowest-id vectors (deterministic; the default
-    ``_centroids`` rule ``id < n_cells`` assumes ids start at 0, which
-    holds for base tables but not for a mid-stream micro-batch)."""
-    return (
-        batch.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("c_id"),
-            F.col(vec_col).alias("__cvv"),
-            l2_norm_expr(F.col(vec_col)).alias("__cnorm"),
-        )
-    )
+# streaming frames have arbitrary id ranges: EVERY quantizer here —
+# in-batch, first-index build, drift-guard rebuild — must seed from the
+# n_cells lowest ids actually present (similarity.seed_centroids), never
+# the base-table `id < n_cells` rule (ADVICE r5, high: that rule writes
+# an empty committed index when the first batch's ids all exceed n_cells)
+_seed_centroids = seed_centroids
 
 
 def semantic_self_dedup(
@@ -166,17 +155,28 @@ def stream_semantic_ingest(
                 if had_index:
                     append_to_ivf_index(survivors, index_path)
                 else:
-                    build_ivf_index(survivors, index_path, n_cells)
+                    build_ivf_index(
+                        survivors,
+                        index_path,
+                        n_cells,
+                        centroids=_seed_centroids(
+                            survivors, n_cells, "vec_id", "embedding"
+                        ),
+                    )
                 survivors.write.mode("append").parquet(corpus_out)
                 if had_index and refresh_fraction is not None:
                     # corpus written first, so the rebuild corpus ⊇ the
                     # index contents — never narrower than the state it
                     # replaces
+                    corpus = batch.sparkSession.read.parquet(corpus_out)
                     maybe_refresh_ivf_index(
-                        batch.sparkSession.read.parquet(corpus_out),
+                        corpus,
                         index_path,
                         max_appended_fraction=refresh_fraction,
                         n_cells=n_cells,
+                        centroids=_seed_centroids(
+                            corpus, n_cells, "vec_id", "embedding"
+                        ),
                     )
         finally:
             survivors.unpersist()

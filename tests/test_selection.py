@@ -295,3 +295,40 @@ def test_psi_drift_flag_fires_on_shifted_distribution(spark):
     assert got["shifted"][1] is True
     assert got["stable"][1] is False
     assert got["shifted"][0] > got["stable"][0] >= 0
+
+
+def test_psi_degenerate_range_matches_oracle(spark, tmp_path):
+    """ADVICE r5: when every value is identical (vmax == vmin) the bucket
+    floor is NULL; the rule is now an EXPLICIT coalesce-to-bucket-0 before
+    least on both engines (previously least(9, NULL) silently picked 9 —
+    same answer by accident on engines whose least skips NULLs, divergent
+    on any engine whose least propagates them).  Differential at the
+    degenerate point plus the invariant: identical halves → PSI 0."""
+    import datetime as dt
+
+    import duckdb
+
+    from airflow_postgres_etl_spark.plans import ORACLE, QUERIES
+
+    from .oracle_utils import compare, run_oracle
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(hours=0 if i < 4 else 10), 7, "click", 0.5, "{}")
+        for i in range(8)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", rows)
+    path = str(tmp_path / "events.parquet")
+    con.execute(f"COPY events TO '{path}' (FORMAT PARQUET)")
+    con.close()
+
+    spark_df = QUERIES["q_psi_value_drift"](spark, str(tmp_path))
+    compare(spark_df, run_oracle(ORACLE["q_psi_value_drift"], str(tmp_path)))
+    out = spark_df.collect()
+    assert len(out) == 1
+    assert out[0].psi_nano == 0 and out[0].is_drift is False

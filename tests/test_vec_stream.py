@@ -108,6 +108,60 @@ def test_stream_semantic_ingest_cross_batch(spark, tmp_path):
     assert len(caching._ACTIVE) == n_caches_before
 
 
+def test_stream_first_batch_ids_above_n_cells(spark, tmp_path):
+    """ADVICE r5 (high): a FIRST batch whose ids all exceed n_cells must
+    still build a working index — the base-table `id < n_cells` centroid
+    rule would seed an EMPTY quantizer here, committing an empty
+    centroids store that crashes (or silently de-dedups) every later
+    batch.  Seeds must come from the batch's n_cells lowest ids."""
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    # first batch: ids 1000+ (>> n_cells=2), with an in-batch near-dup
+    b1 = _vecs(
+        spark,
+        [
+            (1001, [1.0, 0.0, 0.0, 0.0], 0),
+            (1002, [0.0, 1.0, 0.0, 0.0], 0),
+            (1003, [0.99, 0.01, 0.0, 0.0], 0),  # drops vs 1001
+        ],
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = stream_semantic_ingest(spark, src, idx, out, ck, threshold=0.9, n_cells=2)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {1001, 1002}
+    # the committed centroid table is NON-empty and batch-seeded
+    cents = spark.read.parquet(f"{idx}/centroids").collect()
+    assert {r.c_id for r in cents} == {1001, 1002}
+
+    # second batch probes the index without crashing and cross-batch
+    # dedup still works; the in-band refresh (1/3 appended > 0.2) must
+    # also rebuild with corpus-seeded centroids, not `id < n_cells`
+    b2 = _vecs(
+        spark,
+        [
+            (2001, [0.98, 0.02, 0.0, 0.0], 1),  # near-dup of accepted 1001
+            (2002, [0.0, 0.0, 1.0, 0.0], 1),    # novel
+        ],
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_semantic_ingest(spark, src, idx, out, ck, threshold=0.9, n_cells=2)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {
+        1001, 1002, 2002,
+    }
+    # refresh fired (counter reset) and the rebuilt quantizer is corpus-seeded
+    from airflow_postgres_etl_spark.operators.similarity import (
+        ivf_appended_fraction as _frac,
+    )
+
+    assert _frac(idx) == 0.0
+    cents2 = spark.read.parquet(f"{idx}/centroids").collect()
+    assert {r.c_id for r in cents2} == {1001, 1002}
+
+
 def test_stream_semantic_matches_batch_decisions(spark, tmp_path):
     """Two micro-batches admit exactly what the greedy-by-id batch rule
     over the union admits (ids ordered across batches): streaming
