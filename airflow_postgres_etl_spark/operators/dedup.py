@@ -811,17 +811,26 @@ def read_minhash_index(spark, path: str, store=None):
 
 
 def _commit_index_dir(
-    path: str, new_dir: str, store, *, expected_manifest: dict | None
+    path: str, new_dir: str, store, *, expected_manifest: dict | None,
+    n_base: int = 0,
 ) -> None:
     """Swap the manifest to ``new_dir``, retiring the previous data dir
     (if any) with a retirement timestamp.  Retirement times are the
     committing writer's clock — with multiple writers on shared storage,
     skew can shorten the effective retention window (same caveat as the
-    keyed sink's retired list)."""
+    keyed sink's retired list).  ``n_base`` seeds the append-staleness
+    counters (see :func:`minhash_appended_fraction`); a (re)build always
+    resets ``n_appended`` to 0."""
     import time
 
     if expected_manifest is None:
-        manifest = {"version": 1, "data_dir": new_dir, "retired": []}
+        manifest = {
+            "version": 1,
+            "data_dir": new_dir,
+            "retired": [],
+            "n_base": n_base,
+            "n_appended": 0,
+        }
         store.replace_if_version(
             _index_manifest_path(path), manifest, expected_version=None
         )
@@ -833,6 +842,8 @@ def _commit_index_dir(
         "version": expected_manifest["version"] + 1,
         "data_dir": new_dir,
         "retired": retired,
+        "n_base": n_base,
+        "n_appended": 0,
     }
     store.replace_if_version(
         _index_manifest_path(path),
@@ -876,7 +887,9 @@ def build_minhash_index(
     _index_frame(df, col, key, n, max_band_size).write.mode(
         "overwrite"
     ).partitionBy("band_idx").parquet(f"{path.rstrip('/')}/{new_dir}")
-    _commit_index_dir(path, new_dir, store, expected_manifest=current)
+    _commit_index_dir(
+        path, new_dir, store, expected_manifest=current, n_base=df.count()
+    )
 
 
 def append_to_minhash_index(
@@ -889,18 +902,67 @@ def append_to_minhash_index(
     store=None,
 ) -> None:
     """Append a batch's band rows into the committed data directory — the
-    accepted-documents side of streaming ingest.  Appends are visible on
-    the next directory listing without a manifest bump (single-writer
-    streams; the manifest swap protects REPLACEMENT, which appends never
-    do).  ``max_band_size`` caps within THIS batch only; cumulative
-    growth of a band across appends is bounded by
-    :func:`compact_minhash_index`, the same rhythm as vacuum."""
-    from ..storage import LOCAL_STORE
+    accepted-documents side of streaming ingest.  Append DATA is visible
+    on the next directory listing without a manifest swap (the swap
+    protects REPLACEMENT, which appends never do), but the append does
+    CAS-bump the manifest's ``n_appended`` staleness counter so
+    :func:`minhash_appended_fraction` can drive in-band compaction.
+    ``max_band_size`` caps within THIS batch only; cumulative growth of
+    a band across appends is bounded by :func:`compact_minhash_index`,
+    the same rhythm as vacuum."""
+    from ..storage import ConcurrentWriteError, LOCAL_STORE
 
-    data_dir = _index_data_dir(path, store or LOCAL_STORE)
+    store = store or LOCAL_STORE
+    data_dir = _index_data_dir(path, store)
     _index_frame(df, col, key, n, max_band_size).write.mode(
         "append"
     ).partitionBy("band_idx").parquet(data_dir)
+    n_new = df.count()
+    # CAS loop: a concurrent compactor may swap the manifest between our
+    # read and write; retry against the fresh state (the counter rides
+    # the manifest, so losing the race must not clobber the swap — and a
+    # post-swap retry re-adds this batch's count to the RESET counter,
+    # which over-counts staleness at worst, never corrupts data_dir)
+    for _ in range(5):
+        manifest = store.read_json(_index_manifest_path(path))
+        try:
+            store.replace_if_version(
+                _index_manifest_path(path),
+                {
+                    **manifest,
+                    "version": manifest["version"] + 1,
+                    "n_appended": manifest.get("n_appended", 0) + n_new,
+                },
+                expected_version=manifest["version"],
+            )
+            return
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"could not bump n_appended at {path} after 5 attempts"
+    )
+
+
+#: default in-band compaction trigger for streaming ingest: once appended
+#: docs exceed this fraction of the index, per-batch appends have grown
+#: the band table (and possibly re-grown capped hot bands) enough to be
+#: worth one corpus-wide rebuild — the same staleness rhythm as the IVF
+#: quantizer's IVF_MAX_APPENDED_FRACTION drift guard.
+MINHASH_MAX_APPENDED_FRACTION = 0.2
+
+
+def minhash_appended_fraction(path: str, store=None) -> float:
+    """Fraction of the index's docs that arrived by append since the last
+    (re)build — the staleness signal that schedules
+    :func:`compact_minhash_index` (per-batch appends cap hot bands only
+    within themselves, so cumulative band growth tracks this number)."""
+    from ..storage import LOCAL_STORE
+
+    manifest = (store or LOCAL_STORE).read_json(_index_manifest_path(path))
+    if manifest is None:
+        raise FileNotFoundError(f"no MinHash index committed at {path}")
+    total = manifest.get("n_base", 0) + manifest.get("n_appended", 0)
+    return manifest.get("n_appended", 0) / total if total else 0.0
 
 
 def compact_minhash_index(

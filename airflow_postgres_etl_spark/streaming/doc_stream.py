@@ -20,12 +20,14 @@ at-least-once.)
 At 100 TB: per-batch cost is the batch's own shingling plus a
 band-partition-pruned join against the index (see
 ``dedup_against_index``); the accepted corpus is never re-scanned.
-Index bands grow monotonically across appends — run
-``compact_minhash_index`` (over the accepted corpus) periodically to
-re-apply the hot-band cap and drop tombstoned docs, and
-``vacuum_minhash_index`` to reclaim the retired directories; both
-commit through the same manifest swap the readers resolve, so
-compaction is safe under concurrent micro-batches' readers.
+Index bands grow monotonically across appends — the stream bounds its
+own regrowth IN-BAND: each append CAS-bumps the manifest's staleness
+counter, and once ``minhash_appended_fraction`` crosses
+``compact_fraction`` the micro-batch runs ``compact_minhash_index``
+(over the accepted corpus), re-applying the hot-band cap globally.
+``vacuum_minhash_index`` reclaims the retired directories; both commit
+through the same manifest swap the readers resolve, so compaction is
+safe under concurrent micro-batches' readers.
 """
 
 from __future__ import annotations
@@ -36,11 +38,14 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..caching import cache_scope
 from ..operators.dedup import (
+    MINHASH_MAX_APPENDED_FRACTION,
     append_to_minhash_index,
     build_minhash_index,
+    compact_minhash_index,
     dedup_against_index,
     exact_dedup,
     lsh_verified_pairs,
+    minhash_appended_fraction,
     minhash_index_exists,
 )
 
@@ -79,6 +84,7 @@ def stream_dedup_ingest(
     threshold: float = 0.5,
     max_files_per_trigger: int = 10,
     max_band_size: int | None = None,
+    compact_fraction: float | None = MINHASH_MAX_APPENDED_FRACTION,
 ) -> StreamingQuery:
     """Continuous dedup ingest: parquet file stream of (doc_id, text) →
     in-batch dedup → dedup against the persisted index → append survivors
@@ -89,6 +95,16 @@ def stream_dedup_ingest(
     ``os.path.isdir`` probe is always False on s3://-style paths, which
     would rebuild (mode=overwrite) the index every micro-batch and
     silently re-admit near-duplicates across batches.
+
+    ``compact_fraction``: after each append, if the index's appended
+    mass (``minhash_appended_fraction``) exceeds this fraction the index
+    is compacted in-band from the accepted corpus — re-applying the
+    hot-band cap GLOBALLY (per-batch appends cap only within
+    themselves, so boilerplate bands re-grow across batches) and
+    resetting the staleness counter via the manifest swap.  The same
+    in-band maintenance rhythm as ``stream_semantic_ingest``'s quantizer
+    refresh and ``stream_ingest(merge_mode="mor")``'s auto-compaction;
+    pass None to run ``compact_minhash_index`` out-of-band instead.
     """
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
@@ -132,6 +148,21 @@ def stream_dedup_ingest(
                         survivors, index_path, max_band_size=max_band_size
                     )
                 survivors.write.mode("append").parquet(corpus_out)
+                if (
+                    had_index
+                    and compact_fraction is not None
+                    and minhash_appended_fraction(index_path)
+                    > compact_fraction
+                ):
+                    # corpus written first, so the rebuild source ⊇ the
+                    # index contents — never narrower than the state it
+                    # replaces; the manifest swap resets the counter
+                    compact_minhash_index(
+                        batch.sparkSession,
+                        index_path,
+                        corpus_out,
+                        max_band_size=max_band_size,
+                    )
         finally:
             survivors.unpersist()
 

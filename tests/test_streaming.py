@@ -219,6 +219,101 @@ def test_stream_dedup_ingest_drops_cross_batch_near_dups(spark, tmp_path):
     assert len(caching._ACTIVE) == n_caches_before
 
 
+def test_stream_dedup_ingest_compacts_in_band(spark, tmp_path):
+    """In-band compaction (VERDICT r5 residual 2): each append CAS-bumps
+    the manifest's staleness counter; once minhash_appended_fraction
+    crosses compact_fraction the micro-batch itself compacts the index
+    from the accepted corpus — re-applying the hot-band cap GLOBALLY
+    (per-batch appends cap only within themselves) and resetting the
+    counter via the manifest swap.  Dedup decisions are unchanged after.
+
+    Fixture: docs 1 and 3 share one deterministic LSH band (md5-derived,
+    pinned by this test) at jaccard 0.474 < threshold 0.5 — so 3 is
+    ACCEPTED across batches yet regrows a band past max_band_size=1,
+    exactly the regrowth per-batch capping cannot see."""
+    from airflow_postgres_etl_spark.operators.dedup import (
+        minhash_appended_fraction,
+        read_minhash_index,
+        _index_manifest_path,
+    )
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+    from airflow_postgres_etl_spark.streaming import stream_dedup_ingest
+
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+        " nu xi omicron pi rho sigma tau upsilon"
+    )
+    d1 = base + " phi chi psi omega one two three four five six"
+    d3 = (
+        base + " unique1 unique2 unique3 unique4 unique5 unique6 unique7"
+        " unique8 unique9 unique10"
+    )
+    other = "entirely unrelated text about manifest swaps and parquet footers"
+
+    spark.createDataFrame(
+        [(1, d1), (2, other)], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_dedup_ingest(spark, src, idx, out, ck, max_band_size=1)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert minhash_appended_fraction(idx) == 0.0
+    v1 = LOCAL_STORE.read_json(_index_manifest_path(idx))
+
+    # batch 2: doc 3 is admitted (jaccard vs 1 below threshold) and its
+    # append pushes the fraction to 1/3 > 0.2 -> in-band compaction
+    spark.createDataFrame([(3, d3)], ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = stream_dedup_ingest(spark, src, idx, out, ck, max_band_size=1)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+
+    # compaction fired in-band: counter reset, manifest swapped (data
+    # dir replaced + old dir retired), and the hot-band cap holds
+    # GLOBALLY — the band docs 1 and 3 share is gone, every remaining
+    # (band_idx, band_key) group has <= max_band_size members
+    assert minhash_appended_fraction(idx) == 0.0
+    v2 = LOCAL_STORE.read_json(_index_manifest_path(idx))
+    assert v2["data_dir"] != v1["data_dir"]
+    assert any(e["dir"] == v1["data_dir"] for e in v2["retired"])
+    sizes = (
+        read_minhash_index(spark, idx)
+        .groupBy("band_idx", "band_key")
+        .count()
+        .collect()
+    )
+    assert sizes and max(r["count"] for r in sizes) <= 1
+    # the shared band existed pre-compaction (else this test pins nothing):
+    # doc 1 and doc 3 really do collide on a band
+    from airflow_postgres_etl_spark.operators.dedup import (
+        _band_table,
+        minhash_signatures,
+    )
+
+    bt = _band_table(
+        minhash_signatures(
+            spark.createDataFrame([(1, d1), (3, d3)], ["doc_id", "text"])
+        ),
+        "doc_id",
+    )
+    shared = bt.groupBy("band_idx", "band_key").count().filter("count > 1")
+    assert shared.count() >= 1
+
+    # dedup decisions unchanged post-compaction: an exact dup of doc 1
+    # (all four bands, three of which remain indexed) still drops
+    spark.createDataFrame([(10, d1)], ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q3 = stream_dedup_ingest(spark, src, idx, out, ck, max_band_size=1)
+    q3.awaitTermination(120)
+    assert q3.exception() is None
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+
+
 def test_stream_training_ingest_matches_batch_application(spark, tmp_path):
     """Streaming quality→decontaminate→mix: every decision is doc-local
     given the static benchmark grams + rates, so two micro-batches must
