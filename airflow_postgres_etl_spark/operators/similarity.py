@@ -469,6 +469,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     store=None,
     centroids: DataFrame | None = None,
+    pq: bool = False,
 ) -> None:
     """Materialize the IVF index: vectors with precomputed norms,
     partitioned by assigned ``cell`` (``<path>/vectors``), plus the tiny
@@ -486,7 +487,17 @@ def build_ivf_index(
     corpus whose lowest id exceeds ``n_cells``): the default rule would
     then commit an EMPTY centroid table and a meta object, so later
     batches crash reading empty parquet (ADVICE r5).  Use
-    :func:`seed_centroids`."""
+    :func:`seed_centroids`.
+
+    ``pq=True`` additionally persists the compressed-scoring tier: the
+    PQ sub-codebook (``<path>/pq_codebook``, PQ_M × PQ_K rows) and every
+    vector's codes WITH its cell (``<path>/pq_codes``, partitioned by
+    cell) — so :func:`knn_against_index` with ``scoring="adc"`` reads
+    only the probed cells' CODE files (~PQ_M small ints per vector,
+    ~16× fewer bytes than the float vectors) and the float store is
+    never touched for candidate scoring.  This completes the memory
+    story the PQ tier exists for: at 100 TB the candidate scan is
+    byte-bound, and the bytes live in pq_codes."""
     from ..storage import LOCAL_STORE
 
     cent = (
@@ -497,9 +508,9 @@ def build_ivf_index(
     cent.select(
         "c_id", F.col("__cvv").alias("cvec"), F.col("__cnorm").alias("cnorm")
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = ivf_cells(emb, n_cells, id_col, vec_col, centroids=cent)
     (
-        ivf_cells(emb, n_cells, id_col, vec_col, centroids=cent)
-        .select(
+        assigned.select(
             F.col(id_col),
             F.col(vec_col),
             l2_norm_expr(F.col(vec_col)).alias("vnorm"),
@@ -509,9 +520,19 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
     )
+    if pq:
+        codebook = pq_codebook(emb, id_col, vec_col)
+        codebook.write.mode("overwrite").parquet(f"{path}/pq_codebook")
+        (
+            pq_encode(emb, codebook, id_col, vec_col)
+            .join(assigned.select(F.col(id_col), "cell"), id_col)
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/pq_codes")
+        )
     (store or LOCAL_STORE).write_json(
         _ivf_meta_path(path),
-        {"n_cells": n_cells, "n_base": emb.count(), "n_appended": 0},
+        {"n_cells": n_cells, "n_base": emb.count(), "n_appended": 0, "pq": pq},
     )
 
 
@@ -532,7 +553,10 @@ def append_to_ivf_index(
     (pinned by test).  Cost is batch × n_cells — the corpus never moves.
     The quantizer itself is FROZEN by appends; the meta counter feeds
     :func:`maybe_refresh_ivf_index`, which re-trains once appended mass
-    makes the frozen centroids stale."""
+    makes the frozen centroids stale.  A ``pq=True`` index also appends
+    the batch's PQ codes (encoded against the STORED codebook — frozen
+    like the centroids) so the compressed tier never goes stale vs the
+    float store."""
     from ..storage import LOCAL_STORE
 
     store = store or LOCAL_STORE
@@ -547,16 +571,28 @@ def append_to_ivf_index(
     best = sims.groupBy(id_col).agg(
         F.max(F.struct(F.col("csim"), F.col("c_id"))).alias("__best")
     )
+    cells = new_vecs.join(best, id_col).select(
+        F.col(id_col), F.col("__best.c_id").alias("cell")
+    )
     assigned = (
-        new_vecs.join(best, id_col)
+        new_vecs.join(cells, id_col)
         .select(
             F.col(id_col),
             F.col(vec_col),
             l2_norm_expr(F.col(vec_col)).alias("vnorm"),
-            F.col("__best.c_id").alias("cell"),
+            "cell",
         )
     )
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+    if meta.get("pq"):
+        codebook = spark.read.parquet(f"{path}/pq_codebook")
+        (
+            pq_encode(new_vecs, codebook, id_col, vec_col)
+            .join(cells, id_col)
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{path}/pq_codes")
+        )
     store.write_json(
         _ivf_meta_path(path),
         {**meta, "n_appended": meta["n_appended"] + new_vecs.count()},
@@ -595,10 +631,20 @@ def maybe_refresh_ivf_index(
     ``emb``'s id range may not start at 0.  Re-run the recall gate
     (tests/test_ann_recall.py) after refresh — the gate, not this guard,
     is what certifies the new quantizer."""
+    from ..storage import LOCAL_STORE
+
     if ivf_appended_fraction(path, store) <= max_appended_fraction:
         return False
+    meta = (store or LOCAL_STORE).read_json(_ivf_meta_path(path))
     build_ivf_index(
-        emb, path, n_cells, id_col, vec_col, store=store, centroids=centroids
+        emb,
+        path,
+        n_cells,
+        id_col,
+        vec_col,
+        store=store,
+        centroids=centroids,
+        pq=bool(meta.get("pq")),
     )
     return True
 
@@ -610,6 +656,7 @@ def knn_against_index(
     probes: int = IVF_PROBES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scoring: str = "float",
 ) -> DataFrame:
     """ANN top-k for a query batch against a persisted IVF index.
 
@@ -620,7 +667,17 @@ def knn_against_index(
     fraction; returns exactly :func:`knn_ivf_centroids`'s answer for the
     same corpus/config (pinned by test).
 
-    Columns: ``query_id, neighbor_id, cosine_sim`` (rounded 6).
+    ``scoring="float"`` (default) scans the probed cells' float vectors;
+    columns ``query_id, neighbor_id, cosine_sim`` (rounded 6).
+
+    ``scoring="adc"`` requires an index built with ``pq=True``: the
+    probed cells' candidate scan reads ONLY their PQ code files (~16×
+    fewer bytes than float at PQ_M=32 4-bit codes over 64 float32 dims)
+    and scores by asymmetric-distance lookup against the broadcast
+    query×codebook table — returning exactly :func:`knn_ivf_pq`'s
+    answer for the same corpus/config (pinned by test); columns
+    ``query_id, neighbor_id, adc_dist_q`` (exact integer, ascending =
+    most similar).
     """
     spark = queries.sparkSession
     cent = spark.read.parquet(f"{index_path}/centroids").select(
@@ -638,6 +695,12 @@ def knn_against_index(
             F.col("c_id").alias("cell"),
         )
     )
+    if scoring == "adc":
+        return _knn_adc_against_index(
+            queries, index_path, probe, k, id_col, vec_col
+        )
+    if scoring != "float":
+        raise ValueError(f"unknown scoring {scoring!r}: use 'float' or 'adc'")
     index = spark.read.parquet(f"{index_path}/vectors").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -662,6 +725,62 @@ def knn_against_index(
         pairs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+def _knn_adc_against_index(
+    queries: DataFrame,
+    index_path: str,
+    probe: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    store=None,
+) -> DataFrame:
+    """ADC scoring against the persisted PQ tier (see
+    :func:`knn_against_index` ``scoring="adc"``).  The candidate side is
+    the cell-partitioned ``pq_codes`` store — dynamic partition pruning
+    on the cell equi-join keeps unprobed cells' code files unread, and
+    the float ``vectors`` store is never touched.  The ADC table
+    (queries × PQ_M × PQ_K integer distances) broadcasts."""
+    from ..storage import LOCAL_STORE
+
+    spark = queries.sparkSession
+    meta = (store or LOCAL_STORE).read_json(_ivf_meta_path(index_path))
+    if not (meta and meta.get("pq")):
+        raise ValueError(
+            f"index at {index_path} was not built with pq=True — "
+            "no persisted PQ codes to score against"
+        )
+    codebook = spark.read.parquet(f"{index_path}/pq_codebook")
+    cand = spark.read.parquet(f"{index_path}/pq_codes").select(
+        F.col(id_col).alias("neighbor_id"), "s", "code", "cell"
+    )
+    adc = (
+        _pq_subvectors(queries, id_col, vec_col)
+        .join(F.broadcast(codebook), "s")
+        .select(
+            F.col(id_col).alias("query_id"),
+            "s",
+            F.col("pq_c").alias("code"),
+            _pq_dist_q(F.col("sub"), F.col("csub")).alias("__d_q"),
+        )
+    )
+    scored = (
+        probe.select("query_id", "cell")
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(adc), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d_q").alias("adc_dist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist_q")
     )
 
 

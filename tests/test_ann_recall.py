@@ -162,6 +162,93 @@ def test_ivf_drift_guard_triggers_rebuild(spark, tmp_path):
     assert S.knn_against_index(queries, idx, k=5).count() == 5 * 5
 
 
+def test_persisted_pq_index_matches_in_memory_adc(spark, tmp_path):
+    """The persisted PQ tier (build_ivf_index(pq=True) + knn_against_index
+    scoring='adc') returns BIT-IDENTICAL answers to the in-memory
+    knn_ivf_pq — exact integer ADC distances, not approximately equal —
+    for the same corpus/config; a non-PQ index refuses ADC scoring."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    idx = str(tmp_path / "ivf_pq")
+    S.build_ivf_index(emb, idx, pq=True)
+
+    query_ids = [
+        r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(20).collect()
+    ]
+    queries = emb.filter(emb.vec_id.isin(query_ids))
+    from_index = {
+        (r.query_id, r.neighbor_id, r.adc_dist_q)
+        for r in S.knn_against_index(queries, idx, k=10, scoring="adc").collect()
+    }
+    in_memory = {
+        (r.query_id, r.neighbor_id, r.adc_dist_q)
+        for r in S.knn_ivf_pq(emb, query_ids, k=10).collect()
+    }
+    assert from_index == in_memory and len(from_index) == 20 * 10
+
+    plain = str(tmp_path / "ivf_plain")
+    S.build_ivf_index(emb, plain)
+    with pytest.raises(ValueError, match="pq=True"):
+        S.knn_against_index(queries, plain, k=10, scoring="adc")
+
+
+def test_pq_append_keeps_codes_fresh(spark, tmp_path):
+    """Appending to a pq=True index encodes the batch against the STORED
+    codebook (frozen, like the centroids) — so post-append ADC answers
+    equal an in-memory knn_ivf_pq over the union corpus (appended ids
+    all exceed PQ_K and n_cells, so both quantizers are identical)."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base, batch = emb.filter(emb.vec_id < 400), emb.filter(emb.vec_id >= 400)
+    idx = str(tmp_path / "ivf_pq")
+    S.build_ivf_index(base, idx, pq=True)
+    S.append_to_ivf_index(batch, idx)
+
+    query_ids = [
+        r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(15).collect()
+    ]
+    queries = emb.filter(emb.vec_id.isin(query_ids))
+    from_index = {
+        (r.query_id, r.neighbor_id, r.adc_dist_q)
+        for r in S.knn_against_index(queries, idx, k=10, scoring="adc").collect()
+    }
+    union_mem = {
+        (r.query_id, r.neighbor_id, r.adc_dist_q)
+        for r in S.knn_ivf_pq(emb, query_ids, k=10).collect()
+    }
+    assert from_index == union_mem and len(from_index) == 15 * 10
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="sf0.1 testdata absent")
+def test_pq_recall_gate_holds_against_stored_index(spark, tmp_path):
+    """The PQ recall gate re-run against the PERSISTED tier (the refresh
+    contract): recall@10 of stored-codes ADC scoring stays at the
+    measured floor the in-memory gate pins (≥ 0.45 on this
+    distance-concentration-worst-case corpus)."""
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    try:
+        idx = str(tmp_path / "ivf_pq")
+        S.build_ivf_index(emb, idx, pq=True)
+        query_ids = [
+            r.vec_id
+            for r in emb.select("vec_id").orderBy("vec_id").limit(N_QUERIES).collect()
+        ]
+        queries = emb.filter(emb.vec_id.isin(query_ids))
+
+        def topk(df):
+            out: dict[int, set[int]] = {}
+            for r in df.collect():
+                out.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return out
+
+        exact = topk(S.knn_brute_force(emb, query_ids, k=K))
+        approx = topk(S.knn_against_index(queries, idx, k=K, scoring="adc"))
+        recall = sum(
+            len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+        ) / len(exact)
+        assert recall >= 0.45, f"stored-PQ recall@10 {recall:.3f}"
+    finally:
+        emb.unpersist()
+
+
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="sf0.1 testdata absent")
 def test_ivf_sq8_recall_at_10_stays_above_0_9(spark):
     """The compressed tier must stay gate-quality: SQ8 scoring costs

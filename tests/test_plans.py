@@ -240,6 +240,35 @@ def test_persisted_ivf_probe_prunes_index_partitions(spark, tmp_path):
     assert "PartitionFilters" in formatted or "dynamicpruning" in formatted.lower()
 
 
+def test_persisted_pq_adc_prunes_code_partitions_and_skips_float_store(
+    spark, tmp_path
+):
+    """knn_against_index(scoring='adc'): the candidate scan reads the
+    cell-partitioned pq_codes files with the cell join key reaching the
+    scan (pruning), the ADC table broadcasts, and the float `vectors`
+    store is ABSENT from the plan — the byte-savings claim, made
+    machine-checkable."""
+    from airflow_postgres_etl_spark.operators import similarity as S
+    from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_pq")
+    S.build_ivf_index(emb, idx, n_cells=8, pq=True)
+    queries = emb.filter(emb.vec_id < 5)
+    df = S.knn_against_index(queries, idx, k=5, probes=2, scoring="adc")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # ADC table broadcasts
+    files = df.inputFiles()
+    assert any("/pq_codes/" in f for f in files)  # candidates = code files
+    assert not any("/vectors/" in f for f in files)  # float store unread
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the probe's cell key reaches the code scan as dynamic pruning
+    assert "dynamicpruning" in formatted.lower()
+
+
 def test_decontaminate_broadcasts_benchmark_grams(spark):
     """Decontamination's whole scale story: the benchmark 13-gram set
     broadcasts; the 100 TB training side joins without shuffling, and
