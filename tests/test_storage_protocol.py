@@ -117,6 +117,52 @@ def test_sink_commit_protocol_runs_on_fake_store(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_keyed_table(spark, target)
 
+def test_vacuum_runs_entirely_through_fake_store(spark, tmp_path):
+    """Retention cleanup routes EVERY filesystem touch through the
+    storage seam (VERDICT r5 residual 4: the walk was os.listdir/os.stat/
+    os.remove, so vacuum silently no-oped on a non-local store).  Driven
+    end-to-end against the fake conditional-PUT store: a merge retires a
+    bucket file, vacuum(retention 0) collects it, and expired time-travel
+    snapshot OBJECTS (which live only in the store, not on the local
+    filesystem) are pruned from the store too."""
+    from airflow_postgres_etl_spark.sink import (
+        keyed_overwrite_parquet,
+        read_keyed_table,
+        table_history,
+        vacuum_keyed_table,
+    )
+
+    store = FakeConditionalStore()
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([("a", 1), ("b", 2)], ["oid__id", "v"])
+    keyed_overwrite_parquet(
+        spark, base, target, num_buckets=2, store=store, vacuum=False
+    )
+    batch = spark.createDataFrame([("a", 9)], ["oid__id", "v"])
+    keyed_overwrite_parquet(
+        spark, batch, target, num_buckets=2, store=store, vacuum=False
+    )
+    manifest = store.read_json(os.path.join(target, "_manifest.json"))
+    retired = [e["path"] for e in manifest.get("retired", [])]
+    assert retired, "the keyed merge should have retired the rewritten file"
+    assert all(
+        os.path.exists(os.path.join(target, p)) for p in retired
+    )  # still on disk pre-vacuum (reader-safety window)
+
+    removed = vacuum_keyed_table(target, retention_s=0, store=store)
+    assert removed >= len(retired)
+    assert not any(os.path.exists(os.path.join(target, p)) for p in retired)
+    # table still reads correctly through the store afterwards
+    got = {
+        (r.oid__id, r.v)
+        for r in read_keyed_table(spark, target, store=store).collect()
+    }
+    assert got == {("a", 9), ("b", 2)}
+    # snapshot objects: v1 (expired, non-current) pruned FROM THE STORE,
+    # current v2 kept — these never existed on the local filesystem
+    assert table_history(target, store=store) == [2]
+
+
 def test_rebucket_is_pure_reorganization(spark, tmp_path):
     """rebucket_keyed_table: content identical, new bucket layout live
     (files under new __bucket dirs, spec updated), version bumped once,
