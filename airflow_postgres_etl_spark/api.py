@@ -204,6 +204,20 @@ class Table:
 
         sink.keyed_merge_mor(self.spark, batch, self.path, store=self.store, **kw)
 
+    def delete_where(self, predicate: str, **kw) -> int:
+        from . import sink
+
+        return sink.keyed_delete_where(
+            self.spark, self.path, predicate, store=self.store, **kw
+        )
+
+    def update_where(self, assignments: dict[str, str], predicate: str, **kw) -> int:
+        from . import sink
+
+        return sink.keyed_update_where(
+            self.spark, self.path, assignments, predicate, store=self.store, **kw
+        )
+
     # -- maintenance --------------------------------------------------------
     def compact(self) -> int:
         from . import sink
