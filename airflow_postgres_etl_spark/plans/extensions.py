@@ -5840,3 +5840,187 @@ def pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketches — operators/sketch.py.  The
+# deterministic, MERGEABLE sketch family member next to HLL: md5-derived
+# 60-bit hashes make every estimate reproducible in the DuckDB twin
+# (hash-gate exact, unlike approx_count_distinct), and "k smallest of the
+# union from per-part k-smallest" is the property that lets 1000
+# executors summarize 100 TB into k longs each and combine on one
+# reducer.  The oracles mirror the estimator arithmetic token-for-token:
+# ((k-1)·2^60)/h_k in int64 → IEEE double (exact-quotient class — no
+# rounding, per the oracle-twin rounding rule).
+# ---------------------------------------------------------------------------
+_KMV_K = 128
+_KMV_SQL_H = "CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)"
+_KMV_SQL_EST = (
+    f"CASE WHEN n_k < {_KMV_K} THEN CAST(n_k AS DOUBLE) "
+    f"ELSE ({_KMV_K - 1}.0 * 1152921504606846976.0) / CAST(kth AS DOUBLE) END"
+)
+
+
+@query(
+    "sketch_kmv_distinct",
+    f"""
+    WITH t AS (SELECT source, unnest({SQL_TOKS}) AS tok FROM documents),
+    h AS (SELECT DISTINCT source, {_KMV_SQL_H} AS h FROM t),
+    r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM h),
+    s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_k, max(h) AS kth
+          FROM r WHERE rn <= {_KMV_K} GROUP BY source),
+    x AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+          FROM h GROUP BY source)
+    SELECT s.source, x.exact_distinct, s.n_k, s.kth,
+           {_KMV_SQL_EST} AS est_distinct
+    FROM s JOIN x USING (source)
+    ORDER BY source
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality: exact count vs the KMV
+    estimate.  The exact column is itself one distinct+count aggregate
+    (a legitimate scale op); the sketch path is what survives when even
+    that is too much state per group."""
+    from ..operators import sketch as K
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(X.tokens_expr()).alias("tok"))
+    sk = K.kmv_sketch(toks, ["source"], F.col("tok"), k=_KMV_K)
+    exact = (
+        toks.distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("exact_distinct"))
+    )
+    return (
+        sk.join(exact, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            "n_k",
+            "kth",
+            K.kmv_estimate_expr(_KMV_K).alias("est_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "sketch_kmv_merge",
+    f"""
+    WITH t AS (SELECT source, unnest({SQL_TOKS}) AS tok FROM documents),
+    h AS (SELECT DISTINCT source, {_KMV_SQL_H} AS h FROM t),
+    -- direct: k smallest over ALL sources' distinct hashes.  (source, h)
+    -- pairs dedup to distinct h first: equal hashes from different
+    -- sources are one item, exactly as the merge path sees them.
+    hd AS (SELECT DISTINCT h FROM h),
+    d AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hd),
+    direct AS (SELECT CAST(count(*) AS BIGINT) AS n_k, max(h) AS kth
+               FROM d WHERE rn <= {_KMV_K}),
+    -- merged: per-source k smallest FIRST, then k smallest of that union
+    -- (the distributed combine) — must equal the direct sketch exactly
+    r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM h),
+    parts AS (SELECT DISTINCT h FROM r WHERE rn <= {_KMV_K}),
+    m AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM parts),
+    merged AS (SELECT CAST(count(*) AS BIGINT) AS n_k, max(h) AS kth
+               FROM m WHERE rn <= {_KMV_K})
+    SELECT 'all' AS grp,
+           direct.n_k AS n_k_direct,
+           direct.kth AS kth_direct,
+           (SELECT {_KMV_SQL_EST} FROM direct) AS est_direct,
+           merged.n_k AS n_k_merged,
+           merged.kth AS kth_merged,
+           (SELECT {_KMV_SQL_EST} FROM merged) AS est_merged
+    FROM direct, merged
+    """,
+)
+def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-equivalence, the property 100 TB hangs on: per-source
+    sketches combined via :func:`kmv_merge_sketches` must equal the
+    sketch built over the whole corpus directly — k longs per part are
+    a lossless summary for the k-min statistic."""
+    from ..operators import sketch as K
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(X.tokens_expr()).alias("tok"))
+    direct = K.kmv_sketch(
+        toks.withColumn("grp", F.lit("all")), ["grp"], F.col("tok"), k=_KMV_K
+    )
+    per_source = K.kmv_sketch(toks, ["source"], F.col("tok"), k=_KMV_K)
+    merged = K.kmv_merge_sketches(
+        per_source.withColumn("grp", F.lit("all")), ["grp"], k=_KMV_K
+    )
+    d = direct.select(
+        "grp",
+        F.col("n_k").alias("n_k_direct"),
+        F.col("kth").alias("kth_direct"),
+        K.kmv_estimate_expr(_KMV_K).alias("est_direct"),
+    )
+    m = merged.select(
+        "grp",
+        F.col("n_k").alias("n_k_merged"),
+        F.col("kth").alias("kth_merged"),
+        K.kmv_estimate_expr(_KMV_K).alias("est_merged"),
+    )
+    return d.join(m, "grp")
+
+
+@query(
+    "sketch_kmv_source_jaccard",
+    f"""
+    WITH t AS (SELECT source, unnest({SQL_TOKS}) AS tok FROM documents),
+    h AS (SELECT DISTINCT source, {_KMV_SQL_H} AS h FROM t),
+    r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM h),
+    s AS (SELECT source, list(h ORDER BY h) AS ks
+          FROM r WHERE rn <= {_KMV_K} GROUP BY source),
+    p AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               (list_sort(list_distinct(list_concat(a.ks, b.ks))))[1:{_KMV_K}] AS uk,
+               a.ks AS ka, b.ks AS kb
+        FROM s a JOIN s b ON a.source < b.source
+    ),
+    q AS (
+        SELECT src_a, src_b, uk,
+               CAST(len(list_intersect(list_intersect(uk, ka), kb)) AS DOUBLE)
+                   / CAST(len(uk) AS DOUBLE) AS j_est
+        FROM p
+    )
+    SELECT src_a, src_b, j_est,
+           CASE WHEN len(uk) < {_KMV_K} THEN CAST(len(uk) AS DOUBLE)
+                ELSE ({_KMV_K - 1}.0 * 1152921504606846976.0)
+                     / CAST(uk[{_KMV_K}] AS DOUBLE) END AS union_est,
+           j_est * (CASE WHEN len(uk) < {_KMV_K} THEN CAST(len(uk) AS DOUBLE)
+                    ELSE ({_KMV_K - 1}.0 * 1152921504606846976.0)
+                         / CAST(uk[{_KMV_K}] AS DOUBLE) END) AS inter_est
+    FROM q
+    ORDER BY src_a, src_b
+    """,
+)
+def sketch_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs source similarity from sketches alone: a G-source
+    corpus moves G²·k int64s through the pair join — the data itself
+    never shuffles, which is the whole point at 100 TB.  Accuracy vs
+    exact Jaccard is pytest-gated (tests/test_sketch.py); the driver
+    gate here is Spark≡DuckDB determinism."""
+    from ..operators import sketch as K
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(X.tokens_expr()).alias("tok"))
+    sk = K.kmv_sketch(toks, ["source"], F.col("tok"), k=_KMV_K)
+    a = sk.select(F.col("source").alias("src_a"), F.col("ks").alias("ka"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("ks").alias("kb"))
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    cols = K.kmv_jaccard_cols(F.col("ka"), F.col("kb"), _KMV_K)
+    return pairs.select(
+        "src_a",
+        "src_b",
+        cols["j_est"].alias("j_est"),
+        cols["union_est"].alias("union_est"),
+        cols["inter_est"].alias("inter_est"),
+    ).orderBy("src_a", "src_b")
