@@ -3846,11 +3846,12 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tie-break: md5 collisions on the 8-hex prefix are possible, full-key
 # ties are not, so output is total-ordered on both engines.
 # ---------------------------------------------------------------------------
-def _bpe_oracle_sql(k: int) -> str:
-    """Build the k-iteration BPE oracle: w0 = word-frequency table with
-    char-split symbol strings, then per iteration the argmax pair (p{i})
-    and the merged vocabulary (w{i+1}) as chained CTEs — the same
-    unrolled dataflow the Spark side builds, in SQL."""
+def _bpe_cte_list(k: int) -> list[str]:
+    """The k-iteration BPE dataflow as chained CTEs: w0 = word-frequency
+    table with char-split symbol strings, then per iteration the argmax
+    pair (p{i}) and the merged vocabulary (w{i+1}) — the same unrolled
+    dataflow the Spark side builds, in SQL.  Shared by the learner and
+    encoder oracles."""
     ctes = [
         f"""w0 AS (
         SELECT word, count(*) AS weight,
@@ -3887,10 +3888,64 @@ def _bpe_oracle_sql(k: int) -> str:
         FROM w{i} CROSS JOIN p{i} b
     )"""
         )
+    return ctes
+
+
+def _bpe_oracle_sql(k: int) -> str:
     union = " UNION ALL ".join(
         f"SELECT it, pa AS pair, freq FROM p{i}" for i in range(k)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + union + " ORDER BY it"
+    return (
+        "WITH " + ",\n".join(_bpe_cte_list(k)) + "\n" + union + " ORDER BY it"
+    )
+
+
+def _bpe_encode_oracle_sql(k: int) -> str:
+    """Encoder oracle: run the same learned chain, then tokenize every
+    word occurrence with the final symbol table and aggregate per doc."""
+    ctes = _bpe_cte_list(k)
+    ctes.append(
+        f"""enc AS (
+        SELECT word,
+               len(list_filter(string_split(sym, ' '), x -> x <> ''))
+                   AS n_toks
+        FROM w{k}
+    )"""
+    )
+    ctes.append(
+        f"""d AS (
+        SELECT doc_id, unnest({SQL_TOKS}) AS word FROM documents
+    )"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        """SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(len(word)) AS BIGINT) AS n_chars
+        FROM d JOIN enc USING (word)
+        GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
+def _bpe_vocab_oracle_sql(k: int, top: int) -> str:
+    """Token-frequency oracle: the corpus-weighted frequency of every
+    post-merge subword token, top-N."""
+    ctes = _bpe_cte_list(k)
+    ctes.append(
+        f"""enc AS (
+        SELECT weight,
+               unnest(list_filter(string_split(sym, ' '), x -> x <> ''))
+                   AS tok
+        FROM w{k}
+    )"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"""SELECT tok, CAST(sum(weight) AS BIGINT) AS freq
+        FROM enc GROUP BY tok
+        ORDER BY freq DESC, tok LIMIT {top}"""
+    )
 
 
 _BPE_MERGES = 6
@@ -3925,9 +3980,14 @@ _BPE_MERGES = 6
 _BPE_VOCAB_PARTITIONS = 1
 
 
-@query("pipeline_bpe_merges", _bpe_oracle_sql(_BPE_MERGES))
-def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _bpe_symbol_chain(docs: DataFrame, k: int):
+    """Shared BPE dataflow: word-frequency vocab (ONE corpus pass,
+    cached), char-split symbol strings, then k iterations of
+    argmax-pair → broadcast → double-replace merge.  Returns
+    ``(merges, syms)``: the per-iteration 1-row argmax frames and the
+    final vocabulary with merges applied — the learner returns the
+    former (:func:`pipeline_bpe_merges`), the encoder consumes the
+    latter (:func:`pipeline_bpe_encode`)."""
     words = register_cache(
         docs.select(F.explode(X.tokens_expr()).alias("word"))
         .groupBy("word")
@@ -3943,7 +4003,7 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     merges = []
-    for i in range(_BPE_MERGES):
+    for i in range(k):
         s = F.filter(F.split(F.col("sym"), " "), lambda x: x != "")
         pair_arr = F.when(
             F.size(s) >= 2,
@@ -3981,10 +4041,77 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .drop("_pa")
         )
+    return merges, syms
+
+
+@query("pipeline_bpe_merges", _bpe_oracle_sql(_BPE_MERGES))
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _syms = _bpe_symbol_chain(docs, _BPE_MERGES)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("it")
+
+
+_BPE_VOCAB_TOP = 50
+
+
+@query("pipeline_bpe_encode", _bpe_encode_oracle_sql(_BPE_MERGES))
+def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges — the learn→apply tokenizer loop closed.
+
+    Encoding never touches document text per-token: the merges are
+    applied to the VOCABULARY (k tiny passes, Heaps'-law sized), and the
+    corpus is tokenized by one join on ``word`` — per-word token counts
+    fan back to every occurrence.  At 100 TB that is one shuffle of
+    (doc_id, word) pairs against a broadcast-or-bucketed vocab, not a
+    per-token Python loop.  Real token counts per doc (vs the regex
+    approximation ``bpe_token_count_expr``) are the budget currency for
+    packing/mixing."""
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, syms = _bpe_symbol_chain(docs, _BPE_MERGES)
+    enc = syms.select(
+        "word",
+        F.size(
+            F.filter(F.split(F.col("sym"), " "), lambda x: x != "")
+        ).cast("long").alias("n_toks"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(X.tokens_expr()).alias("word")
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("pipeline_bpe_vocab", _bpe_vocab_oracle_sql(_BPE_MERGES, _BPE_VOCAB_TOP))
+def pipeline_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted subword frequency table after the learned merges
+    — the artifact a tokenizer ships.  Vocab-sized end to end: explode
+    the symbol strings of distinct words, weight by word frequency, one
+    aggregate, top-N via TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, syms = _bpe_symbol_chain(docs, _BPE_MERGES)
+    toks = syms.select(
+        "weight",
+        F.explode(
+            F.filter(F.split(F.col("sym"), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.sum("weight").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(_BPE_VOCAB_TOP)
+    )
 
 
 @query(
