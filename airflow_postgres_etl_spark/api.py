@@ -236,6 +236,11 @@ class Table:
 
         sink.rebucket_keyed_table(self.spark, self.path, num_buckets, self.store)
 
+    def widen(self, types: dict[str, str]) -> None:
+        from . import sink
+
+        sink.widen_keyed_table(self.spark, self.path, types, self.store)
+
     def cluster(self, by_col: str, files_per_bucket: int = 4) -> None:
         from . import sink
 
