@@ -1,0 +1,206 @@
+"""Data-quality expectations: validation REPORTS and quarantine splits,
+complementing the sink's hard CHECK constraints (sink.py
+``add_table_constraint``, which rejects a whole merge).
+
+Constraints answer "may this batch land?"; expectations answer "how
+healthy is this data?" — per-rule violation counts you can trend, and a
+clean/violating row split so one bad row quarantines instead of
+rejecting a 100 TB load.  Think dbt tests / Delta Live Tables
+expectations, expressed as plain DataFrame ops.
+
+Rule kinds and their 100 TB shapes:
+
+- ``expect(name, predicate)`` — row predicate (NULL = violation, the
+  CHECK semantic).  ALL predicate rules for a frame evaluate in ONE
+  aggregate pass (a ``sum(not pred)`` per rule inside a single agg —
+  no per-rule scans).
+- ``expect_unique(name, cols)`` — key uniqueness.  One hash aggregate
+  on the cols; violations = rows beyond the first per duplicate group.
+- ``expect_foreign_key(name, col, parent_df, parent_col)`` — referential
+  integrity.  One left-anti join; broadcast when the parent's key set is
+  dim-sized, shuffled otherwise (Catalyst/AQE decides).
+- ``expect_fresh(name, ts_col, max_lag_s)`` — staleness vs the frame's
+  own max timestamp: rows older than ``max(ts) - max_lag_s`` violate.
+  Two aggregates (max, then count) — a scalar broadcast, no window.
+
+All counting is exact and engine-agnostic arithmetic, so the driver
+queries built on this module are hash-stable against their DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    kind: str  # predicate | unique | foreign_key | fresh
+    predicate: str | None = None
+    cols: tuple[str, ...] = ()
+    parent: DataFrame | None = field(default=None, compare=False)
+    parent_col: str | None = None
+    ts_col: str | None = None
+    max_lag_s: int | None = None
+
+
+def expect(name: str, predicate: str) -> Rule:
+    return Rule(name=name, kind="predicate", predicate=predicate)
+
+
+def expect_unique(name: str, cols: list[str]) -> Rule:
+    return Rule(name=name, kind="unique", cols=tuple(cols))
+
+
+def expect_foreign_key(
+    name: str, col: str, parent: DataFrame, parent_col: str
+) -> Rule:
+    return Rule(
+        name=name, kind="foreign_key", cols=(col,), parent=parent,
+        parent_col=parent_col,
+    )
+
+
+def expect_fresh(name: str, ts_col: str, max_lag_s: int) -> Rule:
+    return Rule(name=name, kind="fresh", ts_col=ts_col, max_lag_s=max_lag_s)
+
+
+def _violation_flag(pred: str) -> Column:
+    # CHECK semantics: a rule passes only when TRUE; NULL is a violation
+    return (~F.expr(pred).eqNullSafe(F.lit(True))).cast("long")
+
+
+def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Violation report: one row per rule —
+    ``(rule, kind, n_violations, n_rows)`` — built from as few passes as
+    the rule mix allows (all predicate+fresh rules share one aggregate;
+    each unique/FK rule is one aggregate/anti-join of its own).  Returns
+    a DataFrame so the report itself can be stored, trended, or gated
+    on."""
+    spark = df.sparkSession
+    reports: list[DataFrame] = []
+
+    pred_rules = [r for r in rules if r.kind == "predicate"]
+    fresh_rules = [r for r in rules if r.kind == "fresh"]
+    if pred_rules or fresh_rules:
+        base = df
+        # freshness thresholds: scalar max(ts) per ts_col, one broadcast
+        if fresh_rules:
+            mx = df.agg(
+                *[
+                    F.max(r.ts_col).alias(f"__mx_{i}")
+                    for i, r in enumerate(fresh_rules)
+                ]
+            )
+            base = df.crossJoin(F.broadcast(mx))
+        aggs = [
+            _violation_flag(r.predicate).alias(r.name) for r in pred_rules
+        ] + [
+            (
+                F.col(r.ts_col)
+                < F.col(f"__mx_{i}") - F.expr(f"INTERVAL {r.max_lag_s} SECOND")
+            )
+            .cast("long")
+            .alias(r.name)
+            for i, r in enumerate(fresh_rules)
+        ]
+        row = base.agg(
+            *[F.sum(a).alias(f"__v_{j}") for j, a in enumerate(aggs)],
+            F.count(F.lit(1)).alias("__n"),
+        )
+        ordered = pred_rules + fresh_rules
+        for j, r in enumerate(ordered):
+            reports.append(
+                row.select(
+                    F.lit(r.name).alias("rule"),
+                    F.lit(r.kind).alias("kind"),
+                    F.coalesce(F.col(f"__v_{j}"), F.lit(0)).alias("n_violations"),
+                    F.col("__n").alias("n_rows"),
+                )
+            )
+
+    for r in rules:
+        if r.kind == "unique":
+            dup = (
+                df.groupBy(*r.cols)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") > 1)
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("__c") - 1), F.lit(0)
+                    ).alias("n_violations")
+                )
+            )
+            total = df.agg(F.count(F.lit(1)).alias("n_rows"))
+            reports.append(
+                dup.crossJoin(total).select(
+                    F.lit(r.name).alias("rule"),
+                    F.lit(r.kind).alias("kind"),
+                    F.col("n_violations").cast("long"),
+                    "n_rows",
+                )
+            )
+        elif r.kind == "foreign_key":
+            col = r.cols[0]
+            orphans = (
+                df.filter(F.col(col).isNotNull())
+                .join(
+                    r.parent.select(
+                        F.col(r.parent_col).alias(col)
+                    ).distinct(),
+                    col,
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).alias("n_violations"))
+            )
+            total = df.agg(F.count(F.lit(1)).alias("n_rows"))
+            reports.append(
+                orphans.crossJoin(total).select(
+                    F.lit(r.name).alias("rule"),
+                    F.lit(r.kind).alias("kind"),
+                    F.col("n_violations").cast("long"),
+                    "n_rows",
+                )
+            )
+
+    if not reports:
+        return spark.createDataFrame(
+            [], "rule string, kind string, n_violations long, n_rows long"
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+def split_by_expectations(
+    df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split over the ROW-LOCAL rules (predicate kind):
+    ``(clean, violating)`` where ``violating`` carries a
+    ``failed_rules`` array column naming every rule the row broke.  One
+    shared projection, no shuffle — the map-side gate you put in front
+    of a 100 TB load so one malformed row costs one row, not the batch.
+    (unique/foreign_key/fresh need global state and belong in
+    :func:`check_expectations` reports, not a row gate.)"""
+    pred_rules = [r for r in rules if r.kind == "predicate"]
+    if not pred_rules:
+        return df, df.filter(F.lit(False)).withColumn(
+            "failed_rules", F.array().cast("array<string>")
+        )
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    _violation_flag(r.predicate) == 1, F.lit(r.name)
+                )
+                for r in pred_rules
+            ]
+        )
+    )
+    tagged = df.withColumn("failed_rules", failed)
+    clean = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    bad = tagged.filter(F.size("failed_rules") > 0)
+    return clean, bad

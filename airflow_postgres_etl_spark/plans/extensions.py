@@ -6151,3 +6151,170 @@ def sketch_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["union_est"].alias("union_est"),
         cols["inter_est"].alias("inter_est"),
     ).orderBy("src_a", "src_b")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations — operators/expectations.py.  The REPORT and
+# QUARANTINE surface next to the sink's hard CHECK constraints: per-rule
+# violation counts (all row-predicates in ONE aggregate pass; uniqueness
+# one hash agg; referential integrity one anti-join) and the map-side
+# clean/violating row split.  The TPC-H fixtures are clean, so — same
+# device as the PII queries — each query works on a deterministically
+# DIRTIED frame (dupes / NULLs / orphan FKs / sign flips keyed off
+# o_orderkey residues), mirrored in the oracle: the differential then
+# verifies the rules CATCH, not that zero equals zero.
+# ---------------------------------------------------------------------------
+_DQ_DIRTY_ORDERS_SQL = """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 83 = 0 THEN -o_custkey ELSE o_custkey END
+               AS o_custkey,
+           o_orderstatus,
+           CASE WHEN o_orderkey % 79 = 0 THEN -o_totalprice
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                ELSE o_orderdate END AS o_orderdate
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+def _dq_dirty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dirt = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 83 == 0, -F.col("o_custkey"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 79 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit(None))
+        .otherwise(F.col("o_orderdate"))
+        .alias("o_orderdate"),
+    )
+    dup = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    return dirt.unionByName(dup)
+
+
+@query(
+    "dq_orders_report",
+    f"""
+    WITH d AS ({_DQ_DIRTY_ORDERS_SQL}),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM d)
+    SELECT * FROM (
+        SELECT 'fk_custkey' AS rule, 'foreign_key' AS kind,
+               CAST((SELECT count(*) FROM d
+                     WHERE o_custkey IS NOT NULL
+                       AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+                    AS BIGINT) AS n_violations,
+               n.n_rows FROM n
+        UNION ALL
+        SELECT 'not_null_orderdate', 'predicate',
+               CAST((SELECT count(*) FROM d WHERE o_orderdate IS NULL)
+                    AS BIGINT), n.n_rows FROM n
+        UNION ALL
+        SELECT 'price_positive', 'predicate',
+               CAST((SELECT count(*) FROM d
+                     WHERE NOT COALESCE(o_totalprice > 0, FALSE))
+                    AS BIGINT), n.n_rows FROM n
+        UNION ALL
+        SELECT 'status_accepted', 'predicate',
+               CAST((SELECT count(*) FROM d
+                     WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE))
+                    AS BIGINT), n.n_rows FROM n
+        UNION ALL
+        SELECT 'unique_orderkey', 'unique',
+               CAST((SELECT COALESCE(sum(c - 1), 0) FROM
+                     (SELECT count(*) AS c FROM d GROUP BY o_orderkey
+                      HAVING count(*) > 1))
+                    AS BIGINT), n.n_rows FROM n
+    ) ORDER BY rule
+    """,
+)
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import expectations as E
+
+    d = _dq_dirty_orders(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    rules = [
+        E.expect("not_null_orderdate", "o_orderdate IS NOT NULL"),
+        E.expect("price_positive", "o_totalprice > 0"),
+        E.expect("status_accepted", "o_orderstatus IN ('O','F','P')"),
+        E.expect_unique("unique_orderkey", ["o_orderkey"]),
+        E.expect_foreign_key("fk_custkey", "o_custkey", cust, "c_custkey"),
+    ]
+    return E.check_expectations(d, rules).orderBy("rule")
+
+
+@query(
+    "dq_quarantine_split",
+    f"""
+    WITH d AS ({_DQ_DIRTY_ORDERS_SQL}),
+    f AS (
+        SELECT list_filter([
+                   CASE WHEN NOT COALESCE(o_orderdate IS NOT NULL, FALSE)
+                        THEN 'not_null_orderdate' END,
+                   CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                        THEN 'price_positive' END,
+                   CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+                        THEN 'status_accepted' END
+               ], x -> x IS NOT NULL) AS failed
+        FROM d
+    )
+    SELECT CASE WHEN len(failed) = 0 THEN '<clean>'
+                ELSE array_to_string(failed, ',') END AS failed_set,
+           CAST(count(*) AS BIGINT) AS n
+    FROM f GROUP BY 1 ORDER BY failed_set
+    """,
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map-side gate summarized: how many rows pass clean and how
+    many fall into each failure combination.  ``split_by_expectations``
+    is one shared projection — at 100 TB the split costs a scan, the
+    quarantined rows cost only themselves."""
+    from ..operators import expectations as E
+
+    d = _dq_dirty_orders(spark, sf_dir)
+    rules = [
+        E.expect("not_null_orderdate", "o_orderdate IS NOT NULL"),
+        E.expect("price_positive", "o_totalprice > 0"),
+        E.expect("status_accepted", "o_orderstatus IN ('O','F','P')"),
+    ]
+    clean, bad = E.split_by_expectations(d, rules)
+    tagged = bad.select(
+        F.array_join(F.col("failed_rules"), ",").alias("failed_set")
+    ).unionByName(clean.select(F.lit("<clean>").alias("failed_set")))
+    return (
+        tagged.groupBy("failed_set")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("failed_set")
+    )
+
+
+@query(
+    "dq_events_freshness",
+    """
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+    SELECT 'fresh_3d' AS rule, 'fresh' AS kind,
+           CAST((SELECT count(*) FROM events, m
+                 WHERE ts < mx - INTERVAL 3 DAY) AS BIGINT) AS n_violations,
+           n.n_rows
+    FROM n
+    """,
+)
+def dq_events_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness vs the stream's own high-water mark: two aggregates and
+    a scalar broadcast — the shape that monitors a 100 TB event table
+    without a window."""
+    from ..operators import expectations as E
+
+    ev = load_table(spark, sf_dir, "events")
+    return E.check_expectations(
+        ev, [E.expect_fresh("fresh_3d", "ts", 3 * 24 * 3600)]
+    )

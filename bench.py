@@ -138,6 +138,17 @@ HEADLINE = [
     "multimodal_image_ahash",
     "multimodal_image_near_dup",
     "multimodal_image_near_dup_capped",
+    # round-6: KMV mergeable distinct/Jaccard sketches (bounded salted
+    # top-k windows, pairwise similarity over sketches only) and the
+    # BPE encoder closing the learn->apply tokenizer loop (vocab-sized
+    # merge application + one corpus join on word)
+    "sketch_kmv_distinct",
+    "sketch_kmv_source_jaccard",
+    "pipeline_bpe_encode",
+    # round-6: data-quality expectations — the one-pass predicate report
+    # + anti-join referential check, and the map-side quarantine split
+    "dq_orders_report",
+    "dq_quarantine_split",
 ]
 
 
