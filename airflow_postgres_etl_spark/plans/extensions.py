@@ -5986,12 +5986,29 @@ _KMV_SQL_EST = (
     f"CASE WHEN n_k < {_KMV_K} THEN CAST(n_k AS DOUBLE) "
     f"ELSE ({_KMV_K - 1}.0 * 1152921504606846976.0) / CAST(kth AS DOUBLE) END"
 )
+# Items are 3-token SHINGLES, not tokens: the synthetic corpus has a
+# 31-word vocabulary, which would never fill a k=128 sketch (the
+# estimator branch would be dead code in the differential); per-source
+# distinct shingles run ~1.1-1.6k, so the sketches saturate and the
+# estimates are real.  Shingle sets are also what corpus-overlap
+# monitoring actually sketches.
+_KMV_SQL_ITEMS = (
+    f"WITH kw AS (SELECT source, {SQL_TOKS} AS w FROM documents),\n"
+    f"    t AS (SELECT source, unnest({SQL_SHINGLES}) AS tok FROM kw)"
+)
+
+
+def _kmv_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("source", X.tokens_expr().alias("w")).select(
+        "source", F.explode(D.shingles_from_tokens(F.col("w"))).alias("tok")
+    )
 
 
 @query(
     "sketch_kmv_distinct",
     f"""
-    WITH t AS (SELECT source, unnest({SQL_TOKS}) AS tok FROM documents),
+    {_KMV_SQL_ITEMS},
     h AS (SELECT DISTINCT source, {_KMV_SQL_H} AS h FROM t),
     r AS (SELECT source, h,
                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
@@ -6013,8 +6030,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is too much state per group."""
     from ..operators import sketch as K
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("source", F.explode(X.tokens_expr()).alias("tok"))
+    toks = _kmv_items(spark, sf_dir)
     sk = K.kmv_sketch(toks, ["source"], F.col("tok"), k=_KMV_K)
     exact = (
         toks.distinct()
@@ -6037,7 +6053,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sketch_kmv_merge",
     f"""
-    WITH t AS (SELECT source, unnest({SQL_TOKS}) AS tok FROM documents),
+    {_KMV_SQL_ITEMS},
     h AS (SELECT DISTINCT source, {_KMV_SQL_H} AS h FROM t),
     -- direct: k smallest over ALL sources' distinct hashes.  (source, h)
     -- pairs dedup to distinct h first: equal hashes from different
@@ -6072,8 +6088,7 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a lossless summary for the k-min statistic."""
     from ..operators import sketch as K
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("source", F.explode(X.tokens_expr()).alias("tok"))
+    toks = _kmv_items(spark, sf_dir)
     direct = K.kmv_sketch(
         toks.withColumn("grp", F.lit("all")), ["grp"], F.col("tok"), k=_KMV_K
     )
@@ -6099,7 +6114,7 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sketch_kmv_source_jaccard",
     f"""
-    WITH t AS (SELECT source, unnest({SQL_TOKS}) AS tok FROM documents),
+    {_KMV_SQL_ITEMS},
     h AS (SELECT DISTINCT source, {_KMV_SQL_H} AS h FROM t),
     r AS (SELECT source, h,
                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
@@ -6137,8 +6152,7 @@ def sketch_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate here is Spark≡DuckDB determinism."""
     from ..operators import sketch as K
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("source", F.explode(X.tokens_expr()).alias("tok"))
+    toks = _kmv_items(spark, sf_dir)
     sk = K.kmv_sketch(toks, ["source"], F.col("tok"), k=_KMV_K)
     a = sk.select(F.col("source").alias("src_a"), F.col("ks").alias("ka"))
     b = sk.select(F.col("source").alias("src_b"), F.col("ks").alias("kb"))

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from airflow_postgres_etl_spark.operators import sketch as K
+from airflow_postgres_etl_spark.operators.dedup import shingles_from_tokens
 from airflow_postgres_etl_spark.operators.text import tokens_expr
 from airflow_postgres_etl_spark.sources.parquet_source import load_table
 
@@ -16,8 +17,13 @@ KK = 128
 
 
 def _toks(spark):
+    # 3-token shingles: ~1.1-1.6k distinct per source, so k=128 sketches
+    # SATURATE and the estimator branch is actually exercised (the raw
+    # token vocabulary is only 31 words — never fills a sketch)
     docs = load_table(spark, SF_CORRECT, "documents")
-    return docs.select("source", F.explode(tokens_expr()).alias("tok"))
+    return docs.select("source", tokens_expr().alias("w")).select(
+        "source", F.explode(shingles_from_tokens(F.col("w"))).alias("tok")
+    )
 
 
 def test_kmv_estimate_accuracy(spark):
@@ -34,15 +40,18 @@ def test_kmv_estimate_accuracy(spark):
         .collect()
     )
     assert rows
+    saturated = 0
     for r in rows:
         if r.n_k < KK:
             assert r.est == float(r.exact)  # below fill line: exact
         else:
+            saturated += 1
             assert abs(r.est - r.exact) / r.exact < 3.5 / (KK**0.5), (
                 r.source,
                 r.exact,
                 r.est,
             )
+    assert saturated > 0  # the estimator branch must actually run
 
 
 def test_kmv_merge_is_lossless_for_kmin(spark):
