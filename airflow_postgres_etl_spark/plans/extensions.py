@@ -6167,6 +6167,191 @@ def sketch_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src_a", "src_b")
 
 
+# --- Count-min sketch (operators/sketch.py cms_*) --------------------------
+# Mergeable frequency summary next to KMV's distinct summary: d·w counters
+# per group, point estimates = min over d md5-salted hash rows, never an
+# UNDER-estimate.  Deterministic hashing makes every cell and estimate
+# reproducible in the DuckDB twin (Spark's own `count_min_sketch` returns
+# an engine-private binary blob, useless for a differential).
+
+_CMS_D = 4
+_CMS_W = 512
+_CMS_TOP = 12
+# cell index of `tok` in hash row r (DuckDB twin of sketch.cms_hash_expr)
+_CMS_SQL_C = (
+    "CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15) "
+    "AS BIGINT) % {w}"
+).format(w=_CMS_W)
+_CMS_SQL_ROWS = "rows_(r) AS (SELECT unnest(range(0, {d})))".format(d=_CMS_D)
+
+
+@query(
+    "sketch_cms_counts",
+    f"""
+    {_KMV_SQL_ITEMS},
+    {_CMS_SQL_ROWS},
+    ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+           FROM t GROUP BY tok),
+    probes AS (SELECT tok, exact_cnt FROM ex
+               ORDER BY exact_cnt DESC, tok LIMIT {_CMS_TOP}),
+    cells AS (SELECT r, {_CMS_SQL_C} AS c, CAST(count(*) AS BIGINT) AS cnt
+              FROM t CROSS JOIN rows_ GROUP BY 1, 2),
+    pc AS (SELECT tok, exact_cnt, r, {_CMS_SQL_C} AS c
+           FROM probes CROSS JOIN rows_)
+    SELECT tok, exact_cnt,
+           CAST(min(cnt) AS BIGINT) AS est_cnt,
+           min(cnt) >= max(exact_cnt) AS never_under
+    FROM pc JOIN cells USING (r, c)
+    GROUP BY tok, exact_cnt
+    ORDER BY exact_cnt DESC, tok
+    """,
+)
+def sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point estimates vs exact document-frequency for the corpus's
+    top shingles.  The exact side is one count aggregate (fine here;
+    the sketch is what survives when per-item exact state cannot);
+    `never_under` pins the one-sided error guarantee in the
+    differential itself."""
+    from ..operators import sketch as K
+
+    items = _kmv_items(spark, sf_dir)
+    exact = items.groupBy(F.col("tok")).agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    probes = exact.orderBy(F.desc("exact_cnt"), "tok").limit(_CMS_TOP)
+    sk = K.cms_sketch(items, [], F.col("tok"), depth=_CMS_D, width=_CMS_W)
+    est = K.cms_lookup(sk, probes, "tok", depth=_CMS_D, width=_CMS_W)
+    return (
+        probes.join(est, "tok")
+        .select(
+            "tok",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_under"),
+        )
+        .orderBy(F.desc("exact_cnt"), "tok")
+    )
+
+
+@query(
+    "sketch_cms_merge",
+    f"""
+    {_KMV_SQL_ITEMS},
+    {_CMS_SQL_ROWS},
+    ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+           FROM t GROUP BY tok),
+    probes AS (SELECT tok FROM ex ORDER BY exact_cnt DESC, tok
+               LIMIT {_CMS_TOP}),
+    -- per-source sketches, then the merge = SUM over sources per cell;
+    -- by associativity this equals the direct global sketch, which is
+    -- exactly the mergeability property the query pins.
+    per_src AS (SELECT source, r, {_CMS_SQL_C} AS c,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM t CROSS JOIN rows_ GROUP BY 1, 2, 3),
+    merged AS (SELECT r, c, CAST(sum(cnt) AS BIGINT) AS cnt
+               FROM per_src GROUP BY r, c),
+    direct AS (SELECT r, {_CMS_SQL_C} AS c, CAST(count(*) AS BIGINT) AS cnt
+               FROM t CROSS JOIN rows_ GROUP BY 1, 2),
+    pc AS (SELECT tok, r, {_CMS_SQL_C} AS c FROM probes CROSS JOIN rows_)
+    SELECT pc.tok,
+           CAST(min(m.cnt) AS BIGINT) AS est_merged,
+           CAST(min(d2.cnt) AS BIGINT) AS est_direct,
+           min(m.cnt) = min(d2.cnt) AS merge_exact
+    FROM pc
+    JOIN merged m ON pc.r = m.r AND pc.c = m.c
+    JOIN direct d2 ON pc.r = d2.r AND pc.c = d2.c
+    GROUP BY pc.tok
+    ORDER BY pc.tok
+    """,
+)
+def sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-combine property, pinned end-to-end: sketches built
+    per source and merged with :func:`cms_merge` give the same
+    estimates as one sketch built over the whole corpus — shards can
+    sketch independently and combine d·w counters apiece."""
+    from ..operators import sketch as K
+
+    items = _kmv_items(spark, sf_dir)
+    exact = items.groupBy("tok").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    probes = exact.orderBy(F.desc("exact_cnt"), "tok").limit(_CMS_TOP).select("tok")
+    per_src = K.cms_sketch(
+        items, ["source"], F.col("tok"), depth=_CMS_D, width=_CMS_W
+    )
+    merged = K.cms_merge(per_src.drop("source"), [])
+    direct = K.cms_sketch(items, [], F.col("tok"), depth=_CMS_D, width=_CMS_W)
+    em = K.cms_lookup(merged, probes, "tok", depth=_CMS_D, width=_CMS_W)
+    ed = K.cms_lookup(direct, probes, "tok", depth=_CMS_D, width=_CMS_W)
+    return (
+        em.withColumnRenamed("est_cnt", "est_merged")
+        .join(ed.withColumnRenamed("est_cnt", "est_direct"), "tok")
+        .select(
+            "tok",
+            "est_merged",
+            "est_direct",
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_exact"),
+        )
+        .orderBy("tok")
+    )
+
+
+_SQK = 256
+
+
+@query(
+    "sketch_sample_quantiles",
+    f"""
+    WITH h AS (SELECT event_type, value, event_id,
+                      CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                           1, 15) AS BIGINT) AS hh
+               FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY hh) AS rn FROM h),
+    s AS (SELECT event_type, value, event_id FROM r WHERE rn <= {_SQK}),
+    rk AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS vr,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM s)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_sample,
+           max(CASE WHEN vr = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                    THEN value END) AS p50,
+           max(CASE WHEN vr = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                    THEN value END) AS p90,
+           max(CASE WHEN vr = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                    THEN value END) AS p99
+    FROM rk GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: a bottom-k row sample (k smallest
+    md5(event_id) hashes per group — merge = k smallest of the union,
+    the KMV property over ROWS) and exact type-1 quantiles of the
+    sample.  Rank error is O(1/sqrt(k)), pytest-gated vs exact
+    population quantiles (tests/test_sketch.py); picked values are
+    bit-exact so the differential needs no rounding — unlike
+    percentile_approx, whose digest is engine-private."""
+    from ..operators import sketch as K
+
+    ev = load_table(spark, sf_dir, "events")
+    sample = K.bottomk_sample(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        F.col("event_id").cast("string"),
+        k=_SQK,
+    )
+    return K.sample_quantiles(
+        sample,
+        ["event_type"],
+        "value",
+        [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)],
+        tie_break="event_id",
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Data-quality expectations — operators/expectations.py.  The REPORT and
 # QUARANTINE surface next to the sink's hard CHECK constraints: per-rule

@@ -120,3 +120,143 @@ def test_kmv_plan_stays_jvm_side(spark):
     toks = _toks(spark)
     plan = K.kmv_sketch(toks, ["source"], F.col("tok"), k=KK)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- Count-min sketch -------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_error_bound(spark):
+    """The one-sided guarantee (est >= exact, always) plus the epsilon
+    bound: est <= exact + (e/w)*N holds in expectation; gate every probe
+    at exact + 4*N/w (loose multiple of the Markov bound so the test is
+    stable while still catching a broken min/row-salt)."""
+    toks = _toks(spark)
+    sk = K.cms_sketch(toks, [], F.col("tok"), depth=4, width=256)
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), "tok").limit(50)
+    n_total = toks.count()
+    rows = (
+        K.cms_lookup(sk, probes, "tok", depth=4, width=256)
+        .join(probes, "tok")
+        .collect()
+    )
+    assert len(rows) == 50
+    for r in rows:
+        assert r.est_cnt >= r.exact_cnt, (r.tok, r.est_cnt, r.exact_cnt)
+        assert r.est_cnt <= r.exact_cnt + 4 * n_total / 256, (
+            r.tok, r.est_cnt, r.exact_cnt, n_total,
+        )
+
+
+def test_cms_merge_equals_direct(spark):
+    """Shard-and-merge == direct build, cell-for-cell (the mergeability
+    contract a 1000-executor build relies on)."""
+    toks = _toks(spark)
+    direct = K.cms_sketch(toks, [], F.col("tok"), depth=4, width=128)
+    per_src = K.cms_sketch(toks, ["source"], F.col("tok"), depth=4, width=128)
+    merged = K.cms_merge(per_src.drop("source"), [])
+    diff = (
+        merged.withColumnRenamed("cnt", "m")
+        .join(direct.withColumnRenamed("cnt", "d"), ["r", "c"], "full")
+        .filter(
+            (F.col("m").isNull()) | (F.col("d").isNull())
+            | (F.col("m") != F.col("d"))
+        )
+    )
+    assert diff.count() == 0
+
+
+def test_cms_absent_probe_estimates_zero(spark):
+    """An item never inserted must estimate 0 when any of its cells is
+    untouched — and must SURVIVE into the output (outer-restore path)."""
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], ["tok"])
+    sk = K.cms_sketch(df, [], F.col("tok"), depth=4, width=1024)
+    probes = spark.createDataFrame(
+        [("a",), ("zz-never-seen",)], ["tok"]
+    )
+    got = {
+        r.tok: r.est_cnt
+        for r in K.cms_lookup(sk, probes, "tok", depth=4, width=1024).collect()
+    }
+    assert got["a"] == 2
+    assert got["zz-never-seen"] == 0
+
+
+def test_cms_weighted(spark):
+    """Weight column counts each occurrence w times."""
+    df = spark.createDataFrame([("a", 3), ("a", 2), ("b", 5)], ["tok", "w"])
+    sk = K.cms_sketch(df, [], F.col("tok"), weight=F.col("w"), width=1024)
+    probes = spark.createDataFrame([("a",), ("b",)], ["tok"])
+    got = {
+        r.tok: r.est_cnt
+        for r in K.cms_lookup(sk, probes, "tok", width=1024).collect()
+    }
+    assert got == {"a": 5, "b": 5}
+
+
+# --- Bottom-k sample quantiles ----------------------------------------------
+
+
+def test_sample_quantile_rank_error(spark):
+    """Sampled type-1 quantiles land within ~2.5/sqrt(k) RANK distance
+    of the population quantile (DKW-ish bound; k=256 -> 15.6% rank
+    slack, typical ~3%), per event_type."""
+    ev = load_table(spark, SF_CORRECT, "events").select(
+        "event_type", "value", "event_id"
+    )
+    k = 256
+    sample = K.bottomk_sample(
+        ev, ["event_type"], F.col("event_id").cast("string"), k=k
+    )
+    got = K.sample_quantiles(
+        sample, ["event_type"], "value",
+        [("p50", 0.5), ("p90", 0.9)], tie_break="event_id",
+    ).collect()
+    assert got
+    import math
+
+    slack = 2.5 / math.sqrt(k)
+    pop = {
+        r.event_type: sorted(x.value for x in ev.filter(
+            F.col("event_type") == r.event_type).collect())
+        for r in got
+    }
+    for r in got:
+        vals = pop[r.event_type]
+        n = len(vals)
+        for name, q in (("p50", 0.5), ("p90", 0.9)):
+            v = getattr(r, name)
+            # rank of the sampled quantile within the population
+            import bisect
+
+            lo = bisect.bisect_left(vals, v) / n
+            hi = bisect.bisect_right(vals, v) / n
+            assert lo - slack <= q <= hi + slack, (
+                r.event_type, name, v, lo, hi,
+            )
+
+
+def test_bottomk_sample_is_mergeable(spark):
+    """k smallest of the union == merge of per-shard k smallest — the
+    property that lets every executor sample independently."""
+    ev = load_table(spark, SF_CORRECT, "events").select(
+        "event_type", "value", "event_id"
+    )
+    k = 64
+    whole = K.bottomk_sample(
+        ev, [], F.col("event_id").cast("string"), k=k
+    )
+    shard_a = ev.filter(F.col("event_id") % 2 == 0)
+    shard_b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = K.bottomk_sample(
+        K.bottomk_sample(shard_a, [], F.col("event_id").cast("string"), k=k)
+        .unionByName(
+            K.bottomk_sample(shard_b, [], F.col("event_id").cast("string"), k=k)
+        ),
+        [],
+        F.col("event_id").cast("string"),
+        k=k,
+    )
+    a = sorted(r.event_id for r in whole.collect())
+    b = sorted(r.event_id for r in merged.collect())
+    assert a == b
