@@ -182,16 +182,82 @@ def main() -> None:
         # per-query numbers remain comparable.)
         release_caches()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver's bench artifact keeps only the LAST ~2000 chars of
+    # stdout; with 100+ headline queries the single full-dict line
+    # overflows it and the totals (printed first) are lost
+    # (BENCH_r06.json recorded `"parsed": null` — VERDICT r6 item 3).
+    # Two-part fix: (a) the complete dict — including the
+    # abbreviation key used below — is written to BENCH_LOCAL.json in
+    # the repo (and appended to BENCH_LOCAL.jsonl for cross-round
+    # diffs), (b) stdout ends with a COMPACT line that fits the tail
+    # whole: totals + every query at integer-millisecond precision
+    # under deterministically abbreviated names.
+    full["abbrev_key"] = {_abbrev(n): n for n in timings}
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    with open(os.path.join(repo_dir, "BENCH_LOCAL.jsonl"), "a") as fh:
+        fh.write(json.dumps(full) + "\n")
+
+    print(json.dumps({k: v for k, v in full.items() if k != "abbrev_key"}))
+    q_ms = {_abbrev(n): int(round(t * 1000)) for n, t in timings.items()}
+    compact = {
+        "metric": "headline_queries_total",
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n": len(timings),
+        "queries": q_ms,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) <= 1950:
+        print(line)
+    else:
+        # overflow guard: ship the slower half (the regression-relevant
+        # one) in the final line, the rest on the line above
+        items = sorted(q_ms.items(), key=lambda kv: kv[1])
+        cut = len(items) // 2
+        fast, slow = dict(items[:cut]), dict(items[cut:])
+        print(json.dumps({"queries_fast_half": fast}, separators=(",", ":")))
+        compact["queries"] = slow
+        compact["note"] = "slow half; rest on prev line + BENCH_LOCAL.json"
+        print(json.dumps(compact, separators=(",", ":")))
+
+
+_ABBREV_PREFIXES = [
+    ("tpch_q", "T"),
+    ("pipeline_", "P"),
+    ("multimodal_", "M"),
+    ("dedup_", "D"),
+    ("sketch_", "K"),
+    ("text_", "X"),
+    ("sim_", "S"),
+    ("dq_", "Q"),
+    ("udaf_", "U"),
+    ("table_", "B"),
+    ("q_", ""),
+]
+
+
+def _abbrev(name: str) -> str:
+    """Deterministic short key: prefix code + vowel-stripped words.
+
+    Purely a transport encoding for the driver's 2000-char stdout tail;
+    the inverse mapping ships in BENCH_LOCAL.json's ``abbrev_key``.
+    """
+    for long, short in _ABBREV_PREFIXES:
+        if name.startswith(long):
+            name = short + name[len(long):]
+            break
+    return "".join(
+        p[0] + re.sub(r"[aeiou]", "", p[1:]) for p in name.split("_") if p
     )
 
 
