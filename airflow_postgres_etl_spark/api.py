@@ -69,9 +69,11 @@ class Engine:
         maintenance, indexes, constraints, and views in one object."""
         return Table(self.spark, path)
 
-    def stream_ingest(self, csv_dir: str, out_dir: str, checkpoint_dir: str):
+    def stream_ingest(self, csv_dir: str, out_dir: str, checkpoint_dir: str, **kw):
         """Continuous variant of :meth:`ingest`: file-source checkpoint as
-        the high-water mark, replace-by-key merge per micro-batch."""
+        the high-water mark, replace-by-key merge per micro-batch.
+        ``expectations=[Rule, ...]`` gates every micro-batch through the
+        DQ quarantine split."""
         from .streaming import stream_ingest
 
         return stream_ingest(
@@ -80,6 +82,7 @@ class Engine:
             os.path.join(out_dir, "tracking"),
             os.path.join(out_dir, "events"),
             checkpoint_dir,
+            **kw,
         )
 
     def stream_dedup_ingest(
@@ -194,14 +197,33 @@ class Table:
         )
 
     # -- writes -------------------------------------------------------------
-    def merge(self, batch: DataFrame, **kw) -> None:
+    def merge(self, batch: DataFrame, expectations=None, **kw):
+        """Replace-by-key merge.  With ``expectations=[Rule, ...]`` the
+        batch passes through the DQ gate first: clean rows merge,
+        predicate-violating rows land in the ``<path>/_quarantine`` keyed
+        table, and the per-rule report is persisted — returns the report
+        rows (None without expectations)."""
         from . import sink
 
+        if expectations:
+            from .operators.expectations import gate_and_merge
+
+            return gate_and_merge(
+                self.spark, batch, self.path, expectations,
+                store=self.store, **kw,
+            )
         sink.keyed_overwrite_parquet(self.spark, batch, self.path, store=self.store, **kw)
 
-    def merge_mor(self, batch: DataFrame, **kw) -> None:
+    def merge_mor(self, batch: DataFrame, expectations=None, **kw):
         from . import sink
 
+        if expectations:
+            from .operators.expectations import gate_and_merge
+
+            return gate_and_merge(
+                self.spark, batch, self.path, expectations,
+                mor=True, store=self.store, **kw,
+            )
         sink.keyed_merge_mor(self.spark, batch, self.path, store=self.store, **kw)
 
     def delete_where(self, predicate: str, **kw) -> int:
@@ -296,6 +318,20 @@ class Table:
         from . import sink
 
         return sink.table_delta_depth(self.path, self.store)
+
+    # -- data quality -------------------------------------------------------
+    def quarantine(self) -> DataFrame:
+        """Rows diverted by expectation-gated merges, tagged with the
+        comma-joined names of the rules they broke."""
+        from .operators.expectations import read_quarantine
+
+        return read_quarantine(self.spark, self.path, self.store)
+
+    def dq_reports(self) -> list[dict]:
+        """Per-batch expectation reports persisted by gated merges."""
+        from .operators.expectations import read_dq_reports
+
+        return read_dq_reports(self.path, self.store)
 
     # -- materialized views -------------------------------------------------
     def refresh_view(self, mv_path: str, group_cols: list[str], sum_cols: list[str]) -> dict:

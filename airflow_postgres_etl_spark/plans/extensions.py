@@ -6517,3 +6517,108 @@ def dq_events_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.check_expectations(
         ev, [E.expect_fresh("fresh_3d", "ts", 3 * 24 * 3600)]
     )
+
+
+@query(
+    "dq_merge_gate",
+    f"""
+    WITH d AS ({_DQ_DIRTY_ORDERS_SQL}),
+    f AS (
+        SELECT *, list_filter([
+                   CASE WHEN NOT COALESCE(o_orderdate IS NOT NULL, FALSE)
+                        THEN 'not_null_orderdate' END,
+                   CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                        THEN 'price_positive' END,
+                   CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+                        THEN 'status_accepted' END
+               ], x -> x IS NOT NULL) AS failed
+        FROM d
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM d)
+    SELECT * FROM (
+        SELECT 'merged_rows' AS kind, 'orders' AS name,
+               CAST(count(*) AS BIGINT) AS n
+        FROM f WHERE len(failed) = 0
+        UNION ALL
+        SELECT 'quarantine', array_to_string(failed, ','),
+               CAST(count(*) AS BIGINT)
+        FROM f WHERE len(failed) > 0 GROUP BY 2
+        UNION ALL
+        SELECT 'report', 'not_null_orderdate',
+               CAST((SELECT count(*) FROM d WHERE o_orderdate IS NULL)
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'report', 'price_positive',
+               CAST((SELECT count(*) FROM d
+                     WHERE NOT COALESCE(o_totalprice > 0, FALSE)) AS BIGINT)
+        UNION ALL
+        SELECT 'report', 'status_accepted',
+               CAST((SELECT count(*) FROM d
+                     WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'report', 'unique_orderkey',
+               CAST((SELECT COALESCE(sum(c - 1), 0) FROM
+                     (SELECT count(*) AS c FROM d GROUP BY o_orderkey
+                      HAVING count(*) > 1)) AS BIGINT)
+        UNION ALL
+        SELECT 'report', 'fk_custkey',
+               CAST((SELECT count(*) FROM d
+                     WHERE o_custkey IS NOT NULL
+                       AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+                    AS BIGINT)
+    ) ORDER BY kind, name
+    """,
+)
+def dq_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE load-path gate, end to end (VERDICT r6 prescription 1): the
+    dirty-orders batch merges into a real keyed table through
+    ``Table.merge(expectations=...)`` — clean rows land in the table,
+    predicate-violating rows in its nested ``_quarantine`` keyed table,
+    the per-rule report in ``_dq/reports.json`` — and the result
+    summarizes the PERSISTED artifacts (a re-read of the table, the
+    quarantine, and the report history), so the oracle differential
+    proves the whole write path, not an in-memory split.
+
+    100 TB shape: the gate adds ONE map-side projection to the merge it
+    guards; quarantined rows cost only themselves (operators/
+    expectations.py:gate_and_merge).
+    """
+    import shutil
+    import tempfile
+
+    from ..api import Engine
+    from ..operators import expectations as E
+
+    d = _dq_dirty_orders(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    rules = [
+        E.expect("not_null_orderdate", "o_orderdate IS NOT NULL"),
+        E.expect("price_positive", "o_totalprice > 0"),
+        E.expect("status_accepted", "o_orderstatus IN ('O','F','P')"),
+        E.expect_unique("unique_orderkey", ["o_orderkey"]),
+        E.expect_foreign_key("fk_custkey", "o_custkey", cust, "c_custkey"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="dq_gate_")
+    try:
+        t = Engine(spark).table(f"{tmp}/orders")
+        t.merge(d, expectations=rules, key="o_orderkey", num_buckets=8)
+        # summarize the persisted artifacts (all driver-side scalars /
+        # tiny groups — the table itself never re-shuffles)
+        merged = [("merged_rows", "orders", t.read().count())]
+        quarantine = [
+            ("quarantine", r.failed_rules, r.n)
+            for r in t.quarantine()
+            .groupBy("failed_rules")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        report = [
+            ("report", r["rule"], r["n_violations"])
+            for r in t.dq_reports()[-1]["rules"]
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        merged + quarantine + report, "kind string, name string, n long"
+    ).orderBy("kind", "name")

@@ -39,6 +39,7 @@ def stream_ingest(
     max_files_per_trigger: int = 3,
     merge_mode: str = "cow",
     compact_at_depth: int = 8,
+    expectations=None,
 ) -> StreamingQuery:
     """Continuous ingest: file source → ingest chain → keyed merge.
 
@@ -73,10 +74,41 @@ def stream_ingest(
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         spark_b = batch.sparkSession
-        merge = keyed_merge_mor if merge_mode == "mor" else keyed_overwrite_parquet
-        # events first; tracking (HWM-bearing in the batch analog) last
-        merge(spark_b, build_events(batch), events_target)
-        merge(spark_b, build_tracking(batch), tracking_target)
+        # per-target rules: {"events": [...], "tracking": [...]} — the two
+        # targets have different schemas; a flat list applies to both
+        if isinstance(expectations, dict):
+            ev_rules = expectations.get("events")
+            tr_rules = expectations.get("tracking")
+        else:
+            ev_rules = tr_rules = expectations
+        if ev_rules or tr_rules:
+            # DQ gate per micro-batch: clean rows merge, violating rows
+            # quarantine under each target, the per-rule report persists.
+            # Replay-idempotent like the merge itself: the quarantine is
+            # a keyed table, so a re-delivered bad row replaces its own
+            # previous quarantine row.
+            from ..operators.expectations import gate_and_merge
+
+            def gated(frame, tgt, rules):
+                if rules:
+                    gate_and_merge(
+                        spark_b, frame, tgt, rules, mor=(merge_mode == "mor")
+                    )
+                else:
+                    merge = (
+                        keyed_merge_mor
+                        if merge_mode == "mor"
+                        else keyed_overwrite_parquet
+                    )
+                    merge(spark_b, frame, tgt)
+
+            gated(build_events(batch), events_target, ev_rules)
+            gated(build_tracking(batch), tracking_target, tr_rules)
+        else:
+            merge = keyed_merge_mor if merge_mode == "mor" else keyed_overwrite_parquet
+            # events first; tracking (HWM-bearing in the batch analog) last
+            merge(spark_b, build_events(batch), events_target)
+            merge(spark_b, build_tracking(batch), tracking_target)
         if merge_mode == "mor":
             for tgt in (events_target, tracking_target):
                 if table_delta_depth(tgt) >= compact_at_depth:

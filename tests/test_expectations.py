@@ -86,3 +86,148 @@ def test_report_plan_is_single_pass_for_predicates(spark):
     assert "BatchEvalPython" not in plan
     # one scan feeding one aggregate chain: the fixture appears once
     assert plan.count("LocalTableScan") <= 2  # union side may re-list
+
+
+# ---------------------------------------------------------------------------
+# Load-path gate (gate_and_merge / Table.merge(expectations=...)):
+# clean rows merge, bad rows quarantine, reports persist, and the whole
+# thing is idempotent under batch replay.
+# ---------------------------------------------------------------------------
+
+
+def _gate_rules():
+    return [E.expect("v_pos", "v > 0"), E.expect("tag_ok", "tag IN ('a','b')")]
+
+
+def test_gate_and_merge_splits_and_reports(spark, tmp_path):
+    from airflow_postgres_etl_spark.api import Engine
+
+    target = str(tmp_path / "t")
+    t = Engine(spark).table(target)
+    batch = spark.createDataFrame(
+        [(1, 10, "a"), (2, -1, "a"), (3, 5, "zz"), (4, None, "zz")],
+        "oid__id long, v long, tag string",
+    )
+    report = t.merge(batch, expectations=_gate_rules(), num_buckets=4)
+
+    got = {(r.oid__id, r.v) for r in t.read().collect()}
+    assert got == {(1, 10)}  # only the fully-clean row merged
+    q = {(r.oid__id, r.failed_rules) for r in t.quarantine().collect()}
+    assert q == {
+        (2, "v_pos"),
+        (3, "tag_ok"),
+        (4, "v_pos,tag_ok"),  # NULL v violates (CHECK semantics)
+    }
+    by_rule = {r["rule"]: r["n_violations"] for r in report}
+    assert by_rule == {"v_pos": 2, "tag_ok": 2}
+    reports = t.dq_reports()
+    assert len(reports) == 1 and reports[0]["rules"][0]["n_rows"] == 4
+    assert reports[0]["table_version"] == 1
+
+
+def test_gate_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering the same batch (streaming replay) must leave BOTH
+    tables with the same content: quarantine rows replace themselves."""
+    from airflow_postgres_etl_spark.api import Engine
+
+    target = str(tmp_path / "t")
+    t = Engine(spark).table(target)
+    batch = spark.createDataFrame(
+        [(1, 10, "a"), (2, -1, "a")], "oid__id long, v long, tag string"
+    )
+    t.merge(batch, expectations=_gate_rules(), num_buckets=4)
+    t.merge(batch, expectations=_gate_rules(), num_buckets=4)  # replay
+
+    assert {(r.oid__id, r.v) for r in t.read().collect()} == {(1, 10)}
+    assert [r.oid__id for r in t.quarantine().collect()] == [2]
+    # the report history keeps one entry per delivery (it's a log)
+    assert len(t.dq_reports()) == 2
+
+
+def test_gate_mor_path_and_fixed_row_promotion(spark, tmp_path):
+    """MOR-gated merge; a later CORRECTED version of a quarantined key
+    merges cleanly (quarantine keeps its last bad version for audit)."""
+    from airflow_postgres_etl_spark.api import Engine
+
+    target = str(tmp_path / "t")
+    t = Engine(spark).table(target)
+    t.merge_mor(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, -1, "a")], "oid__id long, v long, tag string"
+        ),
+        expectations=_gate_rules(),
+        num_buckets=4,
+    )
+    t.merge_mor(
+        spark.createDataFrame([(2, 7, "b")], "oid__id long, v long, tag string"),
+        expectations=_gate_rules(),
+        num_buckets=4,
+    )
+    assert {(r.oid__id, r.v) for r in t.read().collect()} == {(1, 10), (2, 7)}
+    assert [r.oid__id for r in t.quarantine().collect()] == [2]
+
+
+def test_gate_vacuum_never_collects_quarantine(spark, tmp_path):
+    """The quarantine keyed table nests INSIDE the target; the target's
+    vacuum must treat it as a foreign namespace, not orphaned data."""
+    from airflow_postgres_etl_spark.api import Engine
+
+    target = str(tmp_path / "t")
+    t = Engine(spark).table(target)
+    batch = spark.createDataFrame(
+        [(1, 10, "a"), (2, -1, "a")], "oid__id long, v long, tag string"
+    )
+    t.merge(batch, expectations=_gate_rules(), num_buckets=4)
+    removed = t.vacuum(retention_s=0)
+    assert removed == 0
+    assert [r.oid__id for r in t.quarantine().collect()] == [2]
+
+
+def test_stream_ingest_with_expectations(spark, tmp_path):
+    """Gated streaming ingest over the reference-faithful CSV fixture
+    (which plants ``status: None`` events): null-status event rows
+    quarantine under the events target, everything else merges, and
+    re-running the stream over the same checkpoint changes nothing."""
+    import os
+
+    from airflow_postgres_etl_spark.api import Engine
+    from airflow_postgres_etl_spark.operators.expectations import (
+        read_dq_reports,
+        read_quarantine,
+    )
+
+    from .fixtures.gen_raw import generate
+
+    csv_dir = str(tmp_path / "csv")
+    generate(csv_dir, n_files=2, rows_per_file=20)
+    eng = Engine(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rules = {"events": [E.expect("has_status", "status IS NOT NULL")]}
+    q = eng.stream_ingest(csv_dir, out, ck, expectations=rules)
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    events_target = os.path.join(out, "events")
+    clean = eng.table(events_target).read()
+    assert clean.filter(F.col("status").isNull()).count() == 0
+    bad = read_quarantine(spark, events_target)
+    n_bad = bad.count()
+    assert n_bad > 0
+    assert bad.filter(F.col("failed_rules") != "has_status").count() == 0
+    # tracking was not gated: full row count, no quarantine dir
+    tracking = eng.table(os.path.join(out, "tracking")).read()
+    assert tracking.count() > 0
+    assert not os.path.isdir(os.path.join(out, "tracking", "_quarantine"))
+    reports = read_dq_reports(events_target)
+    assert reports and all(
+        r["rules"][0]["rule"] == "has_status" for r in reports
+    )
+    n_reports = len(reports)
+
+    # replay: same files, same checkpoint — nothing new to process
+    q2 = eng.stream_ingest(csv_dir, out, ck, expectations=rules)
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    assert read_quarantine(spark, events_target).count() == n_bad
+    assert len(read_dq_reports(events_target)) == n_reports  # no new batch

@@ -371,6 +371,9 @@ def test_compaction_loses_cas_to_concurrent_mor_merge(spark, tmp_path):
         def write_json(self, path, obj):
             LOCAL_STORE.write_json(path, obj)
 
+        def list_dir(self, path):
+            return LOCAL_STORE.list_dir(path)
+
         def replace_if_version(self, path, manifest, expected_version):
             if self.armed and path == _manifest_path(target):
                 self.armed = False
@@ -411,6 +414,9 @@ def test_mor_merge_loses_cas_to_concurrent_mor_merge(spark, tmp_path):
 
         def write_json(self, path, obj):
             LOCAL_STORE.write_json(path, obj)
+
+        def list_dir(self, path):
+            return LOCAL_STORE.list_dir(path)
 
         def replace_if_version(self, path, manifest, expected_version):
             if self.armed and path == _manifest_path(target):

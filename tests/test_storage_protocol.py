@@ -247,6 +247,9 @@ def test_rebucket_loses_cas_to_concurrent_merge(spark, tmp_path):
         def write_json(self, path, obj):
             LOCAL_STORE.write_json(path, obj)
 
+        def list_dir(self, path):
+            return LOCAL_STORE.list_dir(path)
+
         def replace_if_version(self, path, manifest, expected_version):
             if self.armed and path == _manifest_path(target):
                 self.armed = False
@@ -600,3 +603,86 @@ def test_zorder_unknown_column_rejected(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not in table"):
         zorder_keyed_table(spark, target, ["v", "nope"])
+
+
+def test_merge_listing_goes_through_store_seam(spark, tmp_path, monkeypatch):
+    """VERDICT r6 residual 3: `_list_commit_buckets` and pre-manifest
+    adoption used to call `os.listdir` directly, so a merge commit
+    against a non-local ManifestStore could not see what Spark just
+    wrote.  Spy on os.listdir: an end-to-end CoW + MOR merge through the
+    fake store must (a) never listdir the target from the sink and
+    (b) route every listing through store.list_dir."""
+    from airflow_postgres_etl_spark import sink as sink_mod
+    from airflow_postgres_etl_spark.sink import (
+        keyed_merge_mor,
+        keyed_overwrite_parquet,
+        read_keyed_table,
+    )
+
+    store = FakeConditionalStore()
+    target = str(tmp_path / "t")
+
+    listdir_calls: list[str] = []
+    real_listdir = os.listdir
+
+    def spy_listdir(path="."):
+        listdir_calls.append(str(path))
+        return real_listdir(path)
+
+    store_list_calls: list[str] = []
+    real_store_list = store.list_dir
+
+    def spy_store_list(path):
+        store_list_calls.append(path)
+        return real_store_list(path)
+
+    monkeypatch.setattr(sink_mod.os, "listdir", spy_listdir)
+    store.list_dir = spy_store_list
+
+    base = spark.createDataFrame([("a", 1), ("b", 2)], ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, base, target, num_buckets=4, store=store)
+    keyed_merge_mor(
+        spark,
+        spark.createDataFrame([("a", 9)], ["oid__id", "v"]),
+        target,
+        num_buckets=4,
+        store=store,
+    )
+
+    offenders = [p for p in listdir_calls if p.startswith(target)]
+    assert offenders == [], f"sink listed the target via os.listdir: {offenders}"
+    assert any(p.startswith(target) for p in store_list_calls)
+    got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target, store=store).collect()}
+    assert got == {("a", 9), ("b", 2)}
+
+
+def test_premanifest_adoption_through_fake_store(spark, tmp_path):
+    """A pre-manifest bucket layout is adopted via store.list_dir: write
+    a legacy layout with Spark (no manifest), register its file listing
+    in the fake store's namespace, and merge — the first commit must
+    carry the adopted files forward."""
+    from airflow_postgres_etl_spark.sink import (
+        BUCKET_COL,
+        _bucket_expr,
+        keyed_overwrite_parquet,
+        read_keyed_table,
+    )
+
+    target = str(tmp_path / "legacy")
+    base = spark.createDataFrame([("a", 1), ("b", 2)], ["oid__id", "v"])
+    (
+        base.withColumn(BUCKET_COL, _bucket_expr("oid__id", 4))
+        .write.partitionBy(BUCKET_COL)
+        .parquet(target)
+    )
+    # local layout is visible through the fake store's delegating list_dir
+    store = FakeConditionalStore()
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([("b", 7)], ["oid__id", "v"]),
+        target,
+        num_buckets=4,
+        store=store,
+    )
+    got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target, store=store).collect()}
+    assert got == {("a", 1), ("b", 7)}
