@@ -319,6 +319,30 @@ class Table:
 
         return sink.table_delta_depth(self.path, self.store)
 
+    # -- table-level sketches ------------------------------------------------
+    def sketch(self, cols: list[str]) -> DataFrame:
+        """Distinct-count estimates per column ``(column, distinct_est)``
+        from per-file KMV sketches cached under ``_sketches/`` — after a
+        merge only the rewritten buckets' new files are scanned; repeat
+        calls are sidecar-only (tablesketch.py)."""
+        from . import tablesketch
+
+        return tablesketch.table_kmv_distinct(self.spark, self.path, cols, self.store)
+
+    def frequencies(self, col: str, probes: list) -> DataFrame:
+        """Count-min point-frequency estimates ``(item, est_cnt)`` for
+        the probe values, from the cached per-file cell sketches."""
+        from . import tablesketch
+
+        return tablesketch.table_frequencies(self.spark, self.path, col, probes, self.store)
+
+    def quantiles(self, col: str, qs: list[tuple[str, float]]) -> DataFrame:
+        """Sample quantiles from the mergeable bottom-k row sample
+        (one row: ``n_sample, <names…>``)."""
+        from . import tablesketch
+
+        return tablesketch.table_quantiles(self.spark, self.path, col, qs, self.store)
+
     # -- data quality -------------------------------------------------------
     def quarantine(self) -> DataFrame:
         """Rows diverted by expectation-gated merges, tagged with the

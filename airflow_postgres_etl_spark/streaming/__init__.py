@@ -10,6 +10,10 @@ from .file_stream import (
     stream_ingest,
     windowed_event_counts,
 )
+from .sketch_stream import (
+    read_kmv_estimates,
+    stream_sketch_ingest,
+)
 from .stateful import (
     running_user_totals,
     user_sessions_with_timeout,
@@ -22,6 +26,8 @@ from .vec_stream import (
 __all__ = [
     "build_benchmark_grams",
     "dedup_event_stream",
+    "read_kmv_estimates",
+    "stream_sketch_ingest",
     "interval_join_streams",
     "running_user_totals",
     "self_dedup",

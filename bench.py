@@ -149,6 +149,11 @@ HEADLINE = [
     # + anti-join referential check, and the map-side quarantine split
     "dq_orders_report",
     "dq_quarantine_split",
+    # round-7: the DQ gate wired into the load path (end-to-end gated
+    # merge incl. quarantine + report persistence) and the per-file
+    # sketch sidecar behind Table.sketch()/quantiles()
+    "dq_merge_gate",
+    "table_sketch_facade",
 ]
 
 

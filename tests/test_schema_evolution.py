@@ -176,3 +176,32 @@ def test_widen_rejects_non_lossless(spark, tmp_path):
         widen_keyed_table(spark, target, {"v": "int"})  # narrowing
     with pytest.raises(ValueError, match="no column"):
         widen_keyed_table(spark, target, {"nope": "bigint"})
+
+
+def test_nullability_only_difference_is_not_a_type_conflict(spark, tmp_path):
+    """collect_list yields array<bigint> containsNull=false; the same
+    column read back from parquet is containsNull=true.  A re-merge of
+    a derived batch must treat that as the SAME type (metadata-only
+    cast), not "no lossless conversion"."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.sink import (
+        keyed_overwrite_parquet,
+        read_keyed_table,
+    )
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("a", [1, 2]), ("b", [3])], "oid__id string, xs array<bigint>"
+    )
+    keyed_overwrite_parquet(spark, base, target, num_buckets=2)
+    # batch built by an aggregate: containsNull=false flavor
+    batch = (
+        spark.createDataFrame([("a", 9), ("a", 8)], "oid__id string, v long")
+        .groupBy("oid__id")
+        .agg(F.sort_array(F.collect_list("v")).alias("xs"))
+    )
+    assert not batch.schema["xs"].dataType.containsNull
+    keyed_overwrite_parquet(spark, batch, target, num_buckets=2)
+    got = {(r.oid__id, tuple(r.xs)) for r in read_keyed_table(spark, target).collect()}
+    assert got == {("a", (8, 9)), ("b", (3,))}

@@ -586,3 +586,80 @@ def test_interval_join_left_outer_emits_unattributed_clicks(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="how must be"):
         interval_join_streams(stream, stream, how="full")
+
+
+def test_streamed_sketches_equal_batch_build_across_restart(spark, tmp_path):
+    """N micro-batches through stream_sketch_ingest — with a full query
+    STOP/RESTART from the same checkpoint in the middle — must leave the
+    stored KMV and CMS sketch tables identical, bit for bit, to sketches
+    built in one batch job over the union of all input."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.operators import sketch as SK
+    from airflow_postgres_etl_spark.streaming import stream_sketch_ingest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def write_file(i, rows):
+        spark.createDataFrame(rows, "group string, item string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    all_rows = []
+    # wave 1: two files
+    for i in range(2):
+        rows = [
+            (f"g{j % 3}", f"item_{i}_{j % 40}") for j in range(200)
+        ]
+        all_rows += rows
+        write_file(i, rows)
+
+    q = stream_sketch_ingest(spark, src, out, ck, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    # wave 2 (after the query fully stopped): one more file, restart
+    # from the same checkpoint
+    rows = [("g1", f"late_{j}") for j in range(150)] + [("g3", "only")]
+    all_rows += rows
+    write_file(2, rows)
+    q2 = stream_sketch_ingest(spark, src, out, ck, max_files_per_trigger=1)
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+
+    union = spark.createDataFrame(all_rows, "group string, item string")
+
+    # KMV: stored rows == one-shot batch sketch
+    got_kmv = {
+        (r.group, tuple(r.ks), r.n_k, r.kth)
+        for r in read_keyed_table(spark, os.path.join(out, "kmv")).collect()
+    }
+    want_kmv = {
+        (r.group, tuple(r.ks), r.n_k, r.kth)
+        for r in SK.kmv_sketch(union, ["group"], F.col("item")).collect()
+    }
+    assert got_kmv == want_kmv
+
+    # CMS: stored cells == one-shot batch cells
+    got_cms = {
+        (r.group, r.r, r.c, r.cnt)
+        for r in read_keyed_table(spark, os.path.join(out, "cms")).collect()
+    }
+    want_cms = {
+        (r.group, r.r, r.c, r.cnt)
+        for r in SK.cms_sketch(union, ["group"], F.col("item")).collect()
+    }
+    assert got_cms == want_cms
+
+    # re-running over the same checkpoint with no new files is a no-op
+    q3 = stream_sketch_ingest(spark, src, out, ck, max_files_per_trigger=1)
+    q3.awaitTermination(300)
+    assert q3.exception() is None
+    got_cms_2 = {
+        (r.group, r.r, r.c, r.cnt)
+        for r in read_keyed_table(spark, os.path.join(out, "cms")).collect()
+    }
+    assert got_cms_2 == got_cms

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -27,6 +28,20 @@ def load(path: str) -> dict:
         data = data["parsed"]
     if "queries" not in data:
         raise SystemExit(f"{path}: not a bench.py output (no 'queries' key)")
+    # r7+: the driver-captured line is the COMPACT form — abbreviated
+    # query keys, integer milliseconds, an "n" count field.  Expand the
+    # names via bench._abbrev's inverse and scale back to seconds so
+    # diffs against full-form files (BENCH_LOCAL.json, older rounds)
+    # keep working.
+    if "n" in data and data["queries"]:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from bench import HEADLINE, _abbrev
+
+        inverse = {_abbrev(name): name for name in HEADLINE}
+        data = dict(data)
+        data["queries"] = {
+            inverse.get(k, k): v / 1000.0 for k, v in data["queries"].items()
+        }
     return data
 
 
