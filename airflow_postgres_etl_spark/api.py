@@ -226,6 +226,14 @@ class Table:
             )
         sink.keyed_merge_mor(self.spark, batch, self.path, store=self.store, **kw)
 
+    def merge_into(self, source: DataFrame, **kw) -> dict:
+        """Delta-style MERGE INTO: matched keys update/delete, unmatched
+        source rows insert — one MOR delta commit (see sink.merge_into
+        for the expression namespace and per-key semantics)."""
+        from . import sink
+
+        return sink.merge_into(self.spark, self.path, source, store=self.store, **kw)
+
     def delete_where(self, predicate: str, **kw) -> int:
         from . import sink
 

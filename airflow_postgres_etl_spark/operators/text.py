@@ -275,3 +275,80 @@ def heavy_hitters(docs, threshold_frac: int = 200, text_col: str = "text"):
         .select("word", "n")
         .orderBy(F.desc("n"), F.asc("word"))
     )
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    n: int = 20,
+    k1_tenths: int = 12,
+    b_hundredths: int = 75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Okapi BM25 retrieval scores for a query, top-n docs — the lexical
+    ranking half of a retrieval / hard-negative-mining pipeline
+    (Robertson et al., TREC-3), as exact cross-engine arithmetic.
+
+    Exactness scheme (same idiom as ``text_source_classifier``'s
+    micro-nat argmax): with k1 = K/10, b = B/100 and integer corpus
+    stats tf, dl (doc length), df, T (total tokens), D (docs), each
+    term's score
+
+        idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),  avgdl = T/D
+
+    is rescaled by 1000·T into ONE integer ratio:
+
+        num = 100·T·tf·(K+10)
+        den = 1000·T·tf + K·((100−B)·T + B·dl·D)
+
+    and idf is floored to integer micro-nats.  The per-term score is
+    ``floor(idf_micro · (num/den))`` — one double divide and multiply,
+    both IEEE-correctly-rounded, identical in Spark and DuckDB — and
+    per-doc scores are integer SUMS, so ranking plus the doc-id
+    tie-break is exact: no accumulation-order drift can reorder the
+    top-n.
+
+    Plan shape at 100 TB: one corpus scan → explode, one dl aggregate,
+    one tf aggregate pre-filtered to the query's terms (the explode's
+    filter pushes down, so the tf shuffle carries only matching rows),
+    df/T/D are scalar-class broadcasts; the final is a
+    TakeOrderedAndProject.
+    """
+    K, B = k1_tenths, b_hundredths
+    toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    g = toks.agg(F.count("*").alias("T")).crossJoin(
+        docs.agg(F.count("*").alias("D"))
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(g))
+    )
+    idf_micro = F.floor(
+        F.lit(1_000_000.0)
+        * F.log(
+            (F.col("D") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+    )
+    num = (F.lit(100) * F.col("T") * F.col("tf") * F.lit(K + 10)).cast("double")
+    den = (
+        F.lit(1000) * F.col("T") * F.col("tf")
+        + F.lit(K)
+        * (F.lit(100 - B) * F.col("T") + F.lit(B) * F.col("dl") * F.col("D"))
+    ).cast("double")
+    term_micro = F.floor(idf_micro.cast("double") * (num / den)).cast("long")
+    return (
+        scored.select(id_col, term_micro.alias("m"))
+        .groupBy(id_col)
+        .agg(F.sum("m").cast("long").alias("bm25_micro"))
+        .orderBy(F.desc("bm25_micro"), id_col)
+        .limit(n)
+    )

@@ -6720,3 +6720,213 @@ def table_sketch_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "kind string, name string, val double"
     ).orderBy("kind", "name")
+
+
+_BM25_TERMS = ["join", "hash", "vector", "scan"]
+_BM25_TERMS_SQL = "', '".join(_BM25_TERMS)
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+           WHERE term IN ('{_BM25_TERMS_SQL}') GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    g AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS T,
+                 (SELECT CAST(count(*) AS BIGINT) FROM documents) AS D),
+    s AS (SELECT tf.doc_id,
+                 CAST(floor(1000000.0 *
+                      ln((g.D - df.df + 0.5) / (df.df + 0.5) + 1.0))
+                      AS BIGINT) AS idf_micro,
+                 CAST(100 * g.T * tf.tf * 22 AS DOUBLE) AS nump,
+                 CAST(1000 * g.T * tf.tf
+                      + 12 * (25 * g.T + 75 * dl.dl * g.D) AS DOUBLE) AS denp
+          FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)
+    SELECT doc_id,
+           CAST(sum(CAST(floor(CAST(idf_micro AS DOUBLE) * (nump / denp))
+                    AS BIGINT)) AS BIGINT) AS bm25_micro
+    FROM s GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 4-term query over the documents corpus —
+    the retrieval-side ranking primitive (see operators/text.py
+    ``bm25_topk`` for the integer-micro exactness scheme that makes the
+    ranking, not just the scores, oracle-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.bm25_topk(docs, _BM25_TERMS, n=20)
+
+
+@query(
+    "scd2_point_in_time",
+    """
+    WITH v AS (
+        -- closed-form validity intervals of the same three-snapshot
+        -- segment history the Spark side builds by REPLAYING scd2_merge
+        SELECT c_custkey, c_mktsegment AS segment,
+               TIMESTAMP '1992-01-01 00:00:00' AS vf,
+               CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '1995-01-01 00:00:00'
+                    WHEN c_custkey % 11 = 0 THEN TIMESTAMP '1997-01-01 00:00:00'
+               END AS vt
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'SEG7', TIMESTAMP '1995-01-01 00:00:00',
+               CASE WHEN c_custkey % 11 = 0
+                    THEN TIMESTAMP '1997-01-01 00:00:00' END
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, 'SEG11', TIMESTAMP '1997-01-01 00:00:00', NULL
+        FROM customer WHERE c_custkey % 11 = 0
+    )
+    SELECT v.segment, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN v ON o.o_custkey = v.c_custkey
+     AND o.o_orderdate >= v.vf
+     AND (v.vt IS NULL OR o.o_orderdate < v.vt)
+    GROUP BY v.segment ORDER BY v.segment
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history + point-in-time fact join, end to end: three
+    customer-segment snapshots replay through ``scd2_init``/``scd2_merge``
+    (operators/scd.py — the anti-join+union MERGE emulation), then every
+    order joins the dimension VERSION that was valid on its order date
+    (``valid_from <= ts < valid_to``).  The oracle computes the same
+    history in closed form, so the differential proves the merge's
+    interval chaining — closes, opens, multi-change keys (7·11 = both
+    transitions) — not just row counts.
+
+    100 TB shape: the PIT join is an equi-join on the key with a
+    residual interval predicate — dimension-sized right side broadcasts;
+    the history itself rewrites only its is_current slice per merge
+    (scd.py module doc)."""
+    from ..operators.scd import scd2_init, scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+
+    def snap(ts: str, seg: F.Column) -> DataFrame:
+        return cust.select(
+            "c_custkey",
+            seg.alias("segment"),
+            F.lit(ts).cast("timestamp").alias("uploadDate"),
+        )
+
+    seg7 = F.when(F.col("c_custkey") % 7 == 0, F.lit("SEG7")).otherwise(
+        F.col("segment")
+    )
+    seg11 = F.when(F.col("c_custkey") % 11 == 0, F.lit("SEG11")).otherwise(seg7)
+    hist = scd2_init(snap("1992-01-01 00:00:00", F.col("segment")))
+    hist = scd2_merge(
+        hist, snap("1995-01-01 00:00:00", seg7), "c_custkey", ["segment"]
+    )
+    hist = scd2_merge(
+        hist, snap("1997-01-01 00:00:00", seg11), "c_custkey", ["segment"]
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    pit = o.join(
+        F.broadcast(hist),
+        (o.o_custkey == hist.c_custkey)
+        & (o.o_orderdate >= hist.valid_from)
+        & (hist.valid_to.isNull() | (o.o_orderdate < hist.valid_to)),
+    )
+    return (
+        pit.groupBy("segment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "dml_merge_into",
+    """
+    WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+                  WHERE o_orderkey % 3 <> 0),
+    src AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+            WHERE o_orderkey % 5 = 0),
+    final AS (
+        SELECT k, CASE WHEN k % 5 = 0 AND k % 10 <> 0 THEN p + 1000.0
+                       ELSE p END AS p
+        FROM base WHERE k % 10 <> 0
+        UNION ALL
+        SELECT k, p FROM src WHERE k % 3 = 0
+    )
+    SELECT * FROM (
+        SELECT 'counts' AS kind, 'deleted' AS name,
+               CAST((SELECT count(*) FROM base WHERE k % 10 = 0) AS DOUBLE) AS val
+        UNION ALL
+        SELECT 'counts', 'inserted',
+               CAST((SELECT count(*) FROM src WHERE k % 3 = 0) AS DOUBLE)
+        UNION ALL
+        SELECT 'counts', 'updated',
+               CAST((SELECT count(*) FROM base
+                     WHERE k % 5 = 0 AND k % 10 <> 0) AS DOUBLE)
+        UNION ALL
+        SELECT 'final', 'n_rows', CAST((SELECT count(*) FROM final) AS DOUBLE)
+        UNION ALL
+        SELECT 'final', 'sum_p', (SELECT round(sum(p), 2) FROM final)
+    ) ORDER BY kind, name
+    """,
+)
+def dml_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO, end to end (sink.merge_into): a base
+    keyed table absorbs one CDC batch — matched keys update
+    (``p + 1000``) or delete (``s_op = 'D'``), unmatched source keys
+    insert — in ONE MOR delta commit, and the result summarizes the
+    re-read table plus the merge's action counts.  The oracle computes
+    the same final state in closed form, so the differential pins all
+    three clauses' row-level semantics at once.
+
+    100 TB shape: source keys prune to their buckets, the write is
+    O(affected keys + inserts) delta rows, and precedence/compaction/
+    CDF are the existing MOR machinery — see sink.merge_into."""
+    import shutil
+    import tempfile
+
+    from ..api import Engine
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("p")
+    )
+    src = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("p"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    tmp = tempfile.mkdtemp(prefix="mi_")
+    try:
+        t = Engine(spark).table(f"{tmp}/t")
+        t.merge(base, key="o_orderkey", num_buckets=8)
+        res = t.merge_into(
+            src,
+            when_matched_update={"p": "p + 1000.0"},
+            when_matched_delete="s_op = 'D'",
+        )
+        final = t.read().agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("p"), 2).alias("s")
+        ).collect()[0]
+        rows = [
+            ("counts", "deleted", float(res["deleted"])),
+            ("counts", "inserted", float(res["inserted"])),
+            ("counts", "updated", float(res["updated"])),
+            ("final", "n_rows", float(final.n)),
+            ("final", "sum_p", float(final.s)),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "kind string, name string, val double"
+    ).orderBy("kind", "name")

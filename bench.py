@@ -154,6 +154,11 @@ HEADLINE = [
     # sketch sidecar behind Table.sketch()/quantiles()
     "dq_merge_gate",
     "table_sketch_facade",
+    # round-7: BM25 retrieval ranking (integer-micro exact top-k) and
+    # the SCD2 point-in-time fact join (replayed merge vs closed form)
+    "text_bm25_topk",
+    "scd2_point_in_time",
+    "dml_merge_into",
 ]
 
 

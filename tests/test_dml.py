@@ -267,3 +267,122 @@ def test_dml_differential_random_sequence(spark, tmp_path):
             compact_keyed_table(spark, target)
         expect = {(r[0], r[2], r[1]) for rows in model.values() for r in rows}
         assert _read_set(spark, target) == expect, f"diverged at step {step} ({op})"
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (sink.merge_into): the three clauses in one commit.
+# ---------------------------------------------------------------------------
+
+
+def _mi_table(spark, tmp_path):
+    from airflow_postgres_etl_spark.api import Engine
+
+    t = Engine(spark).table(str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame(
+            [("a", 1, "x"), ("b", 2, "x"), ("c", 3, "y")],
+            "oid__id string, v long, tag string",
+        ),
+        num_buckets=4,
+    )
+    return t
+
+
+def test_merge_into_update_delete_insert(spark, tmp_path):
+    t = _mi_table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [("a", 10, "U"), ("b", 0, "D"), ("d", 40, "I")],
+        "oid__id string, v long, op string",
+    )
+    res = t.merge_into(
+        src,
+        when_matched_update={"v": "v + s_v", "tag": "'merged'"},
+        when_matched_delete="s_op = 'D'",
+    )
+    assert res == {"updated": 1, "deleted": 1, "inserted": 1}
+    got = {(r.oid__id, r.v, r.tag) for r in t.read().collect()}
+    assert got == {
+        ("a", 11, "merged"),   # updated: v + s_v
+        ("c", 3, "y"),         # untouched
+        ("d", 40, None),       # inserted (no tag in source -> NULL)
+    }
+    # one MOR delta commit, folded cleanly
+    assert t.delta_depth() == 1
+    t.compact()
+    assert {(r.oid__id, r.v, r.tag) for r in t.read().collect()} == got
+
+
+def test_merge_into_multi_row_keys_and_tombstone(spark, tmp_path):
+    """A key's whole row SET is the merge unit: updates restate every
+    row; a full delete leaves a tombstone that later merges resurrect
+    past."""
+    from airflow_postgres_etl_spark.api import Engine
+
+    t = Engine(spark).table(str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 9)], "oid__id string, v long"
+        ),
+        num_buckets=4,
+    )
+    res = t.merge_into(
+        spark.createDataFrame([("a", 100)], "oid__id string, bump long"),
+        when_matched_update={"v": "v + s_bump"},
+    )
+    assert res["updated"] == 2  # both of a's rows
+    assert {(r.oid__id, r.v) for r in t.read().collect()} == {
+        ("a", 101), ("a", 102), ("b", 9),
+    }
+    res = t.merge_into(
+        spark.createDataFrame([("a", 0)], "oid__id string, bump long"),
+        when_matched_delete="TRUE",
+        when_not_matched_insert=False,
+    )
+    assert res == {"updated": 0, "deleted": 2, "inserted": 0}
+    assert {(r.oid__id, r.v) for r in t.read().collect()} == {("b", 9)}
+    # resurrect via plain keyed merge
+    t.merge(spark.createDataFrame([("a", 7)], "oid__id string, v long"))
+    assert {(r.oid__id, r.v) for r in t.read().collect()} == {("a", 7), ("b", 9)}
+
+
+def test_merge_into_delete_only_does_not_churn_untouched_keys(spark, tmp_path):
+    """Delete-only merge: matched keys whose rows all survive are NOT
+    restated — no phantom CDF updates, no delta churn."""
+    from airflow_postgres_etl_spark import sink
+
+    t = _mi_table(spark, tmp_path)
+    v0 = t.version()
+    res = t.merge_into(
+        spark.createDataFrame(
+            [("a", "keep"), ("b", "kill")], "oid__id string, op string"
+        ),
+        when_matched_delete="s_op = 'kill'",
+        when_not_matched_insert=False,
+    )
+    assert res == {"updated": 0, "deleted": 1, "inserted": 0}
+    changes = sink.table_changes(spark, t.path, v0, store=t.store)
+    keys = {(r.oid__id, r.change_type) for r in changes.collect()}
+    assert keys == {("b", "delete")}
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    t = _mi_table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [("a", 1), ("a", 2)], "oid__id string, v long"
+    )
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_into(src, when_matched_update={"v": "s_v"})
+
+
+def test_merge_into_noop_when_nothing_matches(spark, tmp_path):
+    t = _mi_table(spark, tmp_path)
+    v0 = t.version()
+    res = t.merge_into(
+        spark.createDataFrame([("zz", 1)], "oid__id string, v long"),
+        when_matched_delete="TRUE",
+        when_not_matched_insert=False,
+    )
+    assert res == {"updated": 0, "deleted": 0, "inserted": 0}
+    assert t.version() == v0  # no commit, no version churn

@@ -622,11 +622,17 @@ def test_merge_listing_goes_through_store_seam(spark, tmp_path, monkeypatch):
     store = FakeConditionalStore()
     target = str(tmp_path / "t")
 
+    # the FAKE STORE's list_dir itself delegates to os.listdir (its
+    # local stand-in for a prefix listing), so the spy must separate
+    # DIRECT sink calls from calls made through the seam: os.listdir
+    # hits are offenders only when no store.list_dir frame is active.
     listdir_calls: list[str] = []
     real_listdir = os.listdir
+    in_store = {"depth": 0}
 
     def spy_listdir(path="."):
-        listdir_calls.append(str(path))
+        if in_store["depth"] == 0:
+            listdir_calls.append(str(path))
         return real_listdir(path)
 
     store_list_calls: list[str] = []
@@ -634,7 +640,11 @@ def test_merge_listing_goes_through_store_seam(spark, tmp_path, monkeypatch):
 
     def spy_store_list(path):
         store_list_calls.append(path)
-        return real_store_list(path)
+        in_store["depth"] += 1
+        try:
+            return real_store_list(path)
+        finally:
+            in_store["depth"] -= 1
 
     monkeypatch.setattr(sink_mod.os, "listdir", spy_listdir)
     store.list_dir = spy_store_list
