@@ -249,6 +249,13 @@ class Table:
         )
 
     # -- maintenance --------------------------------------------------------
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: make an earlier snapshot current again,
+        as a forward metadata-only commit (sink.restore_keyed_table)."""
+        from . import sink
+
+        return sink.restore_keyed_table(self.spark, self.path, version, self.store)
+
     def compact(self) -> int:
         from . import sink
 

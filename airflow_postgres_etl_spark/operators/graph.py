@@ -129,3 +129,71 @@ def connected_components(
             raise ConvergenceError(msg)
         warnings.warn(msg, stacklevel=2)
     return labels
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_ppm: int = 850_000,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank with EXACT integer arithmetic — the
+    link-graph importance measure (Page et al. 1999) in the repo's
+    cross-engine-exact style (EWMA/PSI/BM25): ranks are integers scaled
+    by ``scale``; each edge contributes ONE integer floor-division
+    ``(d_ppm · rank_u) div (1e6 · outdeg_u)`` and a node's update is an
+    integer SUM plus the integer base mass
+    ``((1e6 − d_ppm) · scale) div (1e6 · N)``.  No float ever
+    accumulates, so an oracle reproduces every rank bit-for-bit and the
+    RANKING is exact.  (``damping_ppm · rank ≈ 8.5e17`` stays inside
+    int64; true ``/`` would route through double and lose exactness
+    past 2^53 — hence SQL ``DIV`` on both engines.)
+
+    Simplified-dangling variant: nodes without out-edges leak their
+    damped mass (totals shrink slightly per iteration) — the standard
+    dataframe formulation; oracles must mirror it.
+
+    Plan shape: one outdeg aggregate, then per iteration one
+    edge⋈rank join (ranks are node-sized — broadcast against a 100 TB
+    edge set) + one hash aggregate; ``localCheckpoint`` truncates
+    lineage exactly like :func:`connected_components`.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("outdeg")
+    )
+    base = ((10**6 - damping_ppm) * scale) // (10**6 * n)
+    ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(outdeg.withColumnRenamed("node", "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr(
+                    f"({damping_ppm} * rank) DIV (1000000 * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

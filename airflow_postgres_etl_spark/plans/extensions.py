@@ -6930,3 +6930,126 @@ def dml_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "kind string, name string, val double"
     ).orderBy("kind", "name")
+
+
+_PR_ITER_SQL = """
+    c{i} AS (SELECT e.v AS node,
+                    CAST(sum((850000 * r{p}.rank) // (1000000 * od.outdeg))
+                         AS BIGINT) AS m
+             FROM e JOIN r{p} ON e.u = r{p}.node JOIN od ON e.u = od.node
+             GROUP BY e.v),
+    r{i} AS (SELECT nodes.node,
+                    CAST((150000 * 1000000000000) // (1000000 * g.n)
+                         + COALESCE(c{i}.m, 0) AS BIGINT) AS rank
+             FROM nodes CROSS JOIN g LEFT JOIN c{i} ON nodes.node = c{i}.node)
+"""
+
+
+@query(
+    "graph_pagerank",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    e AS (SELECT DISTINCT prev AS u, event_type AS v FROM seq
+          WHERE prev IS NOT NULL AND prev <> event_type),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    g AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n),
+    od AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS outdeg
+           FROM e GROUP BY u),
+    r0 AS (SELECT node, CAST(1000000000000 // g.n AS BIGINT) AS rank
+           FROM nodes CROSS JOIN g),
+    """
+    + ",".join(_PR_ITER_SQL.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT node, rank FROM r3 ORDER BY rank DESC, node
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type TRANSITION graph (an edge u→v when
+    some user fired v right after u) — 3 fixed iterations of
+    ``graph.pagerank_fixed``, integer-exact so the oracle's unrolled
+    3-CTE chain reproduces every rank bit-for-bit.
+
+    100 TB shape: the edge derivation is one keyed window over events;
+    the iteration joins carry node-sized rank tables (broadcast) against
+    the edge set — rank state never exceeds node count regardless of
+    event volume."""
+    from ..operators.graph import pagerank_fixed
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    edges = (
+        seq.filter(
+            F.col("prev").isNotNull() & (F.col("prev") != F.col("event_type"))
+        )
+        .select(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .distinct()
+    )
+    return pagerank_fixed(edges, iterations=3).orderBy(
+        F.desc("rank"), "node"
+    )
+
+
+@query(
+    "table_restore_travel",
+    """
+    WITH n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT)
+                   AS n_odd,
+               CAST(count(*) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT)
+                   AS n_div3
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'count_v1' AS name, CAST(n_odd AS BIGINT) AS val FROM n
+        UNION ALL SELECT 'count_v2', n_all FROM n
+        UNION ALL SELECT 'count_v3', n_all - n_div3 FROM n
+        UNION ALL SELECT 'current_count', n_all FROM n
+        UNION ALL SELECT 'current_version', 4
+    ) ORDER BY name
+    """,
+)
+def table_restore_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + time travel, end to end: v1 = odd orders, v2 = all,
+    v3 = DELETE WHERE 3|key, then ``Table.restore(2)`` re-points the
+    current state at v2 as a forward metadata-only commit (v4) — the
+    result re-reads EVERY version plus the restored current state, so
+    the differential pins that history stays append-only and the
+    restore moved zero data (sink.restore_keyed_table)."""
+    import shutil
+    import tempfile
+
+    from ..api import Engine
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="restore_")
+    try:
+        t = Engine(spark).table(f"{tmp}/t")
+        t.merge(
+            o.filter(F.col("o_orderkey") % 2 == 1),
+            key="o_orderkey", num_buckets=8, vacuum=False,
+        )
+        t.merge(o, key="o_orderkey", vacuum=False)
+        t.delete_where("o_orderkey % 3 = 0")
+        v = t.restore(2)
+        rows = [
+            ("count_v1", t.read(version=1).count()),
+            ("count_v2", t.read(version=2).count()),
+            ("count_v3", t.read(version=3).count()),
+            ("current_count", t.read().count()),
+            ("current_version", v),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "name string, val long").orderBy("name")

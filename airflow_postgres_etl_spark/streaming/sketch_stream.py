@@ -67,7 +67,12 @@ def merge_kmv_batch(
     sketch table (rows: ``group, ks, n_k, kth``; key = group)."""
     from .. import sink
 
-    batch_sk = SK.kmv_sketch(batch, [group_col], F.col(item_col), k=k)
+    # checkpoint the batch sketch: the group collect below and the
+    # merge write would otherwise each recompute the full batch scan
+    # (measured ~2x the merge cost at 64x before this)
+    batch_sk = SK.kmv_sketch(batch, [group_col], F.col(item_col), k=k).localCheckpoint(
+        eager=True
+    )
     groups = [r[0] for r in batch_sk.select(group_col).collect()]
     if not groups:
         return
@@ -105,7 +110,7 @@ def merge_cms_batch(
     ).withColumn(
         _CMS_KEY,
         F.concat_ws(":", F.col(group_col), F.col("r"), F.col("c")),
-    )
+    ).localCheckpoint(eager=True)  # one batch scan, not one per action
     keys = [r[0] for r in cells.select(_CMS_KEY).collect()]
     if not keys:
         return

@@ -159,6 +159,8 @@ HEADLINE = [
     "text_bm25_topk",
     "scd2_point_in_time",
     "dml_merge_into",
+    "graph_pagerank",
+    "table_restore_travel",
 ]
 
 

@@ -696,3 +696,90 @@ def test_premanifest_adoption_through_fake_store(spark, tmp_path):
     )
     got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target, store=store).collect()}
     assert got == {("a", 1), ("b", 7)}
+
+
+def test_restore_makes_old_snapshot_current(spark, tmp_path):
+    """RESTORE: metadata-only forward commit; reads flip back, history
+    stays append-only, CDF shows the restore as changes, and vacuum
+    never touches the re-liveed files."""
+    from airflow_postgres_etl_spark.api import Engine
+    from airflow_postgres_etl_spark.sink import table_changes
+
+    t = Engine(spark).table(str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame([("a", 1), ("b", 2)], "oid__id string, v long"),
+        num_buckets=4, vacuum=False,
+    )
+    t.merge(
+        spark.createDataFrame([("a", 9), ("c", 3)], "oid__id string, v long"),
+        vacuum=False,
+    )
+    t.merge(
+        spark.createDataFrame([("b", 7)], "oid__id string, v long"),
+        vacuum=False,
+    )
+    assert t.version() == 3
+
+    new_v = t.restore(1)
+    assert new_v == 4 and t.version() == 4
+    got = {(r.oid__id, r.v) for r in t.read().collect()}
+    assert got == {("a", 1), ("b", 2)}
+    # the skipped-over versions stay readable (history is append-only)
+    v3 = {(r.oid__id, r.v) for r in t.read(version=3).collect()}
+    assert v3 == {("a", 9), ("b", 7), ("c", 3)}
+    # CDF 3 -> 4 reports the restore's effect
+    ch = {(r.oid__id, r.change_type) for r in table_changes(spark, t.path, 3, 4).collect()}
+    assert ch == {("a", "update"), ("b", "update"), ("c", "delete")}
+    # vacuum with zero retention: restored-live files survive; the
+    # post-restore-dead files go
+    t.vacuum(retention_s=0)
+    assert {(r.oid__id, r.v) for r in t.read().collect()} == {("a", 1), ("b", 2)}
+
+
+def test_restore_noop_and_missing_snapshot(spark, tmp_path):
+    import pytest as _pytest
+
+    from airflow_postgres_etl_spark.api import Engine
+
+    t = Engine(spark).table(str(tmp_path / "t"))
+    t.merge(spark.createDataFrame([("a", 1)], "oid__id string, v long"), num_buckets=2)
+    assert t.restore(1) == 1  # restore-to-current: no-op, no churn
+    assert t.version() == 1
+    with _pytest.raises(FileNotFoundError, match="no snapshot"):
+        t.restore(99)
+
+
+def test_restore_refused_across_rebucket(spark, tmp_path):
+    import pytest as _pytest
+
+    from airflow_postgres_etl_spark.api import Engine
+
+    t = Engine(spark).table(str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame([(f"k{i}", i) for i in range(8)], "oid__id string, v long"),
+        num_buckets=2, vacuum=False,
+    )
+    t.rebucket(8)
+    with _pytest.raises(ValueError, match="re-bucketing"):
+        t.restore(1)
+
+
+def test_restore_fails_loudly_after_vacuum_expiry(spark, tmp_path):
+    """A snapshot whose files were vacuumed past retention must refuse
+    to restore — never a torn table."""
+    import pytest as _pytest
+
+    from airflow_postgres_etl_spark.api import Engine
+
+    t = Engine(spark).table(str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame([("a", 1)], "oid__id string, v long"),
+        num_buckets=2, vacuum=False,
+    )
+    t.merge(
+        spark.createDataFrame([("a", 2)], "oid__id string, v long"),
+        vacuum=False,
+    )
+    t.vacuum(retention_s=0)  # v1's superseded file is collected
+    with _pytest.raises(FileNotFoundError, match="vacuumed past retention|no snapshot"):
+        t.restore(1)

@@ -118,7 +118,7 @@ def sidecar_stress(spark, ns):
                 "o_totalprice double, o_orderdate string",
             ).select(
                 "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
             ),
             key="o_orderkey",
             num_buckets=16,
@@ -150,7 +150,11 @@ def stream_sketch_stress(spark, ns):
                 F.col("source").alias("group"),
                 F.explode(F.split(F.lower("text"), r"\s+")).alias("item"),
             )
-            .limit(200_000 * n)
+            .crossJoin(spark.range(n).select(F.col("id").alias("__c")))
+            .select(
+                "group",
+                F.concat_ws("_", "item", "__c").alias("item"),
+            )
             .localCheckpoint(eager=True)
         )
         rows = batch.count()
