@@ -317,32 +317,212 @@ def bm25_topk(
     """
     K, B = k1_tenths, b_hundredths
     toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    tf = (
-        toks.filter(F.col("term").isin(*query_terms))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+    # ONE corpus scan: per-doc length AND a pivoted tf column per query
+    # term in a single aggregate (query terms are literals, so the tf
+    # columns stay inside codegen).  The naive dl/tf/df/T/D formulation
+    # planned FIVE corpus scans (Catalyst doesn't reuse uncached
+    # subtrees — seen in .explain, r7); this one scans once and
+    # checkpoints the doc-count-sized stats so the totals row and the
+    # scoring pass share it instead of recomputing.
+    per_doc = (
+        toks.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("dl"),
+            *[
+                F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+                for i, t in enumerate(query_terms)
+            ],
+        )
+        .localCheckpoint(eager=True)
     )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    g = toks.agg(F.count("*").alias("T")).crossJoin(
-        docs.agg(F.count("*").alias("D"))
+    g = per_doc.agg(
+        F.sum("dl").cast("long").alias("T"),
+        F.count("*").cast("long").alias("D"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
     )
-    scored = (
-        tf.join(dl, id_col)
-        .join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(g))
+    scored = per_doc.crossJoin(F.broadcast(g))
+
+    def term_micro(i: int):
+        tf = F.col(f"tf_{i}")
+        idf_micro = F.floor(
+            F.lit(1_000_000.0)
+            * F.log(
+                (F.col("D") - F.col(f"df_{i}") + 0.5)
+                / (F.col(f"df_{i}") + 0.5)
+                + 1.0
+            )
+        )
+        num = (F.lit(100) * F.col("T") * tf * F.lit(K + 10)).cast("double")
+        den = (
+            F.lit(1000) * F.col("T") * tf
+            + F.lit(K)
+            * (F.lit(100 - B) * F.col("T") + F.lit(B) * F.col("dl") * F.col("D"))
+        ).cast("double")
+        return F.when(
+            tf > 0,
+            F.floor(idf_micro.cast("double") * (num / den)).cast("long"),
+        ).otherwise(F.lit(0))
+
+    total = sum(
+        (term_micro(i) for i in range(1, len(query_terms))), term_micro(0)
     )
+    tf_cols = [F.col(f"tf_{i}") for i in range(len(query_terms))]
+    # same doc set as a tf inner join would give: ≥1 query-term hit
+    matched = (F.greatest(*tf_cols) if len(tf_cols) > 1 else tf_cols[0]) > 0
+    return (
+        scored.filter(matched)
+        .select(id_col, total.alias("bm25_micro"))
+        .orderBy(F.desc("bm25_micro"), id_col)
+        .limit(n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index + BM25 over it — the lexical twin of the
+# persisted IVF index (similarity.py): build once, then answer queries
+# by reading ~the query terms' buckets, never the corpus.
+#
+# Layout under <path>:
+#   postings/  keyed table, key=term, rows (term, doc_id, tf)
+#   doclen/    keyed table, key=<id_col>, rows (doc_id, dl)
+#   _meta.json {"T": total tokens, "D": doc count} via the storage seam
+#
+# Query cost at 100 TB: lookup_keys prunes the postings read to the
+# query terms' hash buckets (q/N of the files); df comes from the
+# fetched postings themselves; dl joins a doc-count-sized 2-column
+# table.  The corpus is never re-read.  Scores use bm25_topk's exact
+# integer-micro scheme, so indexed results are bit-identical to the
+# in-memory operator (test-pinned) and to the SQL oracle.
+#
+# Maintenance: add_documents() merges a NEW batch incrementally — the
+# batch's terms' existing postings are fetched (bucket-pruned), unioned
+# with the new rows, and re-merged per term; dl rows merge by doc; T/D
+# accumulate in the meta object.  Re-adding a doc_id is refused (the
+# per-term union would double its postings); deletions require a
+# rebuild — document-level updates are a compact-style maintenance
+# operation, not a hot-path one.
+# ---------------------------------------------------------------------------
+
+
+def _index_meta_path(path: str):
+    import os
+
+    return os.path.join(path, "_meta.json")
+
+
+def add_documents(
+    spark,
+    docs,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+    store=None,
+):
+    """Incrementally index a batch of documents (see module section)."""
+    import os
+
+    from .. import sink
+    from ..storage import LOCAL_STORE
+
+    store = store or LOCAL_STORE
+    postings_path = os.path.join(path, "postings")
+    doclen_path = os.path.join(path, "doclen")
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    new_postings = (
+        toks.groupBy("term", id_col)
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=True)  # the term collect + the merge write
+    )
+    new_dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+
+    meta = store.read_json(_index_meta_path(path))
+    if meta is not None:
+        # refuse re-adds: a doc_id already in doclen would double its
+        # term postings in the per-term union below
+        existing = sink.lookup_keys(
+            spark,
+            doclen_path,
+            [r[0] for r in new_dl.select(id_col).collect()],
+            store,
+        )
+        dup = existing.limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"doc_id {dup[0][0]!r} is already indexed; deletions and "
+                "re-adds need a rebuild"
+            )
+        terms = [r[0] for r in new_postings.select("term").distinct().collect()]
+        stored = sink.lookup_keys(spark, postings_path, terms, store).select(
+            "term", id_col, "tf"
+        )
+        merged = stored.unionByName(new_postings)
+    else:
+        meta = {"T": 0, "D": 0}
+        merged = new_postings
+    sink.keyed_overwrite_parquet(
+        spark, merged, postings_path, key="term", num_buckets=num_buckets,
+        store=store,
+    )
+    sink.keyed_overwrite_parquet(
+        spark, new_dl, doclen_path, key=id_col, num_buckets=num_buckets,
+        store=store,
+    )
+    batch_stats = new_dl.agg(
+        F.sum("dl").alias("t"), F.count("*").alias("d")
+    ).collect()[0]
+    meta["T"] = int(meta["T"]) + int(batch_stats.t or 0)
+    meta["D"] = int(meta["D"]) + int(batch_stats.d or 0)
+    store.write_json(_index_meta_path(path), meta)
+
+
+def bm25_from_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    n: int = 20,
+    k1_tenths: int = 12,
+    b_hundredths: int = 75,
+    id_col: str = "doc_id",
+    store=None,
+):
+    """BM25 top-n from the persisted index — bit-identical to
+    :func:`bm25_topk` over the indexed corpus (same integer-micro
+    arithmetic), reading only the query terms' postings buckets."""
+    import os
+
+    from .. import sink
+    from ..storage import LOCAL_STORE
+
+    store = store or LOCAL_STORE
+    meta = store.read_json(_index_meta_path(path))
+    if meta is None:
+        raise FileNotFoundError(f"no term index at {path}")
+    T, D = int(meta["T"]), int(meta["D"])
+    K, B = k1_tenths, b_hundredths
+    tf = sink.lookup_keys(
+        spark, os.path.join(path, "postings"), query_terms, store
+    ).select("term", id_col, "tf")
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    dl = sink.read_keyed_table(
+        spark, os.path.join(path, "doclen"), store
+    )
+    scored = tf.join(dl, id_col).join(F.broadcast(df), "term")
     idf_micro = F.floor(
         F.lit(1_000_000.0)
-        * F.log(
-            (F.col("D") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        )
+        * F.log((F.lit(D) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     )
-    num = (F.lit(100) * F.col("T") * F.col("tf") * F.lit(K + 10)).cast("double")
+    num = (F.lit(100 * T) * F.col("tf") * F.lit(K + 10)).cast("double")
     den = (
-        F.lit(1000) * F.col("T") * F.col("tf")
-        + F.lit(K)
-        * (F.lit(100 - B) * F.col("T") + F.lit(B) * F.col("dl") * F.col("D"))
+        F.lit(1000 * T) * F.col("tf")
+        + F.lit(K) * (F.lit((100 - B) * T) + F.lit(B * D) * F.col("dl"))
     ).cast("double")
     term_micro = F.floor(idf_micro.cast("double") * (num / den)).cast("long")
     return (

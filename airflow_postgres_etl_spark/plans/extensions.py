@@ -7053,3 +7053,42 @@ def table_restore_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "name string, val long").orderBy("name")
+
+
+# The indexed twin reuses text_bm25_topk's ORACLE verbatim: the index
+# is exact, so the same SQL is the ground truth for both paths.
+@query("text_bm25_indexed", None)
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from the PERSISTED inverted index (operators/text.py
+    ``add_documents``/``bm25_from_index``) — built incrementally in two
+    batches (odd then even doc_ids), queried by reading only the 4
+    query terms' postings buckets.  Bit-identical to ``text_bm25_topk``
+    (same integer-micro arithmetic), which is why this query shares its
+    oracle SQL: the differential proves the INDEX path — incremental
+    build included — equals the corpus-scan path exactly.
+
+    100 TB shape: the build is one corpus tokenize+aggregate; queries
+    touch q/num_buckets of the postings files (lookup_keys) and a
+    doc-count-sized doclen table — the corpus is never re-read."""
+    import shutil
+    import tempfile
+
+    from ..operators.text import add_documents, bm25_from_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bm25idx_")
+    try:
+        add_documents(spark, docs.filter(F.col("doc_id") % 2 == 1), f"{tmp}/idx")
+        add_documents(spark, docs.filter(F.col("doc_id") % 2 == 0), f"{tmp}/idx")
+        out = bm25_from_index(spark, f"{tmp}/idx", _BM25_TERMS, n=20)
+        rows = [(r.doc_id, r.bm25_micro) for r in out.collect()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, bm25_micro long"
+    ).orderBy(F.desc("bm25_micro"), "doc_id")
+
+
+from .queries import ORACLE as _ORACLE_REG
+
+_ORACLE_REG["text_bm25_indexed"] = _ORACLE_REG["text_bm25_topk"]

@@ -161,6 +161,7 @@ HEADLINE = [
     "dml_merge_into",
     "graph_pagerank",
     "table_restore_travel",
+    "text_bm25_indexed",
 ]
 
 

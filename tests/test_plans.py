@@ -432,3 +432,53 @@ def test_anomaly_hours_window_is_keyed_range(spark):
     assert w, plan
     assert "event_type" in w.group(0), w.group(0)
     assert plan.count("Exchange SinglePartition") == 0, plan
+
+
+def test_bm25_topk_plan_shape(spark):
+    """BM25: the pivoted one-scan formulation — dl + per-term tfs in a
+    single checkpointed aggregate (the naive dl/tf/df/T/D lineage
+    planned FIVE corpus scans), totals broadcast as one row, top-n as
+    TakeOrderedAndProject, zero sort-merge joins and zero residual
+    parquet scans in the scoring plan."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    # all corpus work happened in the ONE checkpointed aggregate pass;
+    # the scoring plan reads the checkpoint, not parquet
+    assert "FileScan" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row totals
+
+
+def test_scd2_pit_broadcasts_dimension(spark):
+    """The point-in-time join must broadcast the (dimension-sized)
+    SCD2 history against the fact scan."""
+    plan = plan_of(spark, "scd2_point_in_time")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_report_is_one_scan_at_any_rule_count(spark):
+    """All predicate rules share ONE aggregate over ONE scan (the
+    measured 0.8 s-flat-vs-4.16 s fix, expectations.py) — gate the plan
+    so a refactor can't silently reintroduce per-rule scans."""
+    from airflow_postgres_etl_spark.operators import expectations as E
+    from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    rules = [E.expect(f"r{i}", f"o_orderkey % {i + 2} != 1") for i in range(8)]
+    plan = E.check_expectations(o, rules)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+
+
+def test_quarantine_split_is_map_side(spark):
+    """split_by_expectations: both halves are narrow filters over one
+    shared projection — zero Exchange in either plan."""
+    from airflow_postgres_etl_spark.operators import expectations as E
+    from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    clean, bad = E.split_by_expectations(
+        o, [E.expect("pos", "o_totalprice > 0")]
+    )
+    for df in (clean, bad):
+        assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()

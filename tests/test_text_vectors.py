@@ -437,3 +437,39 @@ def test_misra_gries_candidates_superset_under_any_partitioning(spark):
         assert len(cand) <= (T + 1) * parts  # bounded candidate set
     got = {(r.word, r.n) for r in heavy_hitters(docs, threshold_frac=T).collect()}
     assert got == exact
+
+
+def test_bm25_index_equals_corpus_scan(spark, tmp_path):
+    """The persisted inverted index (built INCREMENTALLY in two
+    batches) must reproduce bm25_topk's scores and ranking bit-for-bit;
+    a re-add of an indexed doc_id is refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.operators.text import (
+        add_documents,
+        bm25_from_index,
+        bm25_topk,
+    )
+    from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "idx")
+    add_documents(spark, docs.filter(F.col("doc_id") % 2 == 1), idx)
+    add_documents(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+
+    terms = ["join", "hash", "vector", "scan"]
+    got = [
+        (r.doc_id, r.bm25_micro)
+        for r in bm25_from_index(spark, idx, terms, n=20).collect()
+    ]
+    want = [
+        (r.doc_id, r.bm25_micro)
+        for r in bm25_topk(docs, terms, n=20).collect()
+    ]
+    assert got == want
+
+    with _pytest.raises(ValueError, match="already indexed"):
+        add_documents(spark, docs.filter(F.col("doc_id") == 0), idx)

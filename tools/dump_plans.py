@@ -62,6 +62,16 @@ SHOWCASE = {
     "q_time_range_window": "value-RANGE frame: one keyed window, no global sort",
     "q_weighted_sample": "weighted sampling as a shuffle-free distributed top-k",
     "q_grouping_sets": "arbitrary grouping sets: one Expand + one aggregate pair",
+    "text_bm25_topk": (
+        "BM25 one-scan formulation: dl + pivoted per-term tfs in a single"
+        " checkpointed aggregate; totals broadcast; TakeOrderedAndProject"
+    ),
+    "scd2_point_in_time": (
+        "PIT fact join: SCD2 history broadcast with an interval residual"
+    ),
+    "dq_quarantine_split": (
+        "map-side quarantine split: one shared projection, zero Exchange"
+    ),
     "dedup_span_coverage": (
         "duplicated-span signal: span hash-agg + linear join back, no pairwise stage"
     ),
