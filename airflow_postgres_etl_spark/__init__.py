@@ -14,7 +14,10 @@ Layout
 ``functions``   Literal-array parser, vector math helpers.
 ``plans``       Declared analytical queries (Q1–Q4) + TPC-H-style library.
 ``streaming``   Structured Streaming variant of the incremental pipeline.
-``sink``        Keyed delete+insert (upsert) sink — the one custom piece.
+``sink``        Keyed table format: upsert (CoW + MOR), predicate DML,
+                MERGE INTO, time travel + RESTORE, CDF, skipping indexes.
+``tablesketch`` Per-file sketch sidecar behind Table.sketch/quantiles.
+``api``         Engine/Table facades over all of the above.
 ``pipeline``    Batch incremental driver (high-water mark + ingest + load).
 """
 
