@@ -263,6 +263,12 @@ def _reports_path(target: str) -> str:
     return os.path.join(target, DQ_SUBDIR, "reports.json")
 
 
+class ExpectationFailure(RuntimeError):
+    """A gated merge exceeded a ``fail_thresholds`` bound: the batch was
+    rejected wholesale — nothing merged, nothing quarantined, no version
+    bump (the DLT ``expect_or_fail`` semantic)."""
+
+
 def gate_and_merge(
     spark,
     batch: DataFrame,
@@ -271,6 +277,7 @@ def gate_and_merge(
     *,
     mor: bool = False,
     store=None,
+    fail_thresholds: dict[str, int] | None = None,
     **merge_kw,
 ) -> list[dict]:
     """Expectation-gated merge: split → merge clean → quarantine bad →
@@ -291,6 +298,19 @@ def gate_and_merge(
 
     store = store or LOCAL_STORE
     report_rows = [r.asDict() for r in check_expectations(batch, rules).collect()]
+    if fail_thresholds:
+        # expect_or_fail: the report is computed BEFORE any write, so a
+        # threshold breach rejects the batch with zero side effects —
+        # works for ALL rule kinds (incl. the global unique/FK/fresh
+        # rules the row-local quarantine can't divert)
+        for r in report_rows:
+            limit = fail_thresholds.get(r["rule"])
+            if limit is not None and r["n_violations"] > limit:
+                raise ExpectationFailure(
+                    f"rule {r['rule']!r} has {r['n_violations']} violations "
+                    f"(> allowed {limit}) in a {r['n_rows']}-row batch; "
+                    "batch rejected, nothing written"
+                )
     clean, bad = split_by_expectations(batch, rules)
 
     merge = sink.keyed_merge_mor if mor else sink.keyed_overwrite_parquet

@@ -40,6 +40,7 @@ def stream_ingest(
     merge_mode: str = "cow",
     compact_at_depth: int = 8,
     expectations=None,
+    fail_thresholds=None,
 ) -> StreamingQuery:
     """Continuous ingest: file source → ingest chain → keyed merge.
 
@@ -59,6 +60,14 @@ def stream_ingest(
     merge and compaction just leaves the deltas for the next trigger.
     Idempotence under batch replay holds in both modes (a replayed MOR
     batch re-commits the same keys at a higher seq — converges).
+
+    ``fail_thresholds={"rule": max_violations}`` adds the DLT
+    ``expect_or_fail`` mode to the gate: the report is computed before
+    any write, so a breach raises inside ``foreachBatch`` and FAILS the
+    stream with zero side effects for that trigger — the file-source
+    checkpoint hasn't advanced, so a restart retries the same batch
+    (fail-stop, not skip).  Like ``expectations`` it accepts a flat dict
+    for both targets or ``{"events": {...}, "tracking": {...}}``.
     """
     if merge_mode not in ("cow", "mor"):
         raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
@@ -81,6 +90,14 @@ def stream_ingest(
             tr_rules = expectations.get("tracking")
         else:
             ev_rules = tr_rules = expectations
+        # flat = {rule: limit}; per-target = {"events": {...}, "tracking":
+        # {...}} — distinguished by value type, so a rule named "events"
+        # in a flat dict can't be misread as a target
+        per_target = bool(fail_thresholds) and all(
+            isinstance(v, dict) for v in fail_thresholds.values()
+        )
+        ev_limits = fail_thresholds.get("events") if per_target else fail_thresholds
+        tr_limits = fail_thresholds.get("tracking") if per_target else fail_thresholds
         if ev_rules or tr_rules:
             # DQ gate per micro-batch: clean rows merge, violating rows
             # quarantine under each target, the per-rule report persists.
@@ -89,10 +106,12 @@ def stream_ingest(
             # previous quarantine row.
             from ..operators.expectations import gate_and_merge
 
-            def gated(frame, tgt, rules):
+            def gated(frame, tgt, rules, limits=None):
                 if rules:
                     gate_and_merge(
-                        spark_b, frame, tgt, rules, mor=(merge_mode == "mor")
+                        spark_b, frame, tgt, rules,
+                        mor=(merge_mode == "mor"),
+                        fail_thresholds=limits,
                     )
                 else:
                     merge = (
@@ -102,8 +121,8 @@ def stream_ingest(
                     )
                     merge(spark_b, frame, tgt)
 
-            gated(build_events(batch), events_target, ev_rules)
-            gated(build_tracking(batch), tracking_target, tr_rules)
+            gated(build_events(batch), events_target, ev_rules, ev_limits)
+            gated(build_tracking(batch), tracking_target, tr_rules, tr_limits)
         else:
             merge = keyed_merge_mor if merge_mode == "mor" else keyed_overwrite_parquet
             # events first; tracking (HWM-bearing in the batch analog) last

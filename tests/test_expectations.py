@@ -3,6 +3,7 @@ kind catches exactly the planted violations; the split loses no rows."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from airflow_postgres_etl_spark.operators import expectations as E
@@ -231,3 +232,91 @@ def test_stream_ingest_with_expectations(spark, tmp_path):
     assert q2.exception() is None
     assert read_quarantine(spark, events_target).count() == n_bad
     assert len(read_dq_reports(events_target)) == n_reports  # no new batch
+
+
+def test_gate_fail_threshold_rejects_batch_wholesale(spark, tmp_path):
+    """expect_or_fail semantics: a threshold breach rejects the batch
+    BEFORE anything lands — no merge, no quarantine, no version bump;
+    within-threshold batches gate normally."""
+    import pytest as _pytest
+
+    from airflow_postgres_etl_spark.api import Engine
+    from airflow_postgres_etl_spark.operators.expectations import (
+        ExpectationFailure,
+    )
+
+    target = str(tmp_path / "t")
+    t = Engine(spark).table(target)
+    t.merge(
+        spark.createDataFrame([(0, 1, "a")], "oid__id long, v long, tag string"),
+        num_buckets=4,
+    )
+    v0 = t.version()
+    batch = spark.createDataFrame(
+        [(1, 10, "a"), (2, -1, "a"), (3, -2, "b")],
+        "oid__id long, v long, tag string",
+    )
+    with _pytest.raises(ExpectationFailure, match="v_pos"):
+        t.merge(
+            batch,
+            expectations=_gate_rules(),
+            fail_thresholds={"v_pos": 1},
+            num_buckets=4,
+        )
+    assert t.version() == v0  # nothing written
+    assert len(t.dq_reports()) == 0
+    import os
+
+    assert not os.path.isdir(os.path.join(target, "_quarantine"))
+
+    # same batch passes with a looser bound: bad rows quarantine
+    t.merge(
+        batch, expectations=_gate_rules(), fail_thresholds={"v_pos": 5},
+        num_buckets=4,
+    )
+    assert {r.oid__id for r in t.quarantine().collect()} == {2, 3}
+
+
+def test_stream_ingest_fail_threshold_stops_stream(spark, tmp_path):
+    """Streaming expect_or_fail: a threshold breach raises inside
+    foreachBatch and fails the stream before anything lands for that
+    trigger; the file-source checkpoint never advances, so a restart
+    with a looser bound reprocesses the SAME files (fail-stop, not
+    skip)."""
+    import os
+
+    from airflow_postgres_etl_spark.api import Engine
+    from airflow_postgres_etl_spark.operators.expectations import (
+        read_quarantine,
+    )
+
+    from .fixtures.gen_raw import generate
+
+    csv_dir = str(tmp_path / "csv")
+    generate(csv_dir, n_files=2, rows_per_file=20)
+    eng = Engine(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rules = {"events": [E.expect("has_status", "status IS NOT NULL")]}
+    # the fixture plants status: None events — a zero-tolerance bound
+    # must fail the very first trigger
+    q = eng.stream_ingest(
+        csv_dir, out, ck, expectations=rules,
+        fail_thresholds={"events": {"has_status": 0}},
+        max_files_per_trigger=10,
+    )
+    # awaitTermination re-raises a failed query's error directly
+    with pytest.raises(Exception, match="has_status"):
+        q.awaitTermination(300)
+    assert q.exception() is not None
+    events_target = os.path.join(out, "events")
+    assert not os.path.isdir(events_target)  # nothing written
+
+    # restart over the SAME checkpoint with a looser bound: the failed
+    # trigger's files replay and gate normally
+    q2 = eng.stream_ingest(csv_dir, out, ck, expectations=rules)
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    t = eng.table(events_target)
+    assert t.read().filter(F.col("status").isNull()).count() == 0
+    assert read_quarantine(spark, events_target).count() > 0
