@@ -249,6 +249,17 @@ class Table:
         )
 
     # -- maintenance --------------------------------------------------------
+    def clone(self, dest: str) -> "Table":
+        """Shallow clone (Delta ``CLONE``): ``dest`` becomes an
+        independent keyed table referencing this table's current files
+        in place — zero data copied, divergence is copy-on-write.  See
+        :func:`sink.clone_keyed_table` for the vacuum/retention
+        contract.  Returns a handle on the clone."""
+        from . import sink
+
+        sink.clone_keyed_table(self.path, dest, store=self.store)
+        return Table(self.spark, dest, store=self.store)
+
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: make an earlier snapshot current again,
         as a forward metadata-only commit (sink.restore_keyed_table)."""

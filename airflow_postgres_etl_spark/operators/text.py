@@ -532,3 +532,75 @@ def bm25_from_index(
         .orderBy(F.desc("bm25_micro"), id_col)
         .limit(n)
     )
+
+
+def hybrid_rrf(
+    lexical,
+    semantic,
+    n: int = 20,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    lex_score: str = "bm25_micro",
+    sem_score: str = "cosine_sim",
+):
+    """Reciprocal Rank Fusion of a lexical and a semantic ranked list
+    (Cormack/Clarke/Buettcher, SIGIR'09) — the standard hybrid-retrieval
+    combiner in RAG pipelines: each leg contributes 1/(k + rank), docs
+    missing from a leg contribute 0, fused top-n wins.
+
+    Exactness scheme: the contribution is integerized as
+    ``floor(1e9 / (k + rank))`` — ranks come from ``row_number`` over
+    (score DESC, id ASC), the divide is one IEEE-correctly-rounded
+    double op on exact small integers, and the fused score is a SUM of
+    two BIGINTs — so the fused ranking (and its doc-id tie-break) is
+    bit-identical cross-engine, never accumulation-order dependent.
+
+    Inputs are each leg's already-truncated top-L frame (L rows, tiny):
+    ``lexical`` with (id_col, lex_score), ``semantic`` with (id_col,
+    sem_score).  Output: (id_col, lex_rank, sem_rank, rrf_micro), ranks
+    NULL where a doc missed that leg.
+
+    100 TB shape: the legs carry the cost (one corpus scan for BM25,
+    one index probe or query-broadcast scan for ANN); fusion itself is
+    a UNION of the two L-row rank lists collapsed by ONE hash aggregate
+    — no join at all (a full-outer join can't broadcast, and would plan
+    a pointless sort-merge even for tiny legs).  The single-partition
+    rank windows are over L rows by construction.
+    """
+    from pyspark.sql.window import Window
+
+    one = F.lit(1)
+
+    def ranked(leg, score, tag):
+        return leg.select(
+            F.col(id_col),
+            F.row_number()
+            .over(
+                Window.partitionBy(one).orderBy(F.desc(score), F.asc(id_col))
+            )
+            .cast("long")
+            .alias("__rank"),
+            F.lit(tag).alias("__leg"),
+        )
+
+    u = ranked(lexical, lex_score, "lex").unionByName(
+        ranked(semantic, sem_score, "sem")
+    )
+    contrib = F.floor(
+        F.lit(1_000_000_000.0) / (F.lit(k_rrf) + F.col("__rank"))
+    ).cast("long")
+    return (
+        u.groupBy(id_col)
+        .agg(
+            # at most one row per leg per doc: max() IS that leg's rank
+            F.max(F.when(F.col("__leg") == "lex", F.col("__rank"))).alias(
+                "lex_rank"
+            ),
+            F.max(F.when(F.col("__leg") == "sem", F.col("__rank"))).alias(
+                "sem_rank"
+            ),
+            F.sum(contrib).alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), id_col)
+        .limit(n)
+    )

@@ -7092,3 +7092,231 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries import ORACLE as _ORACLE_REG
 
 _ORACLE_REG["text_bm25_indexed"] = _ORACLE_REG["text_bm25_topk"]
+
+
+@query(
+    "table_clone_shallow",
+    """
+    WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+                      CAST(sum(o_custkey) AS BIGINT) AS s_all,
+                      CAST(count(*) FILTER (WHERE o_orderkey % 100 = 0)
+                           AS BIGINT) AS n_mod,
+                      CAST(count(*) FILTER (WHERE o_orderkey % 101 = 0)
+                           AS BIGINT) AS n_new
+               FROM orders)
+    SELECT * FROM (
+        SELECT 'clone_files_premerge' AS name, CAST(0 AS BIGINT) AS val
+        UNION ALL SELECT 'rows_clone_after', n_all + n_new FROM g
+        UNION ALL SELECT 'rows_src_after', n_all FROM g
+        UNION ALL SELECT 'sum_clone_after',
+            s_all + 1000000 * n_mod + 7 * n_new FROM g
+        UNION ALL SELECT 'sum_src_after', s_all FROM g
+        UNION ALL SELECT 'version_clone_after', 2
+        UNION ALL SELECT 'version_src_after', 1
+    ) ORDER BY name
+    """,
+)
+def table_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone end to end (``sink.clone_keyed_table``): orders
+    becomes a keyed table, ``Table.clone`` snapshots it as pure
+    metadata (the differential pins ZERO parquet files under the clone
+    before divergence), then a divergent merge on the clone bumps
+    o_custkey by 1e6 for 100-divisible keys and inserts fresh keys —
+    the oracle reproduces every count/sum/version closed-form over
+    ``orders``, proving the clone reads the full snapshot, diverges
+    copy-on-write, and leaves the source untouched (rows, sum, AND
+    version).
+
+    100 TB shape: the clone itself is one manifest commit referencing
+    the source's files in place — no data moves until (and except
+    where) the clone diverges.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from ..api import Engine
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tmp = tempfile.mkdtemp(prefix="clone_")
+    try:
+        t = Engine(spark).table(f"{tmp}/src")
+        t.merge(o, key="o_orderkey", num_buckets=8)
+        c = t.clone(f"{tmp}/dest")
+        n_files_pre = len(
+            _glob.glob(f"{tmp}/dest/**/*.parquet", recursive=True)
+        )
+        batch = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_custkey", F.col("o_custkey") + F.lit(1000000)
+        ).unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + F.lit(10_000_000_000)).alias(
+                    "o_orderkey"
+                ),
+                F.lit(7).cast("long").alias("o_custkey"),
+            )
+        )
+        c.merge(batch, key="o_orderkey")
+        rows = [
+            ("clone_files_premerge", n_files_pre),
+            ("rows_clone_after", c.read().count()),
+            ("rows_src_after", t.read().count()),
+            (
+                "sum_clone_after",
+                c.read().agg(F.sum("o_custkey")).collect()[0][0],
+            ),
+            (
+                "sum_src_after",
+                t.read().agg(F.sum("o_custkey")).collect()[0][0],
+            ),
+            ("version_clone_after", c.version()),
+            ("version_src_after", t.version()),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "name string, val long").orderBy("name")
+
+
+@query(
+    "text_hybrid_rrf",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+           WHERE term IN ('{_BM25_TERMS_SQL}') GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    g AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS T,
+                 (SELECT CAST(count(*) AS BIGINT) FROM documents) AS D),
+    s AS (SELECT tf.doc_id,
+                 CAST(floor(1000000.0 *
+                      ln((g.D - df.df + 0.5) / (df.df + 0.5) + 1.0))
+                      AS BIGINT) AS idf_micro,
+                 CAST(100 * g.T * tf.tf * 22 AS DOUBLE) AS nump,
+                 CAST(1000 * g.T * tf.tf
+                      + 12 * (25 * g.T + 75 * dl.dl * g.D) AS DOUBLE) AS denp
+          FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g),
+    bm AS (SELECT doc_id,
+                  CAST(sum(CAST(floor(CAST(idf_micro AS DOUBLE) * (nump / denp))
+                           AS BIGINT)) AS BIGINT) AS bm25_micro
+           FROM s GROUP BY doc_id
+           ORDER BY bm25_micro DESC, doc_id LIMIT 50),
+    lex AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id)
+                        AS BIGINT) AS lex_rank
+            FROM bm),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v FROM e WHERE vec_id = 0),
+    cs AS (SELECT e.vec_id AS doc_id,
+                  round(list_dot_product(qv.v, e.v) /
+                        nullif(sqrt(list_dot_product(qv.v, qv.v)) *
+                               sqrt(list_dot_product(e.v, e.v)), 0.0), 6)
+                      AS cos
+           FROM e CROSS JOIN qv WHERE e.vec_id <> 0
+           ORDER BY cos DESC, doc_id LIMIT 50),
+    sem AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                        AS BIGINT) AS sem_rank
+            FROM cs)
+    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           lex.lex_rank, sem.sem_rank,
+           coalesce(CAST(floor(1000000000.0 / (60 + lex.lex_rank)) AS BIGINT), 0)
+         + coalesce(CAST(floor(1000000000.0 / (60 + sem.sem_rank)) AS BIGINT), 0)
+               AS rrf_micro
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """,
+)
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 (lexical) fused with the query
+    embedding's cosine top-50 (semantic, vec 0 standing in for the
+    encoded query — encoders aren't in-container, same stub philosophy
+    as multimodal decode) via Reciprocal Rank Fusion
+    (operators/text.py ``hybrid_rrf``; integer-exact contributions, so
+    the fused ORDER, not just the scores, is oracle-pinned).
+
+    100 TB shape: the two legs are each one corpus-linear pass (BM25's
+    single scan + the 1×N query-broadcast cosine — per-query linear,
+    NOT the fenced all-pairs brute force); fusion joins two 50-row
+    frames, broadcast class."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = X.bm25_topk(docs, _BM25_TERMS, n=50)
+    sem = S.knn_brute_force(emb, [0], k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "cosine_sim"
+    )
+    return X.hybrid_rrf(lex, sem, n=20)
+
+
+@query(
+    "dml_merge_full_sync",
+    """
+    WITH base AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+    final AS (
+        SELECT k, c + 1000000 AS c FROM base WHERE k % 4 = 0
+        UNION ALL
+        SELECT k, c FROM base WHERE k % 4 <> 0 AND c % 3 <> 0
+    )
+    SELECT * FROM (
+        SELECT 'counts' AS kind, 'deleted' AS name,
+               CAST((SELECT count(*) FROM base
+                     WHERE k % 4 <> 0 AND c % 3 = 0) AS BIGINT) AS val
+        UNION ALL SELECT 'counts', 'inserted', 0
+        UNION ALL SELECT 'counts', 'updated',
+            CAST((SELECT count(*) FROM base WHERE k % 4 = 0) AS BIGINT)
+        UNION ALL SELECT 'final', 'n_rows',
+            CAST((SELECT count(*) FROM final) AS BIGINT)
+        UNION ALL SELECT 'final', 'sum_c',
+            CAST((SELECT sum(c) FROM final) AS BIGINT)
+    ) ORDER BY kind, name
+    """,
+)
+def dml_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE's third clause family end to end
+    (``when_not_matched_by_source_*``, Delta 2.4): the source is the
+    complete truth — matched keys take the source's value, target keys
+    ABSENT from the source delete when they hit the predicate — in the
+    same single MOR delta commit as the other clauses.  The oracle
+    rebuilds the synced state closed-form (integer sums only), pinning
+    the absence-scoped delete's row-level semantics, the update
+    restatement, and the action counts at once.
+
+    100 TB shape: the by-source scope is defined by absence, so every
+    live bucket is scanned (Delta documents the same cost) — but only
+    keys the clause changes are restated, so the WRITE stays
+    O(changed keys), and the scan is the one full pass the semantics
+    inherently require."""
+    import shutil
+    import tempfile
+
+    from ..api import Engine
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", F.col("o_custkey").alias("c"))
+    src = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", (F.col("o_custkey") + F.lit(1000000)).alias("c")
+    )
+    tmp = tempfile.mkdtemp(prefix="mfs_")
+    try:
+        t = Engine(spark).table(f"{tmp}/t")
+        t.merge(base, key="o_orderkey", num_buckets=8)
+        res = t.merge_into(
+            src,
+            when_matched_update={"c": "s_c"},
+            when_not_matched_insert=False,
+            when_not_matched_by_source_delete="c % 3 = 0",
+        )
+        final = t.read().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+        ).collect()[0]
+        rows = [
+            ("counts", "deleted", res["deleted"]),
+            ("counts", "inserted", res["inserted"]),
+            ("counts", "updated", res["updated"]),
+            ("final", "n_rows", final.n),
+            ("final", "sum_c", final.s),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "kind string, name string, val long"
+    ).orderBy("kind", "name")

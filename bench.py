@@ -162,6 +162,12 @@ HEADLINE = [
     "graph_pagerank",
     "table_restore_travel",
     "text_bm25_indexed",
+    # round-7: shallow clone (metadata-only snapshot + CoW divergence)
+    "table_clone_shallow",
+    # round-7: hybrid retrieval (BM25 + embedding cosine fused by RRF)
+    "text_hybrid_rrf",
+    # round-7: MERGE's by-source clause family (full-sync semantics)
+    "dml_merge_full_sync",
 ]
 
 

@@ -386,3 +386,94 @@ def test_merge_into_noop_when_nothing_matches(spark, tmp_path):
     )
     assert res == {"updated": 0, "deleted": 0, "inserted": 0}
     assert t.version() == v0  # no commit, no version churn
+
+
+def test_merge_into_not_matched_by_source_delete(spark, tmp_path):
+    """Full-sync: source is the complete truth; target keys absent from
+    it delete (True = all), matched keys update, new keys insert — one
+    commit, and untouched-by-absence rows surviving a predicate aren't
+    restated."""
+    from airflow_postgres_etl_spark import sink
+
+    t = _mi_table(spark, tmp_path)  # a, b, c
+    res = t.merge_into(
+        spark.createDataFrame(
+            [("a", 10), ("d", 40)], "oid__id string, v long"
+        ),
+        when_matched_update={"v": "s_v"},
+        when_not_matched_by_source_delete=True,
+    )
+    # b and c vanish (absent from source), a updates, d inserts
+    assert res == {"updated": 1, "deleted": 2, "inserted": 1}
+    assert {(r.oid__id, r.v) for r in t.read().collect()} == {
+        ("a", 10), ("d", 40),
+    }
+
+
+def test_merge_into_not_matched_by_source_delete_predicate(spark, tmp_path):
+    """Predicated by-source delete: only unmatched rows hitting the
+    predicate go; other unmatched keys are not restated (no CDF churn)."""
+    from airflow_postgres_etl_spark import sink
+
+    t = _mi_table(spark, tmp_path)  # a(v=1,x) b(v=2,x) c(v=3,y)
+    v0 = t.version()
+    res = t.merge_into(
+        spark.createDataFrame([("a", 10)], "oid__id string, v long"),
+        when_matched_update=None,
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete="tag = 'y'",
+    )
+    assert res == {"updated": 0, "deleted": 1, "inserted": 0}
+    assert {r.oid__id for r in t.read().collect()} == {"a", "b"}
+    changes = sink.table_changes(spark, t.path, v0, store=t.store)
+    assert {(r.oid__id, r.change_type) for r in changes.collect()} == {
+        ("c", "delete")
+    }
+
+
+def test_merge_into_not_matched_by_source_update(spark, tmp_path):
+    """By-source update flags every unmatched row (soft-delete shape:
+    the classic 'mark stale' sync)."""
+    t = _mi_table(spark, tmp_path)
+    res = t.merge_into(
+        spark.createDataFrame([("a", 10)], "oid__id string, v long"),
+        when_matched_update={"v": "s_v"},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"tag": "'stale'"},
+    )
+    assert res == {"updated": 3, "deleted": 0, "inserted": 0}
+    assert {(r.oid__id, r.v, r.tag) for r in t.read().collect()} == {
+        ("a", 10, "x"),
+        ("b", 2, "stale"),
+        ("c", 3, "stale"),
+    }
+
+
+def test_merge_into_by_source_update_and_delete_precedence(spark, tmp_path):
+    """Both by-source clauses: delete predicate wins, the rest update —
+    mirroring the matched-clause precedence."""
+    t = _mi_table(spark, tmp_path)  # a(1,x) b(2,x) c(3,y)
+    res = t.merge_into(
+        spark.createDataFrame([("a", 10)], "oid__id string, v long"),
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"tag": "'stale'"},
+        when_not_matched_by_source_delete="tag = 'y'",
+    )
+    assert res == {"updated": 1, "deleted": 1, "inserted": 0}
+    assert {(r.oid__id, r.v, r.tag) for r in t.read().collect()} == {
+        ("a", 1, "x"),
+        ("b", 2, "stale"),
+    }
+
+
+def test_merge_into_by_source_empty_source_full_sync(spark, tmp_path):
+    """Empty source + by-source delete True = truncate via MERGE (the
+    degenerate full sync) — every key tombstones in one commit."""
+    t = _mi_table(spark, tmp_path)
+    res = t.merge_into(
+        spark.createDataFrame([], "oid__id string, v long"),
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete=True,
+    )
+    assert res == {"updated": 0, "deleted": 3, "inserted": 0}
+    assert t.read().count() == 0

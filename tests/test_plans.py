@@ -482,3 +482,20 @@ def test_quarantine_split_is_map_side(spark):
     )
     for df in (clean, bad):
         assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hybrid_rrf_plan_shape(spark):
+    """Hybrid RRF keeps each leg's scale shape: the BM25 leg stays the
+    one-checkpointed-scan formulation (no residual parquet scan of
+    documents), the semantic leg reads embeddings (query row + corpus),
+    fusion joins two 50-row frames — no sort-merge join anywhere, and
+    the corpus never feeds the rank windows (they sit above the
+    truncated top-L legs)."""
+    plan = plan_of(spark, "text_hybrid_rrf")
+    assert "SortMergeJoin" not in plan
+    # documents' corpus work is inside the checkpointed BM25 aggregate;
+    # only the embeddings parquet appears as FileScan
+    import re as _re
+
+    scans = _re.findall(r"FileScan parquet[^\n]*", plan)
+    assert all("embeddings" in s for s in scans), scans

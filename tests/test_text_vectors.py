@@ -473,3 +473,35 @@ def test_bm25_index_equals_corpus_scan(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already indexed"):
         add_documents(spark, docs.filter(F.col("doc_id") == 0), idx)
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF closed-form on crafted legs: both-leg docs sum their
+    contributions, single-leg docs carry a NULL rank for the missing
+    leg and contribute 0 there, and the fused tie-break is doc_id."""
+    from airflow_postgres_etl_spark.operators.text import hybrid_rrf
+
+    lex = spark.createDataFrame(
+        [(1, 900), (2, 800), (3, 700)], "doc_id long, bm25_micro long"
+    )
+    sem = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8), (1, 0.7)], "doc_id long, cosine_sim double"
+    )
+    rows = {r.doc_id: r for r in hybrid_rrf(lex, sem, n=10).collect()}
+    c = lambda r: 1_000_000_000 // (60 + r)
+    # doc1: lex rank 1, sem rank 3; doc2: lex 2, sem 1; doc3: lex 3 only;
+    # doc4: sem 2 only
+    assert (rows[1].lex_rank, rows[1].sem_rank) == (1, 3)
+    assert rows[1].rrf_micro == c(1) + c(3)
+    assert rows[2].rrf_micro == c(2) + c(1)
+    assert rows[3].sem_rank is None and rows[3].rrf_micro == c(3)
+    assert rows[4].lex_rank is None and rows[4].rrf_micro == c(2)
+    # fused order: doc2 (two high ranks) first; doc3 vs doc4 differ by rank
+    ordered = [r.doc_id for r in hybrid_rrf(lex, sem, n=10).collect()]
+    assert ordered == [2, 1, 4, 3]
+
+    # tie-break: identical contributions -> lower doc_id first
+    lex2 = spark.createDataFrame([(7, 100), (5, 200)], "doc_id long, bm25_micro long")
+    sem2 = spark.createDataFrame([(5, 0.1), (7, 0.2)], "doc_id long, cosine_sim double")
+    # doc5: lex 1 + sem 2; doc7: lex 2 + sem 1 -> equal sums, 5 before 7
+    assert [r.doc_id for r in hybrid_rrf(lex2, sem2, n=10).collect()] == [5, 7]
