@@ -1076,3 +1076,132 @@ def knn_ivf_pq(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "adc_dist_q")
     )
+
+
+def mmr_select(
+    candidates: DataFrame,
+    k: int = 5,
+    lambda_ppm: int = 700_000,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    rel_col: str = "rel_micro",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversity stage of a retrieval stack: greedily pick
+    the candidate maximizing ``λ·relevance − (1−λ)·max-sim-to-selected``
+    until ``k`` are chosen.  Closes the RAG loop after BM25 / ANN / RRF
+    fusion: those rank by relevance alone, MMR trades it off against
+    redundancy so near-duplicate passages don't crowd the context
+    window.
+
+    Integer-exact scheme (the PageRank/BM25 house style): ``rel_col``
+    is an integer relevance (e.g. cosine or RRF micro-units); pairwise
+    similarity is the rounded-6 cosine scaled to micro (one more
+    decimal round kills representation error, so both engines land the
+    same BIGINT); the MMR objective is then pure int64 —
+    ``λ_ppm·rel − (1000000−λ_ppm)·max_sim`` — so the SELECTION ORDER is
+    reproducible cross-engine, never accumulation- or tie-dependent
+    (ties break on ascending id).  A zero-magnitude vector's undefined
+    cosine counts as −1.0 (maximally dissimilar — it can't crowd
+    anything out).
+
+    Greedy selection is inherently sequential in ``k``, so the loop is
+    unrolled into the plan exactly like :func:`graph.pagerank_fixed`:
+    per step, ONE per-group argmax (a struct-min aggregate) and ONE
+    broadcast join of the single picked row per group back onto that
+    group's survivors to fold the running ``max_sim``.  The distributed
+    dimension is ``group_col`` (one query/request per group at serving
+    scale); per-group work is O(k·L) on the already-truncated top-L
+    candidate lists, and state is checkpointed per step so the plan
+    stays flat.  Candidates are expected to be top-L frames (L ≲ 100s)
+    — the corpus-sized work belongs to the legs that produced them.
+
+    Returns (group_col?, mmr_rank, id_col, rel_col, mmr_micro), ranks
+    1..k (fewer when a group exhausts its candidates).
+    """
+    lam = int(lambda_ppm)
+    mu = 1_000_000 - lam
+    gcols = [group_col] if group_col else []
+    base = candidates.select(
+        *(F.col(c) for c in gcols),
+        F.col(id_col),
+        F.col(rel_col).cast("long").alias("__rel"),
+        F.col(vec_col).alias("__v"),
+    )
+    if not gcols:
+        base = base.withColumn("__g", F.lit(0))
+        gcols = ["__g"]
+    # __ms starts NULL ("no selected yet"): the first fold must take the
+    # raw pairwise sim — seeding 0 would floor the penalty and hide
+    # NEGATIVELY-similar (i.e. maximally diverse) candidates' advantage
+    state = base.withColumn(
+        "__ms", F.lit(None).cast("long")
+    ).localCheckpoint(eager=True)
+    picks: list[DataFrame] = []
+    for t in range(1, k + 1):
+        score = F.lit(lam) * F.col("__rel") - F.lit(mu) * F.coalesce(
+            F.col("__ms"), F.lit(0)
+        )
+        pick = (
+            state.groupBy(*gcols)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-score).alias("ns"),
+                        F.col(id_col).alias("i"),
+                        F.col("__rel").alias("r"),
+                        F.col("__v").alias("v"),
+                    )
+                ).alias("p")
+            )
+            .select(
+                *gcols,
+                F.lit(t).alias("mmr_rank"),
+                F.col("p.i").alias(id_col),
+                F.col("p.r").alias("__rel"),
+                F.col("p.v").alias("__pv"),
+                (-F.col("p.ns")).cast("long").alias("mmr_micro"),
+            )
+        )
+        picks.append(
+            pick.select(
+                *gcols,
+                "mmr_rank",
+                id_col,
+                F.col("__rel").alias(rel_col),
+                "mmr_micro",
+            )
+        )
+        if t == k:
+            break
+        sim_micro = F.round(
+            F.round(cosine_similarity_expr(F.col("__v"), F.col("__pv")), 6)
+            * F.lit(1_000_000.0)
+        ).cast("long")
+        state = (
+            state.join(
+                F.broadcast(
+                    pick.select(
+                        *gcols, F.col(id_col).alias("__pid"), "__pv"
+                    )
+                ),
+                gcols,
+            )
+            .filter(F.col(id_col) != F.col("__pid"))
+            .withColumn(
+                "__ms",
+                F.greatest(
+                    F.col("__ms"),
+                    F.coalesce(sim_micro, F.lit(-1_000_000).cast("long")),
+                ),
+            )
+            .drop("__pid", "__pv")
+            .localCheckpoint(eager=True)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    drop = ["__g"] if group_col is None else []
+    order = ([group_col] if group_col else []) + ["mmr_rank"]
+    return out.drop(*drop).orderBy(*order)

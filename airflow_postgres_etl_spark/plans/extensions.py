@@ -7320,3 +7320,93 @@ def dml_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "kind string, name string, val long"
     ).orderBy("kind", "name")
+
+
+def _mmr_sim_sql(a: str, b: str) -> str:
+    """Rounded-6 cosine scaled to micro as BIGINT, NULL (zero vector)
+    counting as -1e6 — the exact integerization mmr_select uses."""
+    return (
+        f"coalesce(CAST(round(round(list_dot_product({a}, {b}) / "
+        f"nullif(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})), 0.0), 6) * 1000000.0) "
+        f"AS BIGINT), -1000000)"
+    )
+
+
+def _mmr_oracle_sql(k: int = 5, n_cand: int = 20, lam: int = 700_000) -> str:
+    """Unrolled greedy-MMR oracle (PageRank's unrolled-CTE idiom): step t
+    picks the argmax of ``lam*rel - (1e6-lam)*max_sim`` over survivors,
+    step t+1 folds the new pick into each survivor's running max-sim."""
+    mu = 1_000_000 - lam
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        "qv AS (SELECT v FROM e WHERE vec_id = 0),",
+        "cand AS (SELECT e.vec_id AS doc_id,",
+        "                CAST(round(round(list_dot_product(qv.v, e.v) /",
+        "                     nullif(sqrt(list_dot_product(qv.v, qv.v)) *",
+        "                            sqrt(list_dot_product(e.v, e.v)), 0.0), 6)",
+        "                     * 1000000.0) AS BIGINT) AS rel, e.v AS v",
+        "         FROM e CROSS JOIN qv WHERE e.vec_id <> 0",
+        f"         ORDER BY rel DESC, doc_id LIMIT {n_cand}),",
+        f"s1 AS (SELECT doc_id, v, rel, {lam} * rel AS mmr,",
+        "              CAST(1 AS INT) AS r",
+        "       FROM cand ORDER BY rel DESC, doc_id LIMIT 1),",
+    ]
+    for t in range(2, k + 1):
+        prev_m, prev_s = f"m{t - 1}", f"s{t - 1}"
+        src = "cand" if t == 2 else f"m{t - 2}"
+        ms = (
+            _mmr_sim_sql("c.v", "s.v")
+            if t == 2
+            else f"greatest(c.ms, {_mmr_sim_sql('c.v', 's.v')})"
+        )
+        parts.append(
+            f"{prev_m} AS (SELECT c.doc_id, c.rel, c.v, {ms} AS ms"
+            f" FROM {src} c, {prev_s} s WHERE c.doc_id <> s.doc_id),"
+        )
+        parts.append(
+            f"s{t} AS (SELECT doc_id, v, rel,"
+            f" {lam} * rel - {mu} * ms AS mmr, CAST({t} AS INT) AS r"
+            f" FROM {prev_m} ORDER BY mmr DESC, doc_id LIMIT 1),"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT r, doc_id, rel, mmr FROM s{t}" for t in range(1, k + 1)
+    )
+    parts.append(
+        "u AS (" + union + ") "
+        "SELECT r AS mmr_rank, doc_id, rel AS rel_micro, mmr AS mmr_micro "
+        "FROM u ORDER BY mmr_rank"
+    )
+    return "\n".join(parts)
+
+
+@query("text_mmr_diversify", _mmr_oracle_sql())
+def text_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (``similarity.mmr_select``): the
+    cosine top-20 for the query embedding (vec 0, the hybrid-RRF
+    convention) re-ranked greedily by
+    ``0.7·relevance − 0.3·max-sim-to-selected``, top 5 — the
+    context-window diversity stage after BM25/ANN/RRF relevance
+    ranking.  All-integer objective, so the oracle's unrolled 5-step
+    CTE chain reproduces the selection ORDER bit-for-bit (ties by
+    doc_id), not just the scores.
+
+    100 TB shape: corpus-sized work lives in the leg that built the
+    top-20 (here the per-query linear scan; the IVF index at scale);
+    MMR itself is k argmax aggregates + k single-row broadcast joins
+    over L-row groups, distributed across queries via ``group_col``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = (
+        S.knn_brute_force(emb, [0], k=20)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.round(F.col("cosine_sim") * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("rel_micro"),
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+    )
+    return S.mmr_select(cand, k=5, lambda_ppm=700_000)

@@ -168,6 +168,8 @@ HEADLINE = [
     "text_hybrid_rrf",
     # round-7: MERGE's by-source clause family (full-sync semantics)
     "dml_merge_full_sync",
+    # round-7: MMR diversity re-ranking (the stage after RRF fusion)
+    "text_mmr_diversify",
 ]
 
 

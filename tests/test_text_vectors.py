@@ -505,3 +505,63 @@ def test_hybrid_rrf_fusion_semantics(spark):
     sem2 = spark.createDataFrame([(5, 0.1), (7, 0.2)], "doc_id long, cosine_sim double")
     # doc5: lex 1 + sem 2; doc7: lex 2 + sem 1 -> equal sums, 5 before 7
     assert [r.doc_id for r in hybrid_rrf(lex2, sem2, n=10).collect()] == [5, 7]
+
+
+def test_mmr_select_closed_form(spark):
+    """Greedy MMR on crafted 2-D vectors, λ=0.5: the duplicate of the
+    first pick scores negative, the ANTI-similar candidate's negative
+    sim is a bonus (regression: a zero-seeded running max hid it), and
+    every mmr_micro matches hand arithmetic."""
+    from airflow_postgres_etl_spark.operators.similarity import mmr_select
+
+    cand = spark.createDataFrame(
+        [
+            (1, 1000000, [1.0, 0.0]),   # top relevance
+            (2, 990000, [1.0, 0.0]),    # duplicate of 1
+            (3, 500000, [0.0, 1.0]),    # orthogonal
+            (4, 400000, [-1.0, 0.0]),   # anti-similar to 1
+        ],
+        "doc_id long, rel_micro long, embedding array<double>",
+    )
+    rows = mmr_select(cand, k=4, lambda_ppm=500_000).collect()
+    assert [(r.mmr_rank, r.doc_id) for r in rows] == [
+        (1, 1), (2, 4), (3, 3), (4, 2)
+    ]
+    by_rank = {r.mmr_rank: r.mmr_micro for r in rows}
+    assert by_rank[1] == 500_000 * 1_000_000           # λ·rel, no penalty
+    assert by_rank[2] == 500_000 * 400_000 + 500_000 * 1_000_000  # −(−1) bonus
+    assert by_rank[3] == 500_000 * 500_000             # max(sim to 1,4) = 0
+    assert by_rank[4] == 500_000 * 990_000 - 500_000 * 1_000_000  # dup penalty
+
+
+def test_mmr_select_groups_and_exhaustion(spark):
+    """group_col partitions the greedy independently; a group with fewer
+    candidates than k just stops (ragged output, no padding)."""
+    from airflow_postgres_etl_spark.operators.similarity import mmr_select
+
+    cand = spark.createDataFrame(
+        [
+            ("qa", 1, 900000, [1.0, 0.0]),
+            ("qa", 2, 800000, [0.0, 1.0]),
+            ("qa", 3, 700000, [1.0, 1.0]),
+            ("qb", 7, 600000, [1.0, 0.0]),
+            ("qb", 8, 650000, [0.0, 1.0]),
+        ],
+        "q string, doc_id long, rel_micro long, embedding array<double>",
+    )
+    rows = mmr_select(cand, k=3, group_col="q").collect()
+    got = {(r.q, r.mmr_rank): r.doc_id for r in rows}
+    assert got[("qa", 1)] == 1 and got[("qb", 1)] == 8
+    assert sum(1 for (g, _) in got if g == "qb") == 2  # exhausted at 2
+    assert sum(1 for (g, _) in got if g == "qa") == 3
+
+
+def test_mmr_select_tie_breaks_on_id(spark):
+    from airflow_postgres_etl_spark.operators.similarity import mmr_select
+
+    cand = spark.createDataFrame(
+        [(9, 500000, [1.0, 0.0]), (3, 500000, [0.0, 1.0])],
+        "doc_id long, rel_micro long, embedding array<double>",
+    )
+    rows = mmr_select(cand, k=1).collect()
+    assert [(r.mmr_rank, r.doc_id) for r in rows] == [(1, 3)]
