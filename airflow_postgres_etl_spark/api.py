@@ -226,6 +226,16 @@ class Table:
             )
         sink.keyed_merge_mor(self.spark, batch, self.path, store=self.store, **kw)
 
+    def append(self, batch: DataFrame, **kw) -> int:
+        """Fast NEW-key append: O(batch) commit, no existing data read
+        (``sink.keyed_append``).  Pay the file-count debt back with
+        :meth:`optimize`.  Returns the number of files added."""
+        from . import sink
+
+        return sink.keyed_append(
+            self.spark, batch, self.path, store=self.store, **kw
+        )
+
     def merge_into(self, source: DataFrame, **kw) -> dict:
         """Delta-style MERGE INTO: matched keys update/delete, unmatched
         source rows insert — one MOR delta commit (see sink.merge_into
@@ -271,6 +281,16 @@ class Table:
         from . import sink
 
         return sink.compact_keyed_table(self.spark, self.path, self.store)
+
+    def optimize(self, max_files_per_bucket: int = 1) -> int:
+        """Bin-pack appended small files (``sink.optimize_keyed_table``):
+        rewrite buckets above the file-count threshold to one file each;
+        data unchanged, CDF across the commit is empty."""
+        from . import sink
+
+        return sink.optimize_keyed_table(
+            self.spark, self.path, max_files_per_bucket, self.store
+        )
 
     def vacuum(self, retention_s: float | None = None) -> int:
         from . import sink

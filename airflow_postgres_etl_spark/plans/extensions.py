@@ -7410,3 +7410,147 @@ def text_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return S.mmr_select(cand, k=5, lambda_ppm=700_000)
+
+
+@query(
+    "table_append_optimize",
+    """
+    WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+                      CAST(sum(o_custkey) AS BIGINT) AS s_all
+               FROM orders)
+    SELECT * FROM (
+        SELECT 'cdf_changes_of_optimize' AS name, CAST(0 AS BIGINT) AS val
+        UNION ALL SELECT 'fpb_before_gt_after', 1
+        UNION ALL SELECT 'max_fpb_after', 1
+        UNION ALL SELECT 'rows_after', n_all FROM g
+        UNION ALL SELECT 'rows_travel_pre_optimize', n_all FROM g
+        UNION ALL SELECT 'sum_after', s_all FROM g
+        UNION ALL SELECT 'version_after', 4
+    ) ORDER BY name
+    """,
+)
+def table_append_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta ingest pattern end to end (``sink.keyed_append`` +
+    ``sink.optimize_keyed_table``): a third of orders merges as the
+    base, two more thirds arrive as O(batch) NEW-key appends (no
+    existing file read or rewritten), buckets accrue multiple files
+    (``fpb_before_gt_after`` pins it), then OPTIMIZE bin-packs every
+    bucket back to one file — with the change feed across the optimize
+    commit EMPTY (data provably unchanged), time travel to the
+    pre-optimize snapshot intact, and the closed-form oracle
+    reproducing rows/sum/version over ``orders``.
+
+    100 TB shape: append cost is the batch alone regardless of table
+    size; optimize reads only over-threshold buckets on a maintenance
+    schedule."""
+    import shutil
+    import tempfile
+
+    from .. import sink as _sink
+    from ..api import Engine
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tmp = tempfile.mkdtemp(prefix="appopt_")
+    try:
+        t = Engine(spark).table(f"{tmp}/t")
+        t.merge(
+            o.filter(F.col("o_orderkey") % 3 == 0),
+            key="o_orderkey",
+            num_buckets=8,
+        )
+        t.append(o.filter(F.col("o_orderkey") % 3 == 1), key="o_orderkey")
+        t.append(o.filter(F.col("o_orderkey") % 3 == 2), key="o_orderkey")
+        fpb_before = _sink.describe_keyed_table(t.path)[
+            "max_files_per_bucket"
+        ]
+        v_pre = t.version()
+        t.optimize()
+        fpb_after = _sink.describe_keyed_table(t.path)[
+            "max_files_per_bucket"
+        ]
+        rows = [
+            ("cdf_changes_of_optimize", t.changes(v_pre).count()),
+            ("fpb_before_gt_after", 1 if fpb_before > fpb_after else 0),
+            ("max_fpb_after", fpb_after),
+            ("rows_after", t.read().count()),
+            ("rows_travel_pre_optimize", t.read(version=v_pre).count()),
+            (
+                "sum_after",
+                t.read().agg(F.sum("o_custkey")).collect()[0][0],
+            ),
+            ("version_after", t.version()),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "name string, val long").orderBy(
+        "name"
+    )
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled Lloyd's-iteration oracle: a_t assigns against c_{t-1}
+    (integer squared L2, ties on cid), c_t is the truncated integer
+    mean of a_t's members; output = assignment against c_iterations.
+    DuckDB's ``//`` and Spark's ``DIV`` both truncate toward zero, and
+    every distance term is an integer < 2^53 — so the chain is
+    bit-identical cross-engine."""
+
+    def dist(p: str, c: str) -> str:
+        return (
+            f"CAST({p}.n2 + {c}.cn2 - 2 * list_dot_product({p}.v, {c}.cv) "
+            "AS BIGINT)"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id AS pid,",
+        f"  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * {scale}.0)",
+        "  AS BIGINT)) AS v FROM embeddings),",
+        "p AS (SELECT pid, v, CAST(list_dot_product(v, v) AS BIGINT) AS n2",
+        "      FROM e),",
+        "c0 AS (SELECT row_number() OVER (ORDER BY pid) - 1 AS cid,",
+        f"       v AS cv, n2 AS cn2 FROM p ORDER BY pid LIMIT {k}),",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"a{t} AS (SELECT pid, v, cid FROM ("
+            f"SELECT p.pid, p.v, c.cid, row_number() OVER ("
+            f"PARTITION BY p.pid ORDER BY {dist('p', 'c')}, c.cid) AS rn"
+            f" FROM p CROSS JOIN c{t - 1} c) WHERE rn = 1),"
+        )
+        parts.append(
+            f"c{t} AS (SELECT cid, cv,"
+            " CAST(list_dot_product(cv, cv) AS BIGINT) AS cn2 FROM ("
+            "SELECT cid, list(m ORDER BY pos) AS cv FROM ("
+            "SELECT a.cid, i AS pos,"
+            " CAST(sum(a.v[i]) AS BIGINT) // count(*) AS m"
+            f" FROM a{t} a, unnest(generate_series(1, len(a.v))) AS t(i)"
+            " GROUP BY a.cid, i) GROUP BY cid)),"
+        )
+    parts.append(
+        "fin AS (SELECT pid, cid, d FROM ("
+        f"SELECT p.pid, c.cid, {dist('p', 'c')} AS d,"
+        f" row_number() OVER (PARTITION BY p.pid ORDER BY {dist('p', 'c')},"
+        f" c.cid) AS rn FROM p CROSS JOIN c{iterations} c) WHERE rn = 1) "
+        "SELECT pid AS vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist_q "
+        "FROM fin ORDER BY vec_id"
+    )
+    return "\n".join(parts)
+
+
+@query("cluster_kmeans", _kmeans_oracle_sql())
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the embeddings corpus
+    (``operators/clustering.kmeans_fixed``, k=8, 3 iterations) — the
+    clustering primitive for cluster-based curation (SemDeDup-style
+    semantic dedup, cluster-balanced mixing) and a trainable IVF
+    quantizer.  The differential pins EVERY point's final cluster and
+    integer squared distance, so a single mis-assigned vector anywhere
+    in the 3-iteration chain fails the oracle.
+
+    100 TB shape: centroids (k·d integers) broadcast; assignment is
+    map-side argmin, the update one (cluster,dim) aggregate with
+    map-side partials; the corpus shuffles nowhere."""
+    from ..operators.clustering import kmeans_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixed(emb, k=8, iterations=3).orderBy("vec_id")

@@ -170,6 +170,10 @@ HEADLINE = [
     "dml_merge_full_sync",
     # round-7: MMR diversity re-ranking (the stage after RRF fusion)
     "text_mmr_diversify",
+    # round-7: fast NEW-key append + bin-packing OPTIMIZE (Delta ingest)
+    "table_append_optimize",
+    # round-7: integer-exact Lloyd's k-means (cluster-based curation)
+    "cluster_kmeans",
 ]
 
 

@@ -1,0 +1,222 @@
+"""Fast NEW-key append (``sink.keyed_append``) + bin-packing OPTIMIZE
+(``sink.optimize_keyed_table``): the Delta ingest pattern — O(batch)
+append commits accrue files per bucket, optimize packs them back and
+restores skipping, with data provably unchanged (empty change feed)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from airflow_postgres_etl_spark.sink import (
+    describe_keyed_table,
+    keyed_append,
+    keyed_delete_where,
+    keyed_overwrite_parquet,
+    optimize_keyed_table,
+    read_keyed_table,
+    table_changes,
+    table_version,
+    vacuum_keyed_table,
+)
+
+
+def _mk(spark, tmp_path, rows=None):
+    rows = rows or [("k1", 1), ("k2", 2), ("k3", 3)]
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame(rows, ["oid__id", "v"])
+    keyed_overwrite_parquet(spark, df, target, num_buckets=2)
+    return target
+
+
+def _rows(spark, target, **kw):
+    return {
+        (r.oid__id, r.v)
+        for r in read_keyed_table(spark, target, **kw).collect()
+    }
+
+
+def test_append_adds_rows_without_touching_existing_files(spark, tmp_path):
+    target = _mk(spark, tmp_path)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/**/*.parquet", recursive=True)
+    }
+    n = keyed_append(
+        spark,
+        spark.createDataFrame([("k4", 4), ("k5", 5)], ["oid__id", "v"]),
+        target,
+    )
+    assert n >= 1
+    assert _rows(spark, target) == {
+        ("k1", 1), ("k2", 2), ("k3", 3), ("k4", 4), ("k5", 5)
+    }
+    # every pre-append file is still there, byte-untouched
+    for f, mt in before.items():
+        assert os.path.getmtime(f) == mt
+    assert table_version(target) == 2
+
+
+def test_append_rejects_existing_key(spark, tmp_path):
+    target = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="already exists"):
+        keyed_append(
+            spark,
+            spark.createDataFrame([("k2", 99)], ["oid__id", "v"]),
+            target,
+        )
+    # nothing committed
+    assert table_version(target) == 1
+    assert _rows(spark, target) == {("k1", 1), ("k2", 2), ("k3", 3)}
+
+
+def test_append_rejects_tombstoned_key(spark, tmp_path):
+    """A deleted key's tombstone delta outranks base files — an
+    unchecked append under it would be silently masked, so verify_new
+    must see tombstones too."""
+    target = _mk(spark, tmp_path)
+    assert keyed_delete_where(spark, target, "oid__id = 'k2'") == 1
+    with pytest.raises(ValueError, match="already exists"):
+        keyed_append(
+            spark,
+            spark.createDataFrame([("k2", 99)], ["oid__id", "v"]),
+            target,
+        )
+
+
+def test_append_verify_false_skips_the_scan(spark, tmp_path):
+    target = _mk(spark, tmp_path)
+    keyed_append(
+        spark,
+        spark.createDataFrame([("k9", 9)], ["oid__id", "v"]),
+        target,
+        verify_new=False,
+    )
+    assert ("k9", 9) in _rows(spark, target)
+
+
+def test_append_empty_batch_is_a_noop(spark, tmp_path):
+    target = _mk(spark, tmp_path)
+    assert (
+        keyed_append(
+            spark,
+            spark.createDataFrame([], "oid__id string, v long"),
+            target,
+        )
+        == 0
+    )
+    assert table_version(target) == 1
+
+
+def test_append_multirow_child_set_ok(spark, tmp_path):
+    target = _mk(spark, tmp_path)
+    keyed_append(
+        spark,
+        spark.createDataFrame([("k7", 70), ("k7", 71)], ["oid__id", "v"]),
+        target,
+    )
+    got = _rows(spark, target)
+    assert ("k7", 70) in got and ("k7", 71) in got
+
+
+def test_append_first_commit_bootstraps_table(spark, tmp_path):
+    target = str(tmp_path / "fresh")
+    n = keyed_append(
+        spark,
+        spark.createDataFrame([("a", 1)], ["oid__id", "v"]),
+        target,
+        num_buckets=2,
+    )
+    assert n >= 1 and table_version(target) == 1
+    assert _rows(spark, target) == {("a", 1)}
+
+
+def test_optimize_packs_buckets_and_changes_nothing(spark, tmp_path):
+    target = _mk(spark, tmp_path)
+    for i in range(3):
+        keyed_append(
+            spark,
+            spark.createDataFrame(
+                [(f"n{i}a", 10 + i), (f"n{i}b", 20 + i)], ["oid__id", "v"]
+            ),
+            target,
+        )
+    before = _rows(spark, target)
+    d = describe_keyed_table(target)
+    assert d["max_files_per_bucket"] > 1
+    v_pre = table_version(target)
+    packed = optimize_keyed_table(spark, target)
+    assert packed >= 1
+    assert describe_keyed_table(target)["max_files_per_bucket"] == 1
+    assert _rows(spark, target) == before
+    # the optimize commit is a zero-change CDF span
+    assert table_changes(spark, target, v_pre).count() == 0
+    # time travel still reads the pre-optimize snapshot
+    assert _rows(spark, target, version=v_pre) == before
+    # idempotent: second optimize has nothing to do, no version churn
+    v_now = table_version(target)
+    assert optimize_keyed_table(spark, target) == 0
+    assert table_version(target) == v_now
+
+
+def test_optimize_folds_deltas_on_packed_buckets(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import keyed_merge_mor
+
+    target = _mk(spark, tmp_path)
+    keyed_append(
+        spark,
+        spark.createDataFrame(
+            [("x1", 100), ("x2", 200), ("x3", 300)], ["oid__id", "v"]
+        ),
+        target,
+    )
+    # MOR-update a key: its bucket now has 2 base files + a delta
+    keyed_merge_mor(
+        spark, spark.createDataFrame([("x1", 101)], ["oid__id", "v"]), target
+    )
+    before = _rows(spark, target)
+    assert ("x1", 101) in before
+    optimize_keyed_table(spark, target)
+    assert _rows(spark, target) == before
+    assert describe_keyed_table(target)["max_delta_depth"] == 0
+
+
+def test_optimize_then_vacuum_collects_superseded(spark, tmp_path):
+    target = _mk(spark, tmp_path)
+    keyed_append(
+        spark, spark.createDataFrame([("z", 9)], ["oid__id", "v"]), target
+    )
+    before = _rows(spark, target)
+    optimize_keyed_table(spark, target)
+    removed = vacuum_keyed_table(target, retention_s=0)
+    assert removed >= 1
+    assert _rows(spark, target) == before
+
+
+def test_append_maintains_skipping_stats(spark, tmp_path):
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([("k1", 1), ("k2", 2)], ["oid__id", "v"]),
+        target,
+        num_buckets=2,
+        stats_cols=["v"],
+    )
+    keyed_append(
+        spark,
+        spark.createDataFrame([("k8", 800), ("k9", 900)], ["oid__id", "v"]),
+        target,
+    )
+    df = read_keyed_table(spark, target, where=("v", 700, 1000))
+    assert {(r.oid__id, r.v) for r in df.collect()} == {
+        ("k8", 800), ("k9", 900)
+    }
+    # stats pruning: the appended files carry min/max entries, so the
+    # high-range read opens strictly fewer files than a full scan
+    assert len(df.inputFiles()) < len(
+        read_keyed_table(spark, target).inputFiles()
+    )
+    low = read_keyed_table(spark, target, where=("v", 0, 2))
+    assert {r.v for r in low.collect()} == {1, 2}
