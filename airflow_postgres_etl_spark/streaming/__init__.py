@@ -7,6 +7,7 @@ from .doc_stream import (
 from .file_stream import (
     dedup_event_stream,
     interval_join_streams,
+    stream_append,
     stream_ingest,
     windowed_event_counts,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "dedup_event_stream",
     "read_kmv_estimates",
     "stream_sketch_ingest",
+    "stream_append",
     "interval_join_streams",
     "running_user_totals",
     "self_dedup",

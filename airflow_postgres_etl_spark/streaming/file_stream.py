@@ -14,6 +14,8 @@ counts): a 1-minute tumbling window with a watermark for late data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -256,4 +258,68 @@ def interval_join_streams(
         "click_id",
         "v_ts",
         "c_ts",
+    )
+
+
+def stream_append(
+    spark: SparkSession,
+    src_dir: str,
+    target: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    key: str,
+    num_buckets: int | None = None,
+    max_files_per_trigger: int = 10,
+    optimize_at_files: int = 8,
+) -> StreamingQuery:
+    """Append-mode fact ingest — the third merge mode, for streams whose
+    keys are NEW by construction (event ids, log offsets): each
+    micro-batch lands as one O(batch) blind append
+    (``sink.keyed_append`` with ``verify_new=False`` — no read of the
+    table at all, where CoW rewrites buckets and MOR taxes reads), made
+    replay-safe by the writer-txn watermark: ``txn_app`` is this
+    checkpoint's identity and ``txn_seq`` the epoch id, so a
+    re-delivered micro-batch (foreachBatch's at-least-once contract)
+    is a manifest no-op instead of duplicate rows.
+
+    The file-count debt auto-pays like MOR's auto-compaction: once any
+    bucket holds ``optimize_at_files`` files the batch runs
+    ``optimize_keyed_table``, which packs over-threshold buckets and
+    recomputes their skipping stats.  A crash between append and
+    optimize just leaves the files for the next trigger.
+    """
+    from ..sink import describe_keyed_table, keyed_append, optimize_keyed_table
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    txn_app = f"stream_append:{os.path.abspath(checkpoint_dir)}"
+
+    def append_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark_b = batch.sparkSession
+        keyed_append(
+            spark_b,
+            batch,
+            target,
+            key=key,
+            num_buckets=num_buckets,
+            verify_new=False,
+            txn_app=txn_app,
+            txn_seq=int(epoch_id),
+        )
+        try:
+            fpb = describe_keyed_table(target)["max_files_per_bucket"]
+        except FileNotFoundError:
+            return  # empty first batch: nothing committed yet
+        if fpb >= optimize_at_files:
+            optimize_keyed_table(spark_b, target)
+
+    return (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

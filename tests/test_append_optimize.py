@@ -220,3 +220,67 @@ def test_append_maintains_skipping_stats(spark, tmp_path):
     )
     low = read_keyed_table(spark, target, where=("v", 0, 2))
     assert {r.v for r in low.collect()} == {1, 2}
+
+
+def test_append_txn_replay_is_idempotent(spark, tmp_path):
+    """Delta-txn idempotence: a replayed (txn_app, txn_seq) append is a
+    no-op — the one write in the format that isn't naturally
+    replay-safe becomes safe for foreachBatch writers."""
+    target = _mk(spark, tmp_path)
+    b = spark.createDataFrame([("t1", 10)], ["oid__id", "v"])
+    assert keyed_append(spark, b, target, txn_app="job", txn_seq=1) >= 1
+    v = table_version(target)
+    # redelivery of the same epoch: nothing written, no version churn
+    assert keyed_append(spark, b, target, txn_app="job", txn_seq=1) == 0
+    assert table_version(target) == v
+    assert _rows(spark, target) == {
+        ("k1", 1), ("k2", 2), ("k3", 3), ("t1", 10)
+    }
+    # the next epoch applies (keys must still be new)
+    b2 = spark.createDataFrame([("t2", 20)], ["oid__id", "v"])
+    assert keyed_append(spark, b2, target, txn_app="job", txn_seq=2) >= 1
+    assert ("t2", 20) in _rows(spark, target)
+
+
+def test_append_txn_watermark_survives_other_commits(spark, tmp_path):
+    """Unrelated commits (merge, optimize) must CARRY the watermark —
+    losing it would re-apply a replayed batch after any maintenance."""
+    target = _mk(spark, tmp_path)
+    b = spark.createDataFrame([("t1", 10)], ["oid__id", "v"])
+    keyed_append(spark, b, target, txn_app="job", txn_seq=5)
+    keyed_overwrite_parquet(
+        spark, spark.createDataFrame([("k1", 99)], ["oid__id", "v"]), target
+    )
+    optimize_keyed_table(spark, target)
+    v = table_version(target)
+    assert keyed_append(spark, b, target, txn_app="job", txn_seq=5) == 0
+    assert table_version(target) == v
+    # two independent writers don't collide
+    b3 = spark.createDataFrame([("u1", 1)], ["oid__id", "v"])
+    assert keyed_append(spark, b3, target, txn_app="other", txn_seq=1) >= 1
+
+
+def test_append_txn_bootstrap_and_clone_reset(spark, tmp_path):
+    """First-batch txn on an empty table publishes the watermark; a
+    shallow clone RESETS txns (a clone is a new table to writers)."""
+    from airflow_postgres_etl_spark.sink import clone_keyed_table
+
+    target = str(tmp_path / "fresh")
+    b = spark.createDataFrame([("a", 1)], ["oid__id", "v"])
+    keyed_append(spark, b, target, num_buckets=2, txn_app="job", txn_seq=1)
+    assert keyed_append(spark, b, target, txn_app="job", txn_seq=1) == 0
+    dest = str(tmp_path / "c")
+    clone_keyed_table(target, dest)
+    # same app+seq applies on the clone — but the key exists there
+    # (cloned data), so the new-key check fires first: use a fresh key
+    b2 = spark.createDataFrame([("b", 2)], ["oid__id", "v"])
+    assert keyed_append(spark, b2, dest, txn_app="job", txn_seq=1) >= 1
+
+
+def test_append_txn_args_must_pair(spark, tmp_path):
+    target = _mk(spark, tmp_path)
+    b = spark.createDataFrame([("t1", 10)], ["oid__id", "v"])
+    with pytest.raises(ValueError, match="together"):
+        keyed_append(spark, b, target, txn_app="job")
+    with pytest.raises(ValueError, match="together"):
+        keyed_append(spark, b, target, txn_seq=3)

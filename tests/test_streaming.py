@@ -663,3 +663,72 @@ def test_streamed_sketches_equal_batch_build_across_restart(spark, tmp_path):
         for r in read_keyed_table(spark, os.path.join(out, "cms")).collect()
     }
     assert got_cms_2 == got_cms
+
+
+def test_stream_append_checkpointed_and_replay_safe(spark, tmp_path):
+    """Append-mode fact ingest: files stream in as O(batch) blind
+    appends with the writer-txn watermark making redelivery a no-op;
+    restart with no new files changes nothing; new files append; the
+    file-count debt auto-optimizes at the threshold."""
+    from airflow_postgres_etl_spark.sink import (
+        describe_keyed_table,
+        keyed_append,
+    )
+    from airflow_postgres_etl_spark.streaming import stream_append
+
+    src, tgt, ck = (str(tmp_path / d) for d in ("src", "t", "ck"))
+    os.makedirs(src)
+    schema = "id long, v long"
+
+    def feed(lo, hi):
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(lo, hi)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    feed(0, 50)
+    feed(50, 100)
+    q = stream_append(
+        spark, src, tgt, ck, schema=schema, key="id", num_buckets=4,
+        max_files_per_trigger=1, optimize_at_files=3,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    df = read_keyed_table(spark, tgt)
+    assert df.count() == 100 == df.select("id").distinct().count()
+    v1 = table_version(tgt)
+
+    # restart, nothing new: checkpoint skips all files, zero commits
+    q2 = stream_append(
+        spark, src, tgt, ck, schema=schema, key="id", num_buckets=4,
+        max_files_per_trigger=1, optimize_at_files=3,
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert table_version(tgt) == v1
+
+    # manual redelivery of an already-applied epoch: manifest no-op
+    b = spark.createDataFrame([(0, 0)], schema)
+    txn_app = f"stream_append:{os.path.abspath(ck)}"
+    assert (
+        keyed_append(
+            spark, b, tgt, key="id", verify_new=False,
+            txn_app=txn_app, txn_seq=0,
+        )
+        == 0
+    )
+    assert read_keyed_table(spark, tgt).count() == 100
+
+    # new files stream in; enough appends cross the optimize threshold
+    feed(100, 150)
+    feed(150, 200)
+    q3 = stream_append(
+        spark, src, tgt, ck, schema=schema, key="id", num_buckets=4,
+        max_files_per_trigger=1, optimize_at_files=3,
+    )
+    q3.awaitTermination(120)
+    assert q3.exception() is None
+    df = read_keyed_table(spark, tgt)
+    assert df.count() == 200 == df.select("id").distinct().count()
+    assert (
+        describe_keyed_table(tgt)["max_files_per_bucket"] < 3
+    )  # auto-optimize fired
