@@ -307,6 +307,7 @@ def knn_ivf_centroids(
     probes: int = IVF_PROBES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Real IVF ANN: geometric coarse quantizer + multi-probe.
 
@@ -315,15 +316,22 @@ def knn_ivf_centroids(
     ≈ probes / n_cells of the corpus instead of all of it; recall is
     measured (not assumed) by ``tools/ann_recall.py``.
 
+    ``centroids`` overrides the default id-sampled quantizer — pass
+    ``clustering.kmeans_centroids(...)`` for a TRAINED quantizer that
+    tracks the data's density (measured recall/scan trade in SCALE.md).
+
     Columns: ``query_id, neighbor_id, cosine_sim`` (rounded 6).
     """
-    cand = ivf_cells(emb, n_cells, id_col, vec_col).select(
+    cent = (
+        centroids
+        if centroids is not None
+        else _centroids(emb, n_cells, id_col, vec_col)
+    )
+    cand = ivf_cells(emb, n_cells, id_col, vec_col, centroids=cent).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
     )
     qsims = _centroid_sims(
-        emb.filter(F.col(id_col).isin(query_ids)),
-        _centroids(emb, n_cells, id_col, vec_col),
-        vec_col,
+        emb.filter(F.col(id_col).isin(query_ids)), cent, vec_col
     )
     wq = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.desc("c_id"))
     q = (

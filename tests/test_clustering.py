@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from airflow_postgres_etl_spark.operators.clustering import kmeans_fixed
 
 
@@ -61,3 +63,29 @@ def test_kmeans_exact_distance_values(spark):
     assert out[0] == 250_000**2
     assert out[2] == 250_000**2
     assert out[1] == 0
+
+
+def test_kmeans_centroids_are_a_drop_in_ivf_quantizer(spark):
+    """kmeans_centroids matches seed_centroids' shape contract and works
+    as the centroids= override across the IVF tier: every vector gets a
+    non-null cell, and the ANN query runs end to end."""
+    from airflow_postgres_etl_spark.operators import similarity as S
+    from airflow_postgres_etl_spark.operators.clustering import (
+        kmeans_centroids,
+    )
+    from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cent = kmeans_centroids(emb, k=8, iterations=2).localCheckpoint()
+    seeded = S.seed_centroids(emb, 8)
+    assert cent.columns == seeded.columns
+    assert cent.count() == 8
+
+    cells = S.ivf_cells(emb, n_cells=8, centroids=cent)
+    assert cells.filter(F.col("cell").isNull()).count() == 0
+    knn = S.knn_ivf_centroids(
+        emb, [0, 1], k=5, n_cells=8, probes=2, centroids=cent
+    ).collect()
+    assert len(knn) == 10  # 2 queries x top-5, all cells probed non-empty

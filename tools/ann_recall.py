@@ -43,6 +43,16 @@ def main() -> None:
     label_cell = topk_sets(S.knn_ivf(emb, query_ids, k=k))
     ivf_mp = topk_sets(S.knn_ivf_centroids(emb, query_ids, k=k))
 
+    # trained quantizer: same cell/probe budget, centroids from 3 Lloyd
+    # iterations instead of the first-64-ids sample
+    from airflow_postgres_etl_spark.operators.clustering import kmeans_centroids
+
+    trained = kmeans_centroids(emb, k=S.N_IVF_CELLS, iterations=3)
+    trained = trained.localCheckpoint(eager=True)
+    ivf_km = topk_sets(
+        S.knn_ivf_centroids(emb, query_ids, k=k, centroids=trained)
+    )
+
     def recall(approx: dict[int, set[int]]) -> float:
         num = sum(len(exact[q] & approx.get(q, set())) for q in exact)
         den = sum(len(exact[q]) for q in exact)
@@ -72,6 +82,24 @@ def main() -> None:
         sum(cell_sizes.get(r.c_id, 0) for r in probed) / (len(query_ids) * n), 4
     )
 
+    assigned_km = S.ivf_cells(emb, centroids=trained).select("vec_id", "cell").cache()
+    cell_sizes_km = {
+        r["cell"]: r["cnt"]
+        for r in assigned_km.groupBy("cell").agg(F.count("*").alias("cnt")).collect()
+    }
+    qsims_km = S._centroid_sims(
+        emb.filter(F.col("vec_id").isin(query_ids)), trained, "embedding"
+    )
+    probed_km = (
+        qsims_km.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= S.IVF_PROBES)
+        .select("vec_id", "c_id")
+        .collect()
+    )
+    scanned_km = round(
+        sum(cell_sizes_km.get(r.c_id, 0) for r in probed_km) / (len(query_ids) * n), 4
+    )
+
     print(
         json.dumps(
             {
@@ -84,6 +112,8 @@ def main() -> None:
                 "probes": S.IVF_PROBES,
                 "recall_at_k_ivf_mp": recall(ivf_mp),
                 "scanned_fraction_ivf_mp": scanned,
+                "recall_at_k_ivf_kmeans": recall(ivf_km),
+                "scanned_fraction_ivf_kmeans": scanned_km,
                 "recall_at_k_label_cell": recall(label_cell),
                 "scanned_fraction_brute": 1.0,
             }
