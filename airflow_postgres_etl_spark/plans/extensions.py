@@ -7487,7 +7487,12 @@ def table_append_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, scale: int = 1_000_000) -> str:
+def _kmeans_oracle_sql(
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    final_select: str | None = None,
+) -> str:
     """Unrolled Lloyd's-iteration oracle: a_t assigns against c_{t-1}
     (integer squared L2, ties on cid), c_t is the truncated integer
     mean of a_t's members; output = assignment against c_iterations.
@@ -7531,8 +7536,11 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, scale: int = 1_000_000) 
         f"SELECT p.pid, c.cid, {dist('p', 'c')} AS d,"
         f" row_number() OVER (PARTITION BY p.pid ORDER BY {dist('p', 'c')},"
         f" c.cid) AS rn FROM p CROSS JOIN c{iterations} c) WHERE rn = 1) "
-        "SELECT pid AS vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist_q "
-        "FROM fin ORDER BY vec_id"
+        + (
+            final_select
+            or "SELECT pid AS vec_id, CAST(cid AS BIGINT) AS cluster,"
+            " d AS dist_q FROM fin ORDER BY vec_id"
+        )
     )
     return "\n".join(parts)
 
@@ -7554,3 +7562,40 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_fixed(emb, k=8, iterations=3).orderBy("vec_id")
+
+
+@query(
+    "pipeline_cluster_prototypes",
+    _kmeans_oracle_sql(
+        final_select=(
+            "SELECT cluster, vec_id, dist_q, rank FROM ("
+            "SELECT CAST(cid AS BIGINT) AS cluster, pid AS vec_id,"
+            " d AS dist_q,"
+            " row_number() OVER (PARTITION BY cid ORDER BY d, pid) AS rank"
+            " FROM fin) WHERE rank <= 5 ORDER BY cluster, rank"
+        )
+    ),
+)
+def pipeline_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced prototype selection — the curation move k-means
+    buys (SemDeDup/DsDm shape): cluster the embedding corpus, keep the
+    5 most central points per cluster (smallest integer squared L2 to
+    the trained centroid, ties on id).  Balanced coverage of the
+    embedding space at a fixed budget, instead of a global top-k that
+    over-samples the densest region; the same window inverted (rank
+    DESC) is outlier mining.
+
+    100 TB shape: on top of k-means' broadcast assignment, selection is
+    one per-cluster top-k window — partitioned by cluster, never a
+    global sort."""
+    from ..operators.clustering import kmeans_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("cluster").orderBy(F.asc("dist_q"), F.asc("vec_id"))
+    return (
+        kmeans_fixed(emb, k=8, iterations=3)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("cluster", "vec_id", "dist_q", "rank")
+        .orderBy("cluster", "rank")
+    )

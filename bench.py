@@ -174,6 +174,8 @@ HEADLINE = [
     "table_append_optimize",
     # round-7: integer-exact Lloyd's k-means (cluster-based curation)
     "cluster_kmeans",
+    # round-7: cluster-balanced prototype selection on top of k-means
+    "pipeline_cluster_prototypes",
 ]
 
 

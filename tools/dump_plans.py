@@ -99,6 +99,18 @@ SHOWCASE = {
         "image near-dup: mapInPandas decode + aHash, then the shared "
         "SimHash pigeonhole block equi-join — no cartesian"
     ),
+    "cluster_kmeans": (
+        "k-means final assignment: k-row centroids broadcast, map-side "
+        "integer argmin — the corpus never shuffles"
+    ),
+    "text_hybrid_rrf": (
+        "hybrid RRF fusion: two truncated top-L rank lists collapsed by "
+        "ONE hash aggregate — no join, no sort-merge anywhere"
+    ),
+    "pipeline_cluster_prototypes": (
+        "cluster-balanced selection: per-cluster top-k window above the "
+        "broadcast assignment, never a global sort"
+    ),
 }
 
 SF = "/root/testdata/sf0.001"
