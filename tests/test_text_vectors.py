@@ -565,3 +565,36 @@ def test_mmr_select_tie_breaks_on_id(spark):
     )
     rows = mmr_select(cand, k=1).collect()
     assert [(r.mmr_rank, r.doc_id) for r in rows] == [(1, 3)]
+
+
+def test_bm25_index_large_batch_branches(spark, tmp_path):
+    """Past the adaptive thresholds (>512 ids, >2048 terms) the index
+    add probes via broadcast semi-joins instead of literal-key lookups:
+    the incremental build still equals a fresh one-shot build term for
+    term, and a re-add is still refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.operators.text import (
+        add_documents,
+        bm25_from_index,
+    )
+
+    # 1200 docs x 3 unique terms each = 3600 distinct terms, plus a
+    # shared query term so BM25 has something to rank
+    rows = [
+        (i, f"shared u{i}a u{i}b u{i}c") for i in range(1200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inc = str(tmp_path / "inc")
+    add_documents(spark, docs.filter(F.col("doc_id") < 600), inc)
+    add_documents(spark, docs.filter(F.col("doc_id") >= 600), inc)
+    fresh = str(tmp_path / "fresh")
+    add_documents(spark, docs, fresh)
+    q = ["shared", "u7a", "u900b"]
+    a = [(r.doc_id, r.bm25_micro) for r in bm25_from_index(spark, inc, q, n=10).collect()]
+    b = [(r.doc_id, r.bm25_micro) for r in bm25_from_index(spark, fresh, q, n=10).collect()]
+    assert a == b and len(a) == 10
+
+    with _pytest.raises(ValueError, match="already indexed"):
+        add_documents(spark, docs.filter(F.col("doc_id") == 3), inc)
