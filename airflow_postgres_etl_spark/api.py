@@ -244,6 +244,18 @@ class Table:
 
         return sink.merge_into(self.spark, self.path, source, store=self.store, **kw)
 
+    def apply_changes(self, changes: DataFrame, seq_col: str, **kw) -> dict:
+        """DLT-style APPLY CHANGES INTO (SCD1): absorb an out-of-order
+        CDC feed sequenced by ``seq_col`` — per-key net-change
+        resolution in the batch, stale changes dropped against the
+        stored per-key sequence, deletes tombstone — one MOR delta
+        commit, idempotent under redelivery (see sink.apply_changes)."""
+        from . import sink
+
+        return sink.apply_changes(
+            self.spark, self.path, changes, seq_col, store=self.store, **kw
+        )
+
     def delete_where(self, predicate: str, **kw) -> int:
         from . import sink
 

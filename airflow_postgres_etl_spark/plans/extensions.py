@@ -6932,6 +6932,156 @@ def dml_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("kind", "name")
 
 
+@query(
+    "cdc_apply_changes",
+    """
+    WITH k AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    fin AS (SELECT k, CASE WHEN k % 5 = 0 THEN p + 1000.0 ELSE p END AS v
+            FROM k
+            WHERE (k % 3 <> 0 OR k % 5 = 0)
+              AND NOT (k % 7 = 0 AND k % 5 <> 0))
+    SELECT * FROM (
+        SELECT 'apply1' AS kind, 'upserted' AS name,
+               CAST((SELECT count(*) FROM k
+                     WHERE k % 3 <> 0 OR k % 5 = 0) AS DOUBLE) AS val
+        UNION ALL
+        SELECT 'apply2', 'deleted',
+               CAST((SELECT count(*) FROM k
+                     WHERE k % 7 = 0 AND k % 5 <> 0) AS DOUBLE)
+        UNION ALL
+        SELECT 'apply2', 'ignored',
+               CAST((SELECT count(*) FROM k
+                     WHERE k % 7 = 0 AND k % 5 = 0) AS DOUBLE)
+        UNION ALL
+        SELECT 'apply3', 'ignored',
+               CAST((SELECT count(*) FROM k WHERE k % 7 = 0) AS DOUBLE)
+        UNION ALL
+        SELECT 'final', 'n_rows', CAST((SELECT count(*) FROM fin) AS DOUBLE)
+        UNION ALL
+        SELECT 'final', 'sum_v', (SELECT round(sum(v), 2) FROM fin)
+    ) ORDER BY kind, name
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT-style APPLY CHANGES INTO, end to end (sink.apply_changes):
+    an out-of-order CDC feed — inserts at seq 1 and updates at seq 3
+    land FIRST (net-resolved in one batch), the seq-2 deletes arrive
+    LATE, and the delete batch is then redelivered whole.  The oracle's
+    closed form pins all of it: late deletes lose to the newer stored
+    sequence, deletes of never-inserted keys still record sequenced
+    tombstone memory, and the redelivered batch is a 100%-ignored no-op
+    (the idempotence that makes at-least-once streaming delivery
+    effectively-once — streaming/cdc_stream.py).
+
+    100 TB shape: per batch, one window over the batch for net-change
+    resolution, a bucket-pruned stored-sequence probe over only the
+    batch keys' buckets, one O(net-change) MOR delta commit; the table
+    is never scanned (see sink.apply_changes)."""
+    import shutil
+    import tempfile
+
+    from .. import sink
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    ins = o.filter(F.col("k") % 3 != 0).select(
+        "k", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        F.col("p").alias("v"),
+    )
+    upd = o.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit(3).alias("seq"), F.lit("U").alias("op"),
+        (F.col("p") + 1000.0).alias("v"),
+    )
+    dels = o.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit(2).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_")
+    try:
+        tgt = f"{tmp}/t"
+        r1 = sink.apply_changes(
+            spark, tgt, ins.unionByName(upd), "seq", key="k", num_buckets=8
+        )
+        r2 = sink.apply_changes(spark, tgt, dels, "seq")
+        r3 = sink.apply_changes(spark, tgt, dels, "seq")  # redelivery
+        fin = sink.read_keyed_table(spark, tgt).agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s")
+        ).collect()[0]
+        rows = [
+            ("apply1", "upserted", float(r1["upserted"])),
+            ("apply2", "deleted", float(r2["deleted"])),
+            ("apply2", "ignored", float(r2["ignored"])),
+            ("apply3", "ignored", float(r3["ignored"])),
+            ("final", "n_rows", float(fin.n)),
+            ("final", "sum_v", float(fin.s)),
+        ]
+        assert r3 == {"upserted": 0, "deleted": 0, "ignored": r3["ignored"]}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "kind string, name string, val double"
+    ).orderBy("kind", "name")
+
+
+@query(
+    "cdc_scd2_history",
+    """
+    WITH ch AS (
+        SELECT o_custkey AS k, o_orderkey AS seq, o_orderstatus AS v,
+               (o_orderkey % 13 = 0) AS del
+        FROM orders
+    ),
+    m AS (
+        SELECT k, seq, v, del,
+               lag(del) OVER w AS pdel,
+               lag(v) OVER w AS pv
+        FROM ch WINDOW w AS (PARTITION BY k ORDER BY seq)
+    ),
+    kept AS (
+        SELECT * FROM m
+        WHERE pdel IS NULL OR del <> pdel
+           OR (NOT del AND NOT pdel AND (v IS DISTINCT FROM pv))
+    ),
+    iv AS (
+        SELECT k, seq, v, del,
+               lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+        FROM kept
+    )
+    SELECT k AS o_custkey, v AS status,
+           seq AS valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM iv WHERE NOT del
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES ... STORED AS SCD TYPE 2: a full dimension history
+    built from a CDC feed in ONE pass (operators/scd.scd2_from_changes).
+    The feed is each customer's order-status changes sequenced by order
+    key, with every 13th order a delete — so the differential covers
+    interval chaining, redundant-change suppression (same status again),
+    delete-closes-interval, and reopen-after-delete, per key, over the
+    whole table.
+
+    100 TB shape: ONE shuffle (window by key ordered by sequence); no
+    join against any history table — the history IS the output."""
+    from ..operators.scd import scd2_from_changes
+
+    ch = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("o_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    hist = scd2_from_changes(ch, "o_custkey", "seq", ["status"], op_col="op")
+    return hist.select(
+        "o_custkey", "status",
+        F.col("valid_from"), F.col("valid_to"), F.col("is_current"),
+    )
+
+
 _PR_ITER_SQL = """
     c{i} AS (SELECT e.v AS node,
                     CAST(sum((850000 * r{p}.rank) // (1000000 * od.outdeg))
