@@ -7082,6 +7082,238 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "er_fuzzy_match",
+    """
+    WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+    d AS (
+        SELECT p_partkey AS d_id,
+               concat(substr(p_name, 1, CAST(p_partkey % (length(p_name) - 2) + 2 AS INTEGER) - 1),
+                      substr(p_name, CAST(p_partkey % (length(p_name) - 2) + 2 AS INTEGER) + 1)) AS d_name,
+               p_brand, p_size
+        FROM p WHERE p_partkey % 3 = 0
+    ),
+    cand AS (
+        SELECT d.d_id, d.d_name, p.p_partkey, p.p_name,
+               levenshtein(d.d_name, p.p_name) AS dist
+        FROM d JOIN p USING (p_brand, p_size)
+    ),
+    best AS (
+        SELECT d_id, p_partkey AS matched_key, dist,
+               row_number() OVER (PARTITION BY d_id
+                                  ORDER BY dist, p_partkey) AS rk
+        FROM cand WHERE dist <= 2
+    )
+    SELECT d_id, matched_key, CAST(dist AS INTEGER) AS dist
+    FROM best WHERE rk = 1
+    """,
+)
+def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy matching (operators/linkage):
+    every third part arrives as a dirty record — one character deleted
+    at a key-derived position — and links back to the master part table
+    by blocking on (brand, container) equality, then Levenshtein <= 2
+    within the block, best candidate per record (min distance,
+    deterministic tiebreak).  Character-level linkage is the primitive
+    the token/shingle dedup family can't express (a one-char typo
+    changes nothing in 3-gram Jaccard on words, everything in edit
+    distance).
+
+    100 TB shape: candidate generation is ONE equi-join on the blocking
+    key (never a cross join), the comparator is a codegen'd JVM
+    expression per pair, and the top-1 window repartitions by incoming
+    record id — linear in candidate pairs, which the blocking-key
+    distribution bounds (see er_block_stats)."""
+    from ..operators.linkage import best_links, candidate_pairs
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    pos = (F.col("p_partkey") % (F.length("p_name") - 2) + 2).cast("int")
+    dirty = (
+        p.filter(F.col("p_partkey") % 3 == 0)
+        .withColumn("__pos", pos)
+        .select(
+            F.col("p_partkey").alias("d_id"),
+            F.concat(
+                F.expr("substring(p_name, 1, __pos - 1)"),
+                F.expr("substring(p_name, __pos + 1, 100000)"),
+            ).alias("d_name"),
+            "p_brand",
+            "p_size",
+        )
+    )
+    cand = candidate_pairs(dirty, p, ["p_brand", "p_size"])
+    links = best_links(
+        cand, "d_id", "d_name", "p_name", max_dist=2, tiebreak_col="p_partkey"
+    )
+    return links.select(
+        "d_id",
+        F.col("p_partkey").alias("matched_key"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+@query(
+    "er_block_stats",
+    """
+    WITH s AS (
+        SELECT p_brand, p_size, count(*) AS block_size
+        FROM part GROUP BY 1, 2
+    )
+    SELECT block_size, CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(block_size * block_size) AS BIGINT) AS pairs
+    FROM s GROUP BY block_size
+    """,
+)
+def er_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key size distribution for the ER join (operators/
+    linkage.block_stats) — the governing number for blocked matching at
+    scale: ``pairs`` (size²) is each block's join cost, and one
+    mega-block (NULL/default attribute values in real data) is the
+    difference between linear and quadratic.  Production path caps
+    blocks via candidate_pairs(max_block=...) and re-blocks the
+    residual finer."""
+    from ..operators.linkage import block_stats
+
+    p = load_table(spark, sf_dir, "part")
+    return block_stats(p, ["p_brand", "p_size"]).select(
+        "block_size",
+        F.col("n_blocks").cast("long"),
+        F.col("pairs").cast("long"),
+    )
+
+
+@query(
+    "q_market_basket",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    n AS (SELECT p, count(*) AS np FROM b GROUP BY p),
+    tot AS (SELECT count(DISTINCT k) AS orders FROM b),
+    pr AS (
+        SELECT a.p AS p1, c.p AS p2, count(*) AS support
+        FROM b a JOIN b c USING (k) WHERE a.p < c.p
+        GROUP BY 1, 2
+    )
+    SELECT p1, p2, CAST(support AS BIGINT) AS support,
+           CAST((support * orders * 1000000)
+                // (n1.np * n2.np) AS BIGINT) AS lift_ppm
+    FROM pr
+    JOIN n n1 ON pr.p1 = n1.p
+    JOIN n n2 ON pr.p2 = n2.p
+    CROSS JOIN tot
+    ORDER BY support DESC, p1, p2 LIMIT 20
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: top co-purchased part pairs
+    by support, with integer-exact lift (support·N·10^6 // (n_a·n_b) —
+    floor division so both engines agree bit-for-bit).  The A-priori
+    support-counting core: one distinct (basket, item) projection, one
+    self-join per basket, one pair aggregate.
+
+    100 TB shape: the self-join shuffles on the basket key and fan-out
+    is C(items-per-basket, 2) — bounded by basket size (~7 for
+    lineitem), NOT by catalog size; item counts broadcast back onto the
+    top-k.  The support>=2 edge set this induces feeds graph_triangles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = b.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
+    orders = b.agg(F.countDistinct("k").alias("orders"))
+    b2 = b.select("k", F.col("p").alias("p2"))
+    pr = (
+        b.join(b2, "k")
+        .filter(F.col("p") < F.col("p2"))
+        .groupBy(F.col("p").alias("p1"), F.col("p2"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    out = (
+        pr.join(F.broadcast(n.withColumnRenamed("p", "p1").withColumnRenamed("np", "n1")), "p1")
+        .join(F.broadcast(n.withColumnRenamed("p", "p2").withColumnRenamed("np", "n2")), "p2")
+        .crossJoin(F.broadcast(orders))
+        .select(
+            "p1",
+            "p2",
+            F.col("support").cast("long"),
+            # integer floor-division on both engines (Spark `div`,
+            # DuckDB `//`) — a double division here can floor to the
+            # wrong side at near-integer quotients
+            F.expr(
+                "CAST(support * orders * 1000000 AS BIGINT)"
+                " div (n1 * n2)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return out.orderBy(F.desc("support"), "p1", "p2").limit(20)
+
+
+@query(
+    "graph_triangles",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    pr AS (
+        SELECT a.p AS u, c.p AS v
+        FROM b a JOIN b c USING (k) WHERE a.p < c.p
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS n FROM pr UNION ALL SELECT v FROM pr
+        ) GROUP BY n
+    ),
+    rk AS (SELECT n, d * 1000000000 + n AS r FROM deg),
+    o AS (
+        SELECT CASE WHEN ru.r < rv.r THEN pr.u ELSE pr.v END AS a,
+               CASE WHEN ru.r < rv.r THEN pr.v ELSE pr.u END AS b,
+               CASE WHEN ru.r < rv.r THEN rv.r ELSE ru.r END AS rb
+        FROM pr JOIN rk ru ON pr.u = ru.n JOIN rk rv ON pr.v = rv.n
+    ),
+    tri AS (
+        SELECT e1.a AS a, e1.b AS x, e2.b AS y
+        FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.rb < e2.rb
+        JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri
+    ) GROUP BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_counts) on the
+    co-purchase graph — part pairs co-purchased in >= 2 orders.  The
+    degree-orientation algorithm: orient each edge toward its
+    higher-(degree, id) endpoint, enumerate wedges from the oriented
+    list, close them against it (Suri & Vassilvitskii WWW'11).
+
+    100 TB shape: orientation caps per-node wedge fan-out at
+    O(sqrt(|E|)) regardless of degree skew — the celebrity-node join
+    that melts the naive formulation spreads across its higher-rank
+    neighbors; everything is equi-joins on node keys, rank compare is
+    one codegen'd bigint."""
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b2 = b.select("k", F.col("p").alias("p2"))
+    edges = (
+        b.join(b2, "k")
+        .filter(F.col("p") < F.col("p2"))
+        .groupBy(F.col("p").alias("src"), F.col("p2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    return triangle_counts(edges).select(
+        "node", F.col("n_triangles").cast("long")
+    )
+
+
 _PR_ITER_SQL = """
     c{i} AS (SELECT e.v AS node,
                     CAST(sum((850000 * r{p}.rank) // (1000000 * od.outdeg))
