@@ -176,6 +176,15 @@ HEADLINE = [
     "cluster_kmeans",
     # round-7: cluster-balanced prototype selection on top of k-means
     "pipeline_cluster_prototypes",
+    # round-7: CDC apply-changes (sequenced tombstone memory, three
+    # applies + re-read), one-pass SCD2 history from a change feed
+    "cdc_apply_changes",
+    "cdc_scd2_history",
+    # round-7: blocked fuzzy entity resolution, market-basket support/
+    # lift, degree-oriented triangle counting
+    "er_fuzzy_match",
+    "q_market_basket",
+    "graph_triangles",
 ]
 
 

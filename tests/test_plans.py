@@ -499,3 +499,33 @@ def test_hybrid_rrf_plan_shape(spark):
 
     scans = _re.findall(r"FileScan parquet[^\n]*", plan)
     assert all("embeddings" in s for s in scans), scans
+
+
+def test_er_fuzzy_match_blocked_join_no_python(spark):
+    """ER candidate generation is an equi-join on the blocking key —
+    never a cross join — and the Levenshtein comparator stays JVM-side
+    (codegen), so the plan is linear in candidate pairs."""
+    plan = plan_of(spark, "er_fuzzy_match")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_market_basket_counts_broadcast_onto_topk(spark):
+    """The basket self-join shuffles on the basket key only; the item
+    counts and order total broadcast back onto the pair aggregate (no
+    second corpus-wide shuffle for the lift denominators)."""
+    plan = plan_of(spark, "q_market_basket")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # n1, n2 lookups
+    # the scalar orders total rides a broadcast nested-loop (1 row)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_triangles_all_equi_joins(spark):
+    """Degree-oriented triangle counting is equi-joins end to end —
+    wedge enumeration and closure never degenerate to a cross join, and
+    the rank comparison is a codegen'd bigint predicate."""
+    plan = plan_of(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
