@@ -7314,6 +7314,76 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_zip_roundtrip",
+    """
+    SELECT concat('m', CAST(event_id % 3 AS VARCHAR), '.csv') AS fileName,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(length(props)) AS BIGINT) AS props_chars,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events WHERE event_id % 17 = 0
+    GROUP BY 1
+    """,
+)
+def source_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed zip-of-CSVs DataSource, end to end
+    (sources/zip_datasource — PySpark 4 Python DataSource API): an
+    events subset round-trips through RFC-4180 CSV members inside two
+    zip archives, is read back by `format("zipcsv")` with one input
+    partition per member (executor-side decompression — the reference's
+    driver-side unpack script, initial-script/extract-zip.py, never
+    materializes extracted files here), and per-member aggregates must
+    reproduce the closed form over the original table.  ``props`` (JSON
+    with embedded quotes/commas) rides along so the differential pins
+    quoting fidelity through the whole write→zip→scan chain, not just
+    row counts.
+
+    100 TB shape: the driver touches only zip central directories
+    (O(members) metadata); each member decompresses and Arrow-batches on
+    an executor; lineage is stamped in-source (input_file_name is
+    undefined in a custom source)."""
+    import os
+    import shutil
+    import tempfile
+    import zipfile
+
+    from ..sources.zip_datasource import read_zip_csv
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 17 == 0)
+        .select("event_id", "props")
+    )
+    pdf = ev.toPandas()
+    tmp = tempfile.mkdtemp(prefix="zipsrc_")
+    try:
+        groups = {m: g for m, g in pdf.groupby(pdf["event_id"] % 3)}
+        with zipfile.ZipFile(os.path.join(tmp, "a.zip"), "w") as zf:
+            for m in (0, 1):
+                if m in groups:
+                    zf.writestr(
+                        f"m{m}.csv", groups[m].to_csv(index=False)
+                    )
+        with zipfile.ZipFile(os.path.join(tmp, "b.zip"), "w") as zf:
+            if 2 in groups:
+                zf.writestr("m2.csv", groups[2].to_csv(index=False))
+        back = read_zip_csv(spark, tmp, ["event_id", "props"])
+        out = (
+            back.groupBy("fileName")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.length("props")).cast("long").alias("props_chars"),
+                F.min(F.col("event_id").cast("long")).alias("min_id"),
+                F.max(F.col("event_id").cast("long")).alias("max_id"),
+            )
+            .localCheckpoint(eager=True)  # materialize before tmp cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _PR_ITER_SQL = """
     c{i} AS (SELECT e.v AS node,
                     CAST(sum((850000 * r{p}.rank) // (1000000 * od.outdeg))

@@ -185,6 +185,9 @@ HEADLINE = [
     "er_fuzzy_match",
     "q_market_basket",
     "graph_triangles",
+    # round-7: the zip-of-CSVs Python DataSource (executor-side member
+    # decompression, one partition per member)
+    "source_zip_roundtrip",
 ]
 
 
