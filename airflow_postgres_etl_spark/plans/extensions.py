@@ -7384,6 +7384,131 @@ def source_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q_interpolate_linear",
+    """
+    WITH h0 AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    h AS (
+        SELECT event_type, h,
+               CASE WHEN (CAST(epoch(h) AS BIGINT) // 3600) % 5 = 2
+                    THEN NULL ELSE n END AS v
+        FROM h0
+    ),
+    bounds AS (SELECT event_type, min(h) AS mn, max(h) AS mx
+               FROM h GROUP BY 1),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    j AS (
+        SELECT s.event_type, s.h, hh.v
+        FROM spine s LEFT JOIN h hh
+          ON s.event_type = hh.event_type AND s.h = hh.h
+    ),
+    m AS (
+        SELECT event_type, h, v,
+               CAST(epoch(h) AS BIGINT) // 3600 AS hh,
+               last_value(v IGNORE NULLS) OVER w1 AS pv,
+               last_value(CASE WHEN v IS NOT NULL
+                               THEN CAST(epoch(h) AS BIGINT) // 3600 END
+                          IGNORE NULLS) OVER w1 AS ph,
+               first_value(v IGNORE NULLS) OVER w2 AS nv,
+               first_value(CASE WHEN v IS NOT NULL
+                                THEN CAST(epoch(h) AS BIGINT) // 3600 END
+                           IGNORE NULLS) OVER w2 AS nh
+        FROM j
+        WINDOW w1 AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h AS hour,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) * (hh - ph) / (nh - ph) END
+               AS value_filled,
+           CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+    FROM m
+    WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+    """,
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LINEAR interpolation (TimescaleDB's
+    ``time_bucket_gapfill + interpolate``, the companion to
+    q_gap_fill_hourly's LOCF): per event type, hourly event counts on a
+    dense spine, with every 5th hour "dropped" to simulate sensor
+    outage; missing hours take the straight line between the nearest
+    observation on each side — hours before the first / after the last
+    observation stay absent (no extrapolation).  Counts are exact
+    integers, so the interpolation arithmetic is identical IEEE double
+    math on both engines — no rounding anywhere in the differential.
+
+    100 TB shape: one hour-grain aggregate, a per-series spine explode,
+    and two frame windows PARTITIONED BY the series key — series
+    parallelize across the cluster; a single pathologically long series
+    would use the per-day carry decomposition documented at
+    q_gap_fill_hourly."""
+    ev = load_table(spark, sf_dir, "events")
+    h0 = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    hh_of = lambda c: F.expr(f"unix_timestamp({c}) div 3600")  # noqa: E731
+    h = h0.withColumn(
+        "v",
+        F.when(hh_of("h") % 5 == 2, F.lit(None).cast("double")).otherwise(
+            F.col("n")
+        ),
+    ).drop("n")
+    bounds = h.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = spine.join(h, ["event_type", "h"], "left")
+    w1 = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hh = F.when(F.col("v").isNotNull(), hh_of("h"))
+    m = (
+        j.withColumn("hh", hh_of("h"))
+        .withColumn("pv", F.last("v", ignorenulls=True).over(w1))
+        .withColumn("ph", F.last(obs_hh, ignorenulls=True).over(w1))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w2))
+        .withColumn("nh", F.first(obs_hh, ignorenulls=True).over(w2))
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("hh") - F.col("ph")
+    ) / (F.col("nh") - F.col("ph"))
+    return m.filter(
+        F.col("v").isNotNull()
+        | (F.col("pv").isNotNull() & F.col("nv").isNotNull())
+    ).select(
+        "event_type",
+        F.col("h").alias("hour"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(interp)
+        .alias("value_filled"),
+        F.when(F.col("v").isNotNull(), F.lit("obs"))
+        .otherwise(F.lit("interp"))
+        .alias("src"),
+    )
+
+
 _PR_ITER_SQL = """
     c{i} AS (SELECT e.v AS node,
                     CAST(sum((850000 * r{p}.rank) // (1000000 * od.outdeg))

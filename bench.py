@@ -188,6 +188,9 @@ HEADLINE = [
     # round-7: the zip-of-CSVs Python DataSource (executor-side member
     # decompression, one partition per member)
     "source_zip_roundtrip",
+    # round-7: linear interpolation on the hourly spine (partitioned
+    # frame windows; the interpolate companion to gap-fill LOCF)
+    "q_interpolate_linear",
 ]
 
 

@@ -529,3 +529,15 @@ def test_triangles_all_equi_joins(spark):
     plan = plan_of(spark, "graph_triangles")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_interpolate_windows_partitioned_by_series(spark):
+    """Interpolation's frame windows are PARTITIONED BY the series key —
+    no global single-partition window anywhere in the plan (the
+    scale-killer the gap-fill decomposition exists to avoid)."""
+    plan = plan_of(spark, "q_interpolate_linear")
+    assert "BatchEvalPython" not in plan
+    import re as _re
+
+    for w in _re.findall(r"Window .*", plan):
+        assert "event_type" in w, w
