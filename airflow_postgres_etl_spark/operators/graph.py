@@ -266,3 +266,74 @@ def triangle_counts(
         .unionByName(tri.select(F.col("y").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def tree_ancestors(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Root + depth for every node of a forest — the ``WITH RECURSIVE``
+    hierarchy traversal Spark SQL lacks, re-expressed as pointer
+    DOUBLING so a depth-D tree needs ceil(log2 D) rounds, not D
+    (the same halving idea as :func:`connected_components`):
+
+        anc(v)  <- anc(anc(v))        (jump: pointer doubles)
+        dist(v) <- dist(v) + dist(anc(v))
+
+    ``edges`` holds one (child, parent) row per non-root node; roots are
+    nodes appearing as a parent but never as a child (or explicit
+    self-edges).  A node's chain is followed until its ancestor pointer
+    reaches a root, which is a fixpoint (anc(root)=root, dist 0), so the
+    doubling converges for every node simultaneously; cycles never reach
+    a fixpoint and raise :class:`ConvergenceError` at ``max_iter`` —
+    never a silently wrong partial closure.
+
+    Output: ``(node, root, depth)`` for EVERY node including roots
+    (depth 0).
+
+    100 TB shape: each round is one self-join of the node-sized state on
+    the ancestor key + a ``localCheckpoint`` to truncate lineage —
+    O(log depth) shuffles of O(nodes) rows; the edge set is read once.
+    A 2^25-deep chain converges in 25 rounds.
+    """
+    e = edges.select(
+        F.col(child).alias("node"), F.col(parent).alias("anc")
+    ).filter(F.col("node") != F.col("anc"))
+    roots = (
+        e.select(F.col("anc").alias("node"))
+        .distinct()
+        .join(e.select("node"), "node", "left_anti")
+    )
+    state = e.withColumn("dist", F.lit(1)).unionByName(
+        roots.select(
+            "node", F.col("node").alias("anc"), F.lit(0).alias("dist")
+        )
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        hop = state.select(
+            F.col("node").alias("a_node"),
+            F.col("anc").alias("a_anc"),
+            F.col("dist").alias("a_dist"),
+        )
+        nxt = (
+            state.join(hop, state["anc"] == hop["a_node"], "inner")
+            .select(
+                "node",
+                F.col("a_anc").alias("anc"),
+                (F.col("dist") + F.col("a_dist")).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: every ancestor pointer already sits on a root
+        # (jumping from a root adds 0 and moves nothing)
+        if nxt.exceptAll(state).limit(1).count() == 0:
+            return state.select(
+                "node", F.col("anc").alias("root"), F.col("dist").alias("depth")
+            )
+        state = nxt
+    raise ConvergenceError(
+        f"tree_ancestors: no fixpoint after {max_iter} doubling rounds — "
+        "cycle in the edge set, or depth > 2^max_iter"
+    )

@@ -7509,6 +7509,58 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_hierarchy_closure",
+    """
+    WITH RECURSIVE e AS (
+        SELECT c.o_orderkey AS child, p.o_orderkey AS parent
+        FROM orders c JOIN orders p ON c.o_orderkey // 10 = p.o_orderkey
+        WHERE c.o_orderkey // 10 <> c.o_orderkey
+    ),
+    cl AS (
+        SELECT o.o_orderkey AS node, o.o_orderkey AS root, 0 AS depth
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.child = o.o_orderkey)
+        UNION ALL
+        SELECT e.child, cl.root, cl.depth + 1
+        FROM e JOIN cl ON e.parent = cl.node
+    )
+    SELECT node, root, CAST(depth AS INTEGER) AS depth FROM cl
+    """,
+)
+def graph_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE parity: Spark SQL has no ``WITH RECURSIVE``, so the
+    hierarchy closure (root + depth per node) runs as pointer DOUBLING
+    (operators/graph.tree_ancestors — ceil(log2 depth) rounds, each one
+    node-sized self-join), here over the synthetic orders forest
+    (parent = orderkey/10 when that key exists).  The oracle IS a
+    genuine recursive CTE, so the differential proves the doubling's
+    closure — EVERY node's root and exact depth — against the textbook
+    sequential semantics, row for row.
+
+    100 TB shape: D-deep hierarchies cost log2(D) shuffles of the
+    node-sized state (a 2^25 chain = 25 rounds), never D sequential
+    joins; the edge set is read once."""
+    from ..operators.graph import tree_ancestors
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    keys = o.select(F.col("k").alias("pk"))
+    edges = (
+        o.select("k", F.expr("k div 10").alias("pk"))
+        .filter(F.col("k") != F.col("pk"))
+        .join(keys, "pk")
+        .select(F.col("k").alias("child"), F.col("pk").alias("parent"))
+    )
+    closure = tree_ancestors(edges, "child", "parent")
+    return o.join(closure, o["k"] == closure["node"], "left").select(
+        F.col("k").alias("node"),
+        F.coalesce(closure["root"], o["k"]).alias("root"),
+        F.coalesce(closure["depth"], F.lit(0)).cast("int").alias("depth"),
+    )
+
+
 _PR_ITER_SQL = """
     c{i} AS (SELECT e.v AS node,
                     CAST(sum((850000 * r{p}.rank) // (1000000 * od.outdeg))

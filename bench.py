@@ -191,6 +191,9 @@ HEADLINE = [
     # round-7: linear interpolation on the hourly spine (partitioned
     # frame windows; the interpolate companion to gap-fill LOCF)
     "q_interpolate_linear",
+    # round-7: recursive-CTE parity via pointer doubling (hierarchy
+    # closure in log(depth) rounds, oracle = real WITH RECURSIVE)
+    "graph_hierarchy_closure",
 ]
 
 

@@ -51,3 +51,56 @@ def test_nonconvergence_raises_not_silent(spark):
         labels = connected_components(edges, max_iter=2, on_max_iter="warn")
         assert labels.count() == 41
     assert any("did not converge" in str(w.message) for w in caught)
+
+
+# ---------------------------------------------------------------------------
+# tree_ancestors (pointer doubling; recursive-CTE parity)
+# ---------------------------------------------------------------------------
+
+
+def test_tree_ancestors_chain_and_forest(spark):
+    from airflow_postgres_etl_spark.operators.graph import tree_ancestors
+
+    # chain 1<-2<-3<-4<-5 plus a separate star root 10 with leaves 11,12
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (5, 4), (11, 10), (12, 10)],
+        ["child", "parent"],
+    )
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in tree_ancestors(edges, "child", "parent").collect()
+    }
+    assert got == {
+        1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3), 5: (1, 4),
+        10: (10, 0), 11: (10, 1), 12: (10, 1),
+    }
+
+
+def test_tree_ancestors_deep_chain_log_rounds(spark):
+    from airflow_postgres_etl_spark.operators.graph import tree_ancestors
+
+    # depth-40 chain must converge well inside max_iter=7 (2^7 >= 40):
+    # doubling, not sequential traversal
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(40)], ["child", "parent"]
+    )
+    got = {
+        r["node"]: r["depth"]
+        for r in tree_ancestors(edges, "child", "parent", max_iter=7).collect()
+    }
+    assert got[40] == 40 and got[0] == 0
+
+
+def test_tree_ancestors_cycle_raises(spark):
+    import pytest
+
+    from airflow_postgres_etl_spark.operators.graph import (
+        ConvergenceError,
+        tree_ancestors,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], ["child", "parent"]
+    )
+    with pytest.raises(ConvergenceError):
+        tree_ancestors(edges, "child", "parent", max_iter=6)
