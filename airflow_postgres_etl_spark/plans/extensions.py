@@ -7561,6 +7561,126 @@ def graph_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_feature_binning",
+    """
+    WITH b AS (
+        SELECT o_orderpriority,
+               ntile(10) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS bin,
+               o_totalprice AS p
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(bin AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           min(p) AS lo, max(p) AS hi,
+           round(sum(p), 2) AS sum_p
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth (quantile) feature binning — the discretization
+    primitive for feature engineering: NTILE deciles of order value
+    WITHIN each priority class (deterministic: value + key tiebreak),
+    then per-bin population, bounds and mass.  min/max are raw column
+    values (never rounded — order-independent); only the sum rounds.
+
+    100 TB shape: the rank window PARTITIONS BY the grouping class, so
+    bins compute per-partition in parallel — the global-sort variant of
+    equal-depth binning is the anti-pattern; for a single giant series
+    use sketch_sample_quantiles' mergeable bottom-k to fix boundaries,
+    then bin map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    b = o.select(
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("int").alias("bin"),
+        F.col("o_totalprice").alias("p"),
+    )
+    return b.groupBy("o_orderpriority", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("p").alias("lo"),
+        F.max("p").alias("hi"),
+        F.round(F.sum("p"), 2).alias("sum_p"),
+    )
+
+
+@query(
+    "q_linear_regression",
+    """
+    WITH x0 AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hh,
+               value AS y
+        FROM events
+    ),
+    c AS (SELECT event_type, min(hh) AS h0 FROM x0 GROUP BY 1),
+    d AS (
+        SELECT x0.event_type,
+               CAST(x0.hh - c.h0 AS DOUBLE) AS x, y
+        FROM x0 JOIN c ON x0.event_type = c.event_type
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM d GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept
+    FROM s
+    """,
+)
+def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS per group (the `regr_slope`/`regr_intercept`
+    analytics surface): event value regressed on hours-since-first-
+    observation, per event type, from ONE pass of five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) — the map-reducible formulation
+    that needs no iterative solver and no global sort.  x is centered on
+    the group's first hour so the normal-equation differences don't
+    catastrophically cancel at epoch magnitudes; sums round (engine
+    accumulation order), the shared slope subtree is written identically
+    in both engines.
+
+    100 TB shape: one keyed aggregate; sufficient statistics are 5
+    doubles per group and merge associatively (the same law streaming or
+    partial aggregation uses)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("hh"),
+        F.col("value").alias("y"),
+    )
+    c = ev.groupBy("event_type").agg(F.min("hh").alias("h0"))
+    d = ev.join(F.broadcast(c), "event_type").select(
+        "event_type",
+        (F.col("hh") - F.col("h0")).cast("double").alias("x"),
+        "y",
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
 _PR_ITER_SQL = """
     c{i} AS (SELECT e.v AS node,
                     CAST(sum((850000 * r{p}.rank) // (1000000 * od.outdeg))

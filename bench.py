@@ -194,6 +194,9 @@ HEADLINE = [
     # round-7: recursive-CTE parity via pointer doubling (hierarchy
     # closure in log(depth) rounds, oracle = real WITH RECURSIVE)
     "graph_hierarchy_closure",
+    # round-7: equal-depth binning (partitioned NTILE) + one-pass OLS
+    "q_feature_binning",
+    "q_linear_regression",
 ]
 
 
