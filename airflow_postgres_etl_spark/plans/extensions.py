@@ -7681,6 +7681,68 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_partition_replay",
+    """
+    WITH base AS (
+        SELECT o_orderpriority AS pr, o_orderkey AS k, o_totalprice AS p
+        FROM orders
+    ),
+    final AS (
+        SELECT pr, k, p FROM base WHERE pr <> '3-MEDIUM'
+        UNION ALL
+        SELECT pr, k, p + 1000.0 FROM base
+        WHERE pr = '3-MEDIUM' AND k % 2 = 0
+    )
+    SELECT pr, CAST(count(*) AS BIGINT) AS n, round(sum(p), 2) AS sum_p
+    FROM final GROUP BY pr
+    """,
+)
+def table_partition_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite end to end
+    (sources/warehouse.overwrite_partitions — `INSERT OVERWRITE ...
+    PARTITION` semantics): orders land partitioned by priority, then ONE
+    priority is replayed with corrected rows (even keys only, +1000);
+    the re-read per-partition aggregate must show exactly that partition
+    replaced and every other untouched — which the oracle's closed form
+    pins.  The replayed write never lists, reads, or rewrites the other
+    partitions (write cost O(replaced partition) — the daily-replay
+    primitive at a 3,650-day fact table).
+
+    Readers filtering on the partition column prune at plan time
+    (PartitionFilters — gated in tests/test_partitioned.py)."""
+    import shutil
+    import tempfile
+
+    from ..sources.warehouse import overwrite_partitions, read_partitioned
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+    )
+    tmp = tempfile.mkdtemp(prefix="pr_")
+    try:
+        path = f"{tmp}/fact"
+        overwrite_partitions(o, path, ["pr"])
+        replay = o.filter(
+            (F.col("pr") == "3-MEDIUM") & (F.col("k") % 2 == 0)
+        ).withColumn("p", F.col("p") + 1000.0)
+        overwrite_partitions(replay, path, ["pr"])
+        out = (
+            read_partitioned(spark, path)
+            .groupBy("pr")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("p"), 2).alias("sum_p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _PR_ITER_SQL = """
     c{i} AS (SELECT e.v AS node,
                     CAST(sum((850000 * r{p}.rank) // (1000000 * od.outdeg))

@@ -197,6 +197,8 @@ HEADLINE = [
     # round-7: equal-depth binning (partitioned NTILE) + one-pass OLS
     "q_feature_binning",
     "q_linear_regression",
+    # round-7: dynamic partition overwrite (daily-replay primitive)
+    "table_partition_replay",
 ]
 
 
