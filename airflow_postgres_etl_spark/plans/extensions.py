@@ -7743,6 +7743,215 @@ def table_partition_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q_chi_square",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(user_id % 4 AS INTEGER) AS seg,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+    s AS (SELECT seg, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+    g AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c)
+    SELECT c.event_type, c.seg, c.o,
+           (r.rt * s.ct) / g.n AS expected,
+           (c.o - (r.rt * s.ct) / g.n)
+             * (c.o - (r.rt * s.ct) / g.n)
+             / ((r.rt * s.ct) / g.n) AS contrib
+    FROM c
+    JOIN r ON c.event_type = r.event_type
+    JOIN s ON c.seg = s.seg
+    CROSS JOIN g
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency analysis (independence of event type ×
+    user segment) — the statistical-testing primitive behind drift
+    monitors and categorical feature selection: observed cell counts,
+    expected counts under independence (row·col/n), and each cell's
+    chi-square contribution.  Every number derives from exact integer
+    counts through identically-structured double arithmetic (row·col <
+    2^53, division deterministic IEEE), so the differential needs NO
+    rounding — both engines agree to the last bit.
+
+    100 TB shape: one cell aggregate over the fact table; row/column/
+    grand totals are category-sized and broadcast back onto the cells —
+    the corpus shuffles once."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).cast("int").alias("seg")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    c = c.localCheckpoint(eager=True)  # totals + cells share one scan
+    r = c.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    s = c.groupBy("seg").agg(F.sum("o").cast("long").alias("ct"))
+    g = c.agg(F.sum("o").cast("long").alias("n"))
+    e = (F.col("rt") * F.col("ct")) / F.col("n")
+    return (
+        c.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(s), "seg")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "seg",
+            "o",
+            e.alias("expected"),
+            ((F.col("o") - e) * (F.col("o") - e) / e).alias("contrib"),
+        )
+    )
+
+
+@query(
+    "q_winsorize",
+    """
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < q.p05 OR e.value > q.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           round(q.p05, 6) AS p05, round(q.p95, 6) AS p95,
+           round(avg(CASE WHEN e.value < q.p05 THEN q.p05
+                          WHEN e.value > q.p95 THEN q.p95
+                          ELSE e.value END), 6) AS winsorized_mean,
+           round(avg(e.value), 6) AS raw_mean
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type, q.p05, q.p95
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier-robust cleaning primitive: per event
+    type, clip values to the [p5, p95] band and report the clipped
+    count plus winsorized vs raw mean.  Percentiles are interpolated
+    (rounded per the rule, as are the means); the clip itself is a CASE
+    chain over the broadcast per-group bounds.
+
+    100 TB shape: one percentile aggregate (group-sized state), bounds
+    broadcast back onto the fact scan, one final aggregate — the corpus
+    shuffles once and the clip is map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    clipped = (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+    wins = (
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+    )
+    return j.groupBy("event_type", "p05", "p95").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(clipped.cast("long")).alias("n_clipped"),
+        F.round(F.avg(wins), 6).alias("winsorized_mean"),
+        F.round(F.avg("value"), 6).alias("raw_mean"),
+    ).select(
+        "event_type", "n", "n_clipped",
+        F.round("p05", 6).alias("p05"), F.round("p95", 6).alias("p95"),
+        "winsorized_mean", "raw_mean",
+    )
+
+
+@query(
+    "q_recommendations",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    n AS (SELECT p, count(*) AS np FROM b GROUP BY p),
+    tot AS (SELECT count(DISTINCT k) AS orders FROM b),
+    pr AS (
+        SELECT a.p AS p1, c.p AS p2, count(*) AS support
+        FROM b a JOIN b c USING (k) WHERE a.p <> c.p
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    scored AS (
+        SELECT p1, p2, CAST(support AS BIGINT) AS support,
+               CAST((support * orders * 1000000)
+                    // (n1.np * n2.np) AS BIGINT) AS lift_ppm
+        FROM pr
+        JOIN n n1 ON pr.p1 = n1.p
+        JOIN n n2 ON pr.p2 = n2.p
+        CROSS JOIN tot
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (PARTITION BY p1
+                                     ORDER BY lift_ppm DESC, support DESC,
+                                              p2) AS rnk
+        FROM scored
+    )
+    SELECT p1 AS part, p2 AS recommended, support, lift_ppm,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM rk WHERE rnk <= 3
+    """,
+)
+def q_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item recommendations from co-purchase lift — the
+    Amazon-style "customers also bought" stage on top of the
+    market-basket support core: directed pairs at support >= 2, scored
+    by integer-exact lift, top-3 per part by (lift, support,
+    deterministic id).  The whole ranking is integer arithmetic, so the
+    differential pins the recommendation ORDER, not just the scores.
+
+    100 TB shape: identical to q_market_basket (per-basket fan-out,
+    broadcast denominators) plus one window partitioned by the
+    antecedent part — never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = b.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
+    orders = b.agg(F.countDistinct("k").alias("orders"))
+    b2 = b.select("k", F.col("p").alias("p2"))
+    pr = (
+        b.join(b2, "k")
+        .filter(F.col("p") != F.col("p2"))
+        .groupBy(F.col("p").alias("p1"), F.col("p2"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    scored = (
+        pr.join(
+            F.broadcast(
+                n.withColumnRenamed("p", "p1").withColumnRenamed("np", "n1")
+            ),
+            "p1",
+        )
+        .join(
+            F.broadcast(
+                n.withColumnRenamed("p", "p2").withColumnRenamed("np", "n2")
+            ),
+            "p2",
+        )
+        .crossJoin(F.broadcast(orders))
+        .select(
+            "p1",
+            "p2",
+            F.col("support").cast("long").alias("support"),
+            F.expr(
+                "CAST(support * orders * 1000000 AS BIGINT) div (n1 * n2)"
+            ).alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy("p1").orderBy(
+        F.desc("lift_ppm"), F.desc("support"), "p2"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("p1").alias("part"),
+            F.col("p2").alias("recommended"),
+            "support",
+            "lift_ppm",
+            "rnk",
+        )
+    )
+
+
 _PR_ITER_SQL = """
     c{i} AS (SELECT e.v AS node,
                     CAST(sum((850000 * r{p}.rank) // (1000000 * od.outdeg))

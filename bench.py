@@ -199,6 +199,11 @@ HEADLINE = [
     "q_linear_regression",
     # round-7: dynamic partition overwrite (daily-replay primitive)
     "table_partition_replay",
+    # round-7: chi-square contingency, winsorized cleaning, item-item
+    # recommendations from co-purchase lift
+    "q_chi_square",
+    "q_winsorize",
+    "q_recommendations",
 ]
 
 
