@@ -7952,6 +7952,129 @@ def q_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_join_cardinality",
+    f"""
+    WITH items AS (
+        SELECT 'A' AS side, CAST(o_custkey AS VARCHAR) AS tok FROM orders
+        UNION ALL
+        SELECT 'B', CAST(c_custkey AS VARCHAR) FROM customer
+        WHERE c_acctbal > 0
+    ),
+    h AS (SELECT DISTINCT side, {_KMV_SQL_H} AS h FROM items),
+    r AS (SELECT side, h,
+                 row_number() OVER (PARTITION BY side ORDER BY h) AS rn
+          FROM h),
+    s AS (SELECT side, list(h ORDER BY h) AS ks,
+                 CAST(count(*) AS BIGINT) AS n_k, max(h) AS kth
+          FROM r WHERE rn <= {_KMV_K} GROUP BY side),
+    p AS (
+        SELECT a.n_k AS na, a.kth AS ka_th, b.n_k AS nb, b.kth AS kb_th,
+               (list_sort(list_distinct(list_concat(a.ks, b.ks))))[1:{_KMV_K}] AS uk,
+               a.ks AS ka, b.ks AS kb
+        FROM s a JOIN s b ON a.side = 'A' AND b.side = 'B'
+    ),
+    q AS (
+        SELECT *,
+               CAST(len(list_intersect(list_intersect(uk, ka), kb)) AS DOUBLE)
+                   / CAST(len(uk) AS DOUBLE) AS j_est,
+               CASE WHEN len(uk) < {_KMV_K} THEN CAST(len(uk) AS DOUBLE)
+                    ELSE ({_KMV_K - 1}.0 * 1152921504606846976.0)
+                         / CAST(uk[{_KMV_K}] AS DOUBLE) END AS union_est
+        FROM p
+    ),
+    x AS (
+        SELECT CAST((SELECT count(DISTINCT o_custkey) FROM orders)
+                    AS BIGINT) AS exact_a,
+               CAST((SELECT count(DISTINCT c_custkey) FROM customer
+                     WHERE c_acctbal > 0) AS BIGINT) AS exact_b,
+               CAST((SELECT count(*) FROM
+                     (SELECT DISTINCT o_custkey FROM orders) oa
+                     JOIN (SELECT DISTINCT c_custkey FROM customer
+                           WHERE c_acctbal > 0) cb
+                       ON oa.o_custkey = cb.c_custkey) AS BIGINT)
+                   AS exact_inter
+    )
+    SELECT
+        CASE WHEN na < {_KMV_K} THEN CAST(na AS DOUBLE)
+             ELSE ({_KMV_K - 1}.0 * 1152921504606846976.0)
+                  / CAST(ka_th AS DOUBLE) END AS a_est,
+        CASE WHEN nb < {_KMV_K} THEN CAST(nb AS DOUBLE)
+             ELSE ({_KMV_K - 1}.0 * 1152921504606846976.0)
+                  / CAST(kb_th AS DOUBLE) END AS b_est,
+        union_est, j_est * union_est AS inter_est,
+        exact_a, exact_b, exact_inter
+    FROM q CROSS JOIN x
+    """,
+)
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from KMV sketches — the optimizer-
+    statistics move: estimate the distinct-key overlap of orders.custkey
+    against a FILTERED customer dim (acctbal > 0) from two k=128
+    sketches alone, alongside the exact counts so the driver row records
+    the estimate AND its ground truth in one artifact.  At planning
+    time this answers "will this join explode / is the FK dense?" by
+    moving 2k int64s instead of scanning either side; the deterministic
+    md5 hashing is what lets DuckDB reproduce every estimate bit-for-bit
+    (engine-native HLL blobs can't be differentialed).
+
+    100 TB shape: each side is one distinct + bounded top-k (the
+    salted two-level pattern inside kmv_sketch); the estimator reads
+    ≤2k longs.  The exact legs exist for the differential only —
+    production consults the sketches."""
+    from ..operators import sketch as K
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    items = o.select(
+        F.lit("A").alias("side"),
+        F.col("o_custkey").cast("string").alias("item"),
+    ).unionByName(
+        c.filter(F.col("c_acctbal") > 0).select(
+            F.lit("B").alias("side"),
+            F.col("c_custkey").cast("string").alias("item"),
+        )
+    )
+    sk = K.kmv_sketch(items, ["side"], F.col("item"), k=_KMV_K)
+    est = K.kmv_estimate_expr(_KMV_K)
+    a = sk.filter(F.col("side") == "A").select(
+        F.col("ks").alias("ka"), est.alias("a_est")
+    )
+    b = sk.filter(F.col("side") == "B").select(
+        F.col("ks").alias("kb"), est.alias("b_est")
+    )
+    pair = a.crossJoin(b)
+    cols = K.kmv_jaccard_cols(F.col("ka"), F.col("kb"), _KMV_K)
+    exact = (
+        o.select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+        .crossJoin(
+            c.filter(F.col("c_acctbal") > 0)
+            .select(F.col("c_custkey").alias("k"))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_b"))
+        )
+        .crossJoin(
+            o.select(F.col("o_custkey").alias("k"))
+            .distinct()
+            .join(
+                c.filter(F.col("c_acctbal") > 0)
+                .select(F.col("c_custkey").alias("k"))
+                .distinct(),
+                "k",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+        )
+    )
+    return pair.select(
+        "a_est",
+        "b_est",
+        cols["union_est"].alias("union_est"),
+        cols["inter_est"].alias("inter_est"),
+    ).crossJoin(exact)
+
+
 _PR_ITER_SQL = """
     c{i} AS (SELECT e.v AS node,
                     CAST(sum((850000 * r{p}.rank) // (1000000 * od.outdeg))

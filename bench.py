@@ -204,6 +204,8 @@ HEADLINE = [
     "q_chi_square",
     "q_winsorize",
     "q_recommendations",
+    # round-7: KMV join-cardinality estimation (optimizer statistics)
+    "sketch_join_cardinality",
 ]
 
 

@@ -260,3 +260,21 @@ def test_bottomk_sample_is_mergeable(spark):
     a = sorted(r.event_id for r in whole.collect())
     b = sorted(r.event_id for r in merged.collect())
     assert a == b
+
+
+def test_join_cardinality_estimate_within_bound(spark):
+    """The composed join-cardinality estimator (sketch_join_cardinality)
+    lands within the KMV error envelope of the exact overlap — k=128
+    gives ~1/sqrt(k) ≈ 9% relative error; assert a generous 3-sigma."""
+    from airflow_postgres_etl_spark.plans.extensions import (
+        sketch_join_cardinality,
+    )
+
+    from .conftest import SF_SMOKE
+
+    row = sketch_join_cardinality(spark, SF_SMOKE).collect()[0]
+    assert row["exact_inter"] > 0
+    rel = abs(row["inter_est"] - row["exact_inter"]) / row["exact_inter"]
+    assert rel < 0.30, row.asDict()
+    rel_a = abs(row["a_est"] - row["exact_a"]) / row["exact_a"]
+    assert rel_a < 0.30, row.asDict()
