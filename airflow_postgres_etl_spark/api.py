@@ -85,6 +85,25 @@ class Engine:
             **kw,
         )
 
+    def stream_apply_changes(
+        self,
+        source_dir: str,
+        target: str,
+        checkpoint_dir: str,
+        schema: str,
+        seq_col: str,
+        **kw,
+    ):
+        """Continuous CDC apply: JSON change files stream through
+        ``sink.apply_changes`` (sequenced, out-of-order tolerant,
+        redelivery-idempotent — streaming/cdc_stream.py)."""
+        from .streaming.cdc_stream import stream_apply_changes
+
+        return stream_apply_changes(
+            self.spark, source_dir, target, checkpoint_dir, schema,
+            seq_col, **kw,
+        )
+
     def stream_dedup_ingest(
         self,
         docs_dir: str,
@@ -254,6 +273,15 @@ class Table:
 
         return sink.apply_changes(
             self.spark, self.path, changes, seq_col, store=self.store, **kw
+        )
+
+    def gc_cdc_tombstones(self, older_than_seq) -> int:
+        """Expire CDC delete memory below the feed's lateness horizon
+        (sink.gc_cdc_tombstones; DLT's tombstone-GC contract)."""
+        from . import sink
+
+        return sink.gc_cdc_tombstones(
+            self.spark, self.path, older_than_seq, store=self.store
         )
 
     def delete_where(self, predicate: str, **kw) -> int:

@@ -341,3 +341,18 @@ def test_stream_apply_changes_effectively_once(spark, tmp_path):
     q2.awaitTermination(120)
     assert _state(spark, target) == {"a": (30, 3)}
     assert table_version(target) == v  # every redelivered batch no-oped
+
+
+def test_facade_apply_changes_and_gc(spark, tmp_path):
+    """Engine/Table facade exposure: Table.apply_changes + gc, and
+    Engine.stream_apply_changes parity with the module function."""
+    from airflow_postgres_etl_spark.api import Engine
+
+    t = Engine(spark).table(str(tmp_path / "t"))
+    r = t.apply_changes(
+        spark.createDataFrame([("a", 1, "I", 10)], CH_COLS),
+        "seq", key="k", num_buckets=4,
+    )
+    assert r == {"upserted": 1, "deleted": 0, "ignored": 0}
+    t.apply_changes(spark.createDataFrame([("a", 5, "D", None)], CH_COLS), "seq")
+    assert t.gc_cdc_tombstones(9) == 1
