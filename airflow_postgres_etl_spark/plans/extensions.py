@@ -8075,6 +8075,79 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(exact)
 
 
+@query(
+    "q_attribution",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, value, epoch_ms(ts) AS tms,
+               ts, event_id
+        FROM events
+    ),
+    m AS (
+        SELECT *,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS touch,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN tms END IGNORE NULLS) OVER w
+                   AS touch_tms
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN touch IS NOT NULL AND tms - touch_tms <= 7200000
+                THEN touch ELSE 'direct' END AS channel,
+           CAST(count(*) AS BIGINT) AS conversions,
+           round(sum(value), 6) AS revenue
+    FROM m WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent non-purchase event within a 2-hour lookback
+    (millisecond-exact integer time arithmetic on both engines), else
+    'direct'; conversions and revenue aggregate per attributed channel.
+    The standard product-analytics stage after funnels/retention.
+
+    100 TB shape: ONE window partitioned by user (users parallelize),
+    then a channel-sized aggregate — no self-join of the event stream,
+    which is the naive formulation's quadratic trap."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id",
+        # ts is TIMESTAMP_NTZ; the session is UTC-pinned so the cast is
+        # identity and unix_millis gets the TIMESTAMP it requires
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("tms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    non_purchase_t = F.when(F.col("event_type") != "purchase", F.col("tms"))
+    m = ev.withColumn(
+        "touch", F.last(non_purchase, ignorenulls=True).over(w)
+    ).withColumn(
+        "touch_tms", F.last(non_purchase_t, ignorenulls=True).over(w)
+    )
+    channel = F.when(
+        F.col("touch").isNotNull()
+        & (F.col("tms") - F.col("touch_tms") <= 7200000),
+        F.col("touch"),
+    ).otherwise(F.lit("direct"))
+    return (
+        m.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("conversions"),
+            F.round(F.sum("value"), 6).alias("revenue"),
+        )
+    )
+
+
 _PR_ITER_SQL = """
     c{i} AS (SELECT e.v AS node,
                     CAST(sum((850000 * r{p}.rank) // (1000000 * od.outdeg))

@@ -206,6 +206,9 @@ HEADLINE = [
     "q_recommendations",
     # round-7: KMV join-cardinality estimation (optimizer statistics)
     "sketch_join_cardinality",
+    # round-7: last-touch attribution (one per-user window, no stream
+    # self-join)
+    "q_attribution",
 ]
 
 
