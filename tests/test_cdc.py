@@ -356,3 +356,23 @@ def test_facade_apply_changes_and_gc(spark, tmp_path):
     assert r == {"upserted": 1, "deleted": 0, "ignored": 0}
     t.apply_changes(spark.createDataFrame([("a", 5, "D", None)], CH_COLS), "seq")
     assert t.gc_cdc_tombstones(9) == 1
+
+
+def test_apply_changes_emits_cdf(spark, tmp_path):
+    """CDC in, CDF out: the table's change feed between the pre- and
+    post-apply versions reflects exactly the applied net changes —
+    apply_changes composes with the existing table-format machinery."""
+    from airflow_postgres_etl_spark.sink import table_changes
+
+    target = str(tmp_path / "t")
+    _apply(spark, target, [("a", 1, "I", 10), ("b", 1, "I", 11)])
+    v0 = table_version(target)
+    _apply(
+        spark,
+        target,
+        [("a", 2, "U", 20), ("b", 2, "D", None), ("c", 2, "I", 12)],
+    )
+    v1 = table_version(target)
+    ch = table_changes(spark, target, v0, v1)
+    kinds = {(r["change_type"], r["k"]) for r in ch.collect()}
+    assert kinds == {("update", "a"), ("delete", "b"), ("insert", "c")}

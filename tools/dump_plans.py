@@ -111,6 +111,34 @@ SHOWCASE = {
         "cluster-balanced selection: per-cluster top-k window above the "
         "broadcast assignment, never a global sort"
     ),
+    "er_fuzzy_match": (
+        "blocked ER: candidate generation is an equi-join on the blocking"
+        " key; Levenshtein comparator stays inside codegen"
+    ),
+    "graph_triangles": (
+        "degree-oriented triangle counting: wedge fan-out bounded by"
+        " orientation, closure is an equi-join"
+    ),
+    "graph_hierarchy_closure": (
+        "recursive-CTE parity: pointer-doubling closure, log(depth)"
+        " node-sized self-joins"
+    ),
+    "q_market_basket": (
+        "basket self-join fan-out bounded by basket size; lift"
+        " denominators broadcast onto the top-k"
+    ),
+    "q_interpolate_linear": (
+        "linear interpolation via frame windows PARTITIONED BY the"
+        " series key (no global window)"
+    ),
+    "q_attribution": (
+        "last-touch attribution: one per-user IGNORE NULLS window, no"
+        " event-stream self-join"
+    ),
+    "q_chi_square": (
+        "chi-square cells: one fact aggregate, category-sized totals"
+        " broadcast back"
+    ),
 }
 
 SF = "/root/testdata/sf0.001"
