@@ -376,3 +376,16 @@ def test_apply_changes_emits_cdf(spark, tmp_path):
     ch = table_changes(spark, target, v0, v1)
     kinds = {(r["change_type"], r["k"]) for r in ch.collect()}
     assert kinds == {("update", "a"), ("delete", "b"), ("insert", "c")}
+
+
+def test_apply_changes_rejects_missing_column(spark, tmp_path):
+    """A feed whose payload drops an existing column must raise — on a
+    replace-by-key table a narrower upsert row is silent data loss
+    (same guard chain as keyed_merge_mor)."""
+    target = str(tmp_path / "t")
+    _apply(spark, target, [("a", 1, "I", 10)])
+    narrow = spark.createDataFrame(
+        [("a", 2, "U")], "k string, seq bigint, op string"
+    )
+    with pytest.raises(ValueError, match="missing existing column"):
+        apply_changes(spark, target, narrow, "seq")
