@@ -7024,6 +7024,86 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("kind", "name")
 
 
+_SCD2_CLOSURE_SQL = """
+    WITH ch AS (
+        SELECT o_custkey AS k, o_orderkey AS seq, o_orderstatus AS v,
+               (o_orderkey % 13 = 0) AS del
+        FROM orders
+    ),
+    m AS (
+        SELECT k, seq, v, del,
+               lag(del) OVER w AS pdel,
+               lag(v) OVER w AS pv
+        FROM ch WINDOW w AS (PARTITION BY k ORDER BY seq)
+    ),
+    kept AS (
+        SELECT * FROM m
+        WHERE pdel IS NULL OR del <> pdel
+           OR (NOT del AND NOT pdel AND (v IS DISTINCT FROM pv))
+    ),
+    iv AS (
+        SELECT k, seq, v, del,
+               lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+        FROM kept
+    )
+    SELECT k AS o_custkey, v AS status,
+           seq AS valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM iv WHERE NOT del
+"""
+
+
+@query("cdc_scd2_table", _SCD2_CLOSURE_SQL)
+def cdc_scd2_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTAINED SCD2 table (sink.apply_changes_scd2): the same
+    orders change feed as cdc_scd2_history, but split into two ordered
+    micro-batches applied incrementally to a keyed history table —
+    closed intervals pass through untouched, each key's open tail
+    replays through the one-pass builder, state-identical tails skip
+    their commit.  The oracle is the SAME recursive closure as the
+    one-shot builder's, so the differential proves incremental ==
+    one-shot over the whole table (the DLT STORED AS SCD TYPE 2
+    contract).
+
+    100 TB shape: per batch, only the batch keys' buckets read, one
+    replace-by-key MOR commit for keys whose tail changed (see
+    sink.apply_changes_scd2)."""
+    import shutil
+    import tempfile
+
+    from .. import sink
+
+    ch = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("o_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    mid = ch.agg(F.max("seq")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="scd2t_")
+    try:
+        tgt = f"{tmp}/h"
+        sink.apply_changes_scd2(
+            spark, tgt, ch.filter(F.col("seq") <= mid), "seq", ["status"],
+            key="o_custkey", num_buckets=8,
+        )
+        sink.apply_changes_scd2(
+            spark, tgt, ch.filter(F.col("seq") > mid), "seq", ["status"]
+        )
+        out = (
+            sink.read_keyed_table(spark, tgt)
+            .select(
+                "o_custkey", "status", "valid_from", "valid_to", "is_current"
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @query(
     "cdc_scd2_history",
     """

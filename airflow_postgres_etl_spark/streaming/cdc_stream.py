@@ -73,3 +73,56 @@ def stream_apply_changes(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_scd2(
+    spark: SparkSession,
+    source_dir: str,
+    target: str,
+    checkpoint: str,
+    schema: str,
+    seq_col: str,
+    track_cols: list,
+    op_col: str = "op",
+    delete_op: str = "D",
+    key: str | None = None,
+    num_buckets: int | None = None,
+    max_files_per_trigger: int = 10,
+    store=LOCAL_STORE,
+) -> StreamingQuery:
+    """Streaming SCD2 maintenance: the change stream feeds
+    ``sink.apply_changes_scd2`` per micro-batch, so the keyed HISTORY
+    table stays current as changes arrive.  Replay-safe for the same
+    reason as :func:`stream_apply_changes`: a redelivered batch
+    re-derives a state-identical tail, which the apply detects and
+    skips without a commit."""
+    from .. import sink
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        sink.apply_changes_scd2(
+            spark,
+            target,
+            batch,
+            seq_col,
+            list(track_cols),
+            op_col=op_col,
+            delete_op=delete_op,
+            key=key,
+            num_buckets=num_buckets,
+            store=store,
+        )
+
+    return (
+        raw.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

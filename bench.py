@@ -209,6 +209,8 @@ HEADLINE = [
     # round-7: last-touch attribution (one per-user window, no stream
     # self-join)
     "q_attribution",
+    # round-7: the maintained SCD2 table (incremental == one-shot)
+    "cdc_scd2_table",
 ]
 
 

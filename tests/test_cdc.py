@@ -389,3 +389,131 @@ def test_apply_changes_rejects_missing_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="missing existing column"):
         apply_changes(spark, target, narrow, "seq")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 maintained table (apply_changes_scd2)
+# ---------------------------------------------------------------------------
+
+
+SCD2_FEED = [
+    ("a", 1, "U", "x"),
+    ("a", 2, "U", "x"),   # redundant
+    ("a", 3, "U", "y"),
+    ("a", 4, "D", None),
+    ("a", 6, "U", "y"),   # reopen after delete
+    ("b", 1, "U", "p"),
+    ("b", 5, "U", "q"),
+    ("c", 1, "U", "q"),
+    ("c", 2, "D", None),  # deleted last
+]
+
+
+def _hist_set(spark, target):
+    from airflow_postgres_etl_spark.sink import read_keyed_table
+
+    return {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in read_keyed_table(spark, target).collect()
+    }
+
+
+def _scd2_apply(spark, target, rows):
+    from airflow_postgres_etl_spark.sink import apply_changes_scd2
+
+    df = spark.createDataFrame(rows, CH_COLS.replace("v bigint", "v string"))
+    return apply_changes_scd2(
+        spark, target, df, "seq", ["v"], key="k", num_buckets=4
+    )
+
+
+def test_scd2_table_incremental_equals_one_shot(spark, tmp_path):
+    """Three ordered micro-batches into the maintained table == the
+    one-pass builder over the whole feed."""
+    target = str(tmp_path / "h")
+    _scd2_apply(spark, target, SCD2_FEED[:3])
+    _scd2_apply(spark, target, SCD2_FEED[3:6])
+    _scd2_apply(spark, target, SCD2_FEED[6:])
+
+    feed = spark.createDataFrame(
+        SCD2_FEED, CH_COLS.replace("v bigint", "v string")
+    )
+    want = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_from_changes(feed, "k", "seq", ["v"], op_col="op").collect()
+    }
+    assert _hist_set(spark, target) == want
+
+
+def test_scd2_table_redelivery_and_stale_noop(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import table_version
+
+    target = str(tmp_path / "h")
+    _scd2_apply(spark, target, SCD2_FEED)
+    v = table_version(target)
+    state = _hist_set(spark, target)
+    # full redelivery: state-identical tails are skipped, no commit
+    res = _scd2_apply(spark, target, SCD2_FEED)
+    assert res["keys_touched"] == 0 and res["rows_written"] == 0
+    assert table_version(target) == v
+    assert _hist_set(spark, target) == state
+    # stale change below a's open frontier (6): dropped
+    res = _scd2_apply(spark, target, [("a", 5, "U", "zzz")])
+    assert res == {"keys_touched": 0, "rows_written": 0, "ignored_stale": 1}
+    # stale change at/below c's closed frontier (2): dropped (deleted key)
+    res = _scd2_apply(spark, target, [("c", 2, "U", "zzz")])
+    assert res["keys_touched"] == 0 and res["ignored_stale"] == 1
+    assert _hist_set(spark, target) == state
+
+
+def test_scd2_table_extends_and_reopens(spark, tmp_path):
+    target = str(tmp_path / "h")
+    _scd2_apply(spark, target, SCD2_FEED)
+    # fresh change for a (open at 6, value y): y->z closes 6 at 8
+    # fresh change for c (deleted at 2): reopens at 9
+    res = _scd2_apply(spark, target, [("a", 8, "U", "z"), ("c", 9, "U", "r")])
+    assert res["keys_touched"] == 2
+    got = _hist_set(spark, target)
+    assert ("a", "y", 6, 8, False) in got and ("a", "z", 8, None, True) in got
+    assert ("c", "r", 9, None, True) in got
+    # closed prefix untouched
+    assert ("a", "x", 1, 3, False) in got
+
+
+def test_stream_scd2_maintains_history(spark, tmp_path):
+    import json
+
+    from airflow_postgres_etl_spark.streaming.cdc_stream import stream_scd2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"k": k, "seq": s, "op": op, "v": v} for k, s, op, v in SCD2_FEED
+    ]
+    import os as _os
+
+    for i, chunk in enumerate([rows[:4], rows[4:7], rows[7:]]):
+        p = src / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        # the file source orders by modification time: pin distinct
+        # mtimes so delivery order matches feed order (sub-second writes
+        # otherwise tie and deliver arbitrarily)
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    target = str(tmp_path / "h")
+    q = stream_scd2(
+        spark, str(src), target, str(tmp_path / "ckpt"),
+        "k string, seq long, op string, v string", "seq", ["v"],
+        key="k", num_buckets=4, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    feed = spark.createDataFrame(
+        SCD2_FEED, CH_COLS.replace("v bigint", "v string")
+    )
+    want = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_from_changes(feed, "k", "seq", ["v"], op_col="op").collect()
+    }
+    assert _hist_set(spark, target) == want
