@@ -8228,6 +8228,70 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_sql() -> str:
+    sums = ", ".join(
+        f"sum({c}) AS s_{c}, sum({c} * {c}) AS ss_{c}" for c in _CORR_COLS
+    )
+    prods = ", ".join(
+        f"sum({a} * {b}) AS sp_{a}_{b}" for a, b in _CORR_PAIRS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round((n * sp_{a}_{b} - s_{a} * s_{b}) / "
+        f"sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b})), 6)"
+        f" AS corr FROM s"
+        for a, b in _CORR_PAIRS
+    )
+    return (
+        f"WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n, {sums}, {prods} "
+        f"FROM lineitem) SELECT * FROM ({rows}) ORDER BY col_a, col_b"
+    )
+
+
+@query("q_correlation_matrix", _corr_sql())
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact table's numeric
+    columns from ONE aggregate — per column Σx and Σx², per pair Σxy
+    (4 + 4·2 + 6 accumulators total), then the closed-form coefficient
+    per pair.  The sufficient statistics merge associatively (partial
+    aggregation / streaming law), and the whole matrix costs one scan no
+    matter how many pairs.
+
+    100 TB shape: one map-side-combined aggregate; the pair expansion
+    happens on the 1-row statistics frame, never on the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(c).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    s = li.agg(*aggs)
+    pairs = None
+    for a, b in _CORR_PAIRS:
+        corr = (
+            F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ) / F.sqrt(
+            (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        row = s.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.round(corr, 6).alias("corr"),
+        )
+        pairs = row if pairs is None else pairs.unionByName(row)
+    return pairs.orderBy("col_a", "col_b")
+
+
 _PR_ITER_SQL = """
     c{i} AS (SELECT e.v AS node,
                     CAST(sum((850000 * r{p}.rank) // (1000000 * od.outdeg))

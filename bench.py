@@ -211,6 +211,8 @@ HEADLINE = [
     "q_attribution",
     # round-7: the maintained SCD2 table (incremental == one-shot)
     "cdc_scd2_table",
+    # round-7: one-pass Pearson correlation matrix
+    "q_correlation_matrix",
 ]
 
 
