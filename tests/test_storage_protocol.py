@@ -783,3 +783,79 @@ def test_restore_fails_loudly_after_vacuum_expiry(spark, tmp_path):
     t.vacuum(retention_s=0)  # v1's superseded file is collected
     with _pytest.raises(FileNotFoundError, match="vacuumed past retention|no snapshot"):
         t.restore(1)
+
+
+def test_null_count_skipping(spark, tmp_path):
+    """[lo, hi, null_count, row_count] stats: where_notnull prunes
+    all-null files, where_isnull prunes zero-null files, results equal
+    read-then-filter, and an all-null column (no parquet min/max at
+    all) still records nulls-only stats."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.sink import (
+        _load_manifest,
+        keyed_overwrite_parquet,
+        read_keyed_table,
+    )
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    target = str(tmp_path / "t")
+    cand = spark.range(400).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        F.pmod(F.xxhash64(F.concat(F.lit("k"), F.col("id"))), F.lit(2)).alias("b"),
+    )
+    b0 = [r.k for r in cand.filter("b = 0").take(8)]
+    b1 = [r.k for r in cand.filter("b = 1").take(8)]
+    # bucket 0: v fully populated; bucket 1: v entirely NULL
+    dense = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(b0)], "oid__id string, v bigint"
+    )
+    allnull = spark.createDataFrame(
+        [(k, None) for k in b1], "oid__id string, v bigint"
+    )
+    keyed_overwrite_parquet(
+        spark, dense, target, num_buckets=2, vacuum=False, stats_cols=["v"]
+    )
+    keyed_overwrite_parquet(spark, allnull, target, num_buckets=2, vacuum=False)
+
+    m = _load_manifest(target, LOCAL_STORE)
+    forms = sorted(len(s["v"]) for s in m["stats"].values())
+    assert forms == [4, 4]  # dense: [lo,hi,0,n]; all-null: [None,None,n,n]
+
+    full = read_keyed_table(spark, target)
+    n_all = len(full.inputFiles())
+
+    nn = read_keyed_table(spark, target, where_notnull="v")
+    assert len(nn.inputFiles()) < n_all
+    assert {r["oid__id"] for r in nn.collect()} == set(b0)
+
+    isn = read_keyed_table(spark, target, where_isnull="v")
+    assert len(isn.inputFiles()) < n_all
+    assert {r["oid__id"] for r in isn.collect()} == set(b1)
+
+    # equals read-then-filter exactly
+    want_nn = {r["oid__id"] for r in full.filter("v IS NOT NULL").collect()}
+    assert {r["oid__id"] for r in nn.collect()} == want_nn
+
+
+def test_null_skipping_never_changes_results_on_mixed_files(spark, tmp_path):
+    """A file with SOME nulls survives both null predicates (can't
+    prune) and the residual filter does the row-level work."""
+    from airflow_postgres_etl_spark.sink import (
+        keyed_overwrite_parquet,
+        read_keyed_table,
+    )
+
+    target = str(tmp_path / "t")
+    mixed = spark.createDataFrame(
+        [("a", 1), ("b", None), ("c", 3)], "oid__id string, v bigint"
+    )
+    keyed_overwrite_parquet(
+        spark, mixed, target, num_buckets=1, vacuum=False, stats_cols=["v"]
+    )
+    assert {
+        r["oid__id"] for r in read_keyed_table(spark, target, where_notnull="v").collect()
+    } == {"a", "c"}
+    assert {
+        r["oid__id"] for r in read_keyed_table(spark, target, where_isnull="v").collect()
+    } == {"b"}
