@@ -195,12 +195,16 @@ class Table:
         self.store = store or LOCAL_STORE
 
     # -- reads --------------------------------------------------------------
-    def read(self, version=None, where=None, where_eq=None) -> DataFrame:
+    def read(
+        self, version=None, where=None, where_eq=None,
+        where_isnull=None, where_notnull=None,
+    ) -> DataFrame:
         from . import sink
 
         return sink.read_keyed_table(
             self.spark, self.path, self.store,
             version=version, where=where, where_eq=where_eq,
+            where_isnull=where_isnull, where_notnull=where_notnull,
         )
 
     def lookup(self, keys: list) -> DataFrame:
