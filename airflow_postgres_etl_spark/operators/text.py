@@ -441,7 +441,14 @@ def add_documents(
         .agg(F.count("*").cast("long").alias("tf"))
         .localCheckpoint(eager=True)  # the term collect + the merge write
     )
-    new_dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    # doc length == sum of its term frequencies, so derive it from the
+    # CHECKPOINTED postings instead of re-tokenizing the batch corpus —
+    # every downstream consumer (dup probe, doclen merge, batch stats)
+    # then reuses the one materialized tokenize (measured: the doclen
+    # leg re-ran the regex explode+agg over the whole batch before this)
+    new_dl = new_postings.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
 
     meta = store.read_json(_index_meta_path(path))
     if meta is not None:
