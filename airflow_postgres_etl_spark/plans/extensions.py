@@ -4715,6 +4715,144 @@ def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hypertable rollups over irregular samples (the TimescaleDB
+# time_weight / state_agg pair): events arrive at uneven intervals, so
+# a plain avg() over-weights bursts.  Both operators integrate the
+# last-observation-carried-forward (LOCF) step curve: each event holds
+# until the user's next event; the final event closes the series (zero
+# further weight — the reference semantic for a right-open series).
+#
+# Exactness scheme: durations are integer MICROSECONDS (unix_micros /
+# epoch_us), values integerized to cents (round(value*100) — the 2-dp
+# generator means the scaled double is never near a .5 boundary), so
+# the integral Σ v_cents · Δt_us is ONE exact BIGINT sum per group on
+# both engines; the time-weighted mean is a single IEEE division of two
+# identically-computed exact integers — bit-identical, no rounding rule
+# needed.  time_in_state is all-integer end to end.
+#
+# Shape: ONE shuffle each — the lead/lag window partitions by user_id,
+# and the follow-up aggregate clusters on (user_id[, event_type]), which
+# hash(user_id) already satisfies, so Catalyst plans NO second exchange.
+# At 100 TB both are per-user-stream linear scans with tiny window state
+# (one row of lookahead).
+# ---------------------------------------------------------------------------
+@query(
+    "q_time_weighted_avg",
+    """
+    WITH e AS (
+        SELECT user_id,
+               epoch_us(ts) AS t_us,
+               CAST(round(value * 100) AS BIGINT) AS v_c,
+               lead(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(nxt_us - t_us) AS BIGINT) AS span_us,
+           CAST(sum(v_c * (nxt_us - t_us)) AS DOUBLE)
+               / CAST(sum(nxt_us - t_us) * 100 AS DOUBLE) AS twa
+    FROM e
+    GROUP BY user_id
+    HAVING sum(nxt_us - t_us) > 0
+    ORDER BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average of ``value`` per user (TimescaleDB
+    ``time_weight('LOCF', ts, value)``): Σ value·Δt / Σ Δt over the
+    user's observed span, Δt in exact integer microseconds, values in
+    exact integer cents — the divide is the only float op.  Users with
+    a single event have no span and are excluded (HAVING span > 0)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    stepped = e.select(
+        "user_id",
+        t_us.alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        F.lead(t_us).over(w).alias("nxt_us"),
+    )
+    dur = F.col("nxt_us") - F.col("t_us")
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dur).alias("span_us"),
+            F.sum(F.col("v_c") * dur).alias("wv"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "span_us",
+            (
+                F.col("wv").cast("double")
+                / (F.col("span_us") * 100).cast("double")
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_time_in_state",
+    """
+    WITH e AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) AS t_us,
+               lead(epoch_us(ts)) OVER w AS nxt_us,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN prev_type IS NULL
+                          OR prev_type <> event_type
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
+           CAST(coalesce(sum(nxt_us - t_us), 0) AS BIGINT) AS dur_us
+    FROM e
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def q_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-in-state per (user, event_type) — TimescaleDB
+    ``state_agg``: under LOCF each event's type is the user's state
+    until their next event, so ``dur_us`` totals the exact integer
+    microseconds spent in each state and ``n_entries`` counts run-length
+    transitions INTO it (lag ≠ current).  All-integer, no rounding.
+    Same one-exchange shape as q_time_weighted_avg: both windows share
+    the user_id partitioning and the aggregate reuses it."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    stepped = e.select(
+        "user_id",
+        "event_type",
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("nxt_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    entered = (
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).cast("long")
+    return (
+        stepped.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(entered).alias("n_entries"),
+            F.coalesce(
+                F.sum(F.col("nxt_us") - F.col("t_us")), F.lit(0)
+            ).alias("dur_us"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Context-window chunking — the dual of pipeline_pack_sequences: split
 # each document into CHUNK_SIZE-token windows every CHUNK_STRIDE tokens
 # (overlap = size - stride) so no cross-boundary span is lost.  Map-only

@@ -541,3 +541,14 @@ def test_interpolate_windows_partitioned_by_series(spark):
 
     for w in _re.findall(r"Window .*", plan):
         assert "event_type" in w, w
+
+def test_hypertable_rollups_single_data_exchange(spark):
+    """time_weight / state_agg LOCF rollups: the lead/lag window
+    partitions by user_id and the follow-up aggregate clusters on
+    (user_id[, event_type]) — hash(user_id) satisfies both, so the plan
+    carries exactly ONE hashpartitioning exchange (the only other
+    exchange is the presentation ORDER BY's rangepartitioning)."""
+    for name in ("q_time_weighted_avg", "q_time_in_state"):
+        plan = plan_of(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert "BatchEvalPython" not in plan
