@@ -135,6 +135,110 @@ def _session_update(
     yield row(start_ms, end_ms, n, False)
 
 
+# ---------------------------------------------------------------------------
+# Streaming LOCF time-weighted rollup — the incremental twin of the
+# batch `q_time_weighted_avg` (plans/extensions.py): per user, the
+# last-observation-carried-forward integral Σ value·Δt accumulates
+# across micro-batches from O(1) state per key: (last event's epoch-µs
+# and integer-cents value, the running exact-integer Σ v_c·Δt_us and
+# Σ Δt_us, the event count).  All arithmetic is int64 — the streamed
+# accumulators equal the batch query's BIGINT sums bit-for-bit
+# (test-pinned), the one float op is the final division.
+#
+# Ordering contract: events must arrive in event-time order PER USER
+# across batches (true of replayed/partitioned logs; a late event would
+# need the integral re-opened — that's the batch backfill path, not
+# this operator).  Violations are detected, not absorbed: a batch event
+# older than the state's frontier raises, surfacing via q.exception().
+# ---------------------------------------------------------------------------
+
+TWA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("span_us", T.LongType()),
+        T.StructField("wv", T.LongType()),
+        T.StructField("twa", T.DoubleType()),
+    ]
+)
+TWA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_vc", T.LongType()),
+        T.StructField("span_us", T.LongType()),
+        T.StructField("wv", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _twa_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    last_us, last_vc, span, wv, n = (
+        state.get if state.exists else (None, None, 0, 0, 0)
+    )
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["t_us", "event_id"])
+        for t_us, v_c in zip(pdf["t_us"].tolist(), pdf["v_c"].tolist()):
+            if last_us is not None:
+                if t_us < last_us:
+                    raise ValueError(
+                        f"out-of-order event for user {key[0]}: "
+                        f"{t_us} < frontier {last_us} — late data needs "
+                        "the batch backfill path"
+                    )
+                d = t_us - last_us
+                span += d
+                wv += last_vc * d
+            last_us, last_vc = t_us, v_c
+            n += 1
+    state.update((last_us, last_vc, span, wv, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "span_us": [span],
+            "wv": [wv],
+            # float() each exact int first — the int->double rounding then
+            # the IEEE divide is exactly the batch twin's CAST+division
+            # (a direct int/int true-divide is correctly rounded from the
+            # exact rational instead, off by an ulp once wv > 2^53)
+            "twa": [
+                float(wv) / float(span * 100) if span > 0 else None
+            ],
+        }
+    )
+
+
+def streaming_time_weighted(events: DataFrame) -> DataFrame:
+    """Streaming DataFrame (event_id, ts, user_id, value) → per-user
+    running LOCF time-weighted average, state O(1) per user.  The
+    epoch-µs and integer-cents projections run JVM-side so the Python
+    state function is pure int64 arithmetic (identical rounding to the
+    batch twin).  Use with ``outputMode("update")``."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _twa_update,
+            TWA_OUTPUT_SCHEMA,
+            TWA_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def user_sessions_with_timeout(
     events: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -213,6 +213,9 @@ HEADLINE = [
     "cdc_scd2_table",
     # round-7: one-pass Pearson correlation matrix
     "q_correlation_matrix",
+    # round-7: hypertable LOCF rollups (time_weight / state_agg parity)
+    "q_time_weighted_avg",
+    "q_time_in_state",
 ]
 
 

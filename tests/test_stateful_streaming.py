@@ -115,3 +115,137 @@ def test_event_time_timeout_closes_idle_sessions(spark, tmp_path):
     # every user emitted at least one open running update
     open_users = {r.user_id for r in rows if not r.closed}
     assert open_users == {1, 2, 3}
+
+def test_streaming_time_weighted_equals_batch(spark, tmp_path):
+    """Streamed LOCF integral == the batch q_time_weighted_avg over the
+    union, BIT-FOR-BIT on the exact-integer accumulators (span_us, wv,
+    n_events) — three time-ordered micro-batches, state crossing all of
+    them.  Also pins the ordering contract: a late event raises."""
+    import datetime as dt
+
+    from airflow_postgres_etl_spark.plans.extensions import (
+        q_time_weighted_avg,
+    )
+    from airflow_postgres_etl_spark.streaming.stateful import (
+        streaming_time_weighted,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # time-ordered thirds → per-user in-order arrival across batches
+    with_us = events.withColumn(
+        "t_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    q1, q2 = with_us.approxQuantile("t_us", [0.33, 0.66], 0.0)
+    src = str(tmp_path / "src")
+    with_us.filter(F.col("t_us") <= q1).drop("t_us").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    with_us.filter((F.col("t_us") > q1) & (F.col("t_us") <= q2)).drop(
+        "t_us"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with_us.filter(F.col("t_us") > q2).drop("t_us").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_time_weighted(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("twa_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    got = {
+        r.user_id: (r.n_events, r.span_us, r.wv, r.twa)
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, span_us, wv, twa FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC
+                ) AS rn FROM twa_stream
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    # exact expected accumulators: the batch query's own window+agg,
+    # stopped BEFORE the final division so wv stays an exact BIGINT
+    # (reconstructing wv from twa*span is lossy once wv > 2^53)
+    from pyspark.sql.window import Window
+
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = events.select(
+        "user_id",
+        t_us.alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        F.lead(t_us).over(w).alias("nxt_us"),
+    )
+    dur = F.col("nxt_us") - F.col("t_us")
+    acc = {
+        r.user_id: (r.n, r.span, r.wv)
+        for r in stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dur).alias("span"),
+            F.sum(F.col("v_c") * dur).alias("wv"),
+        )
+        .filter(F.col("span") > 0)
+        .collect()
+    }
+    batch = q_time_weighted_avg(spark, SF_SMOKE)
+    exp = {}
+    for r in batch.collect():
+        n, span, wv = acc[r.user_id]
+        assert (n, span) == (r.n_events, r.span_us)
+        exp[r.user_id] = (r.n_events, r.span_us, wv, r.twa)
+    for uid, (n, span, wv, twa) in exp.items():
+        gn, gspan, gwv, gtwa = got[uid]
+        assert (gn, gspan, gwv) == (n, span, wv), uid
+        assert gtwa == twa, uid
+    # single-event users appear in the stream output (no span) but are
+    # excluded by the batch query's HAVING — they must carry NULL twa
+    singles = set(got) - set(exp)
+    for uid in singles:
+        assert got[uid][1] == 0 and got[uid][3] is None
+
+    # ordering contract: a batch 2 event OLDER than the user's batch 1
+    # frontier is detected, not silently absorbed into the integral
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    late_src = str(tmp_path / "late_src")
+
+    def write(rows, mode):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        ).coalesce(1).write.mode(mode).parquet(late_src)
+
+    write([(1, t0, 7, 1.0)], "overwrite")
+    write([(2, t0 - dt.timedelta(minutes=5), 7, 2.0)], "append")
+    lq = (
+        streaming_time_weighted(
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(late_src)
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("twa_late")
+        .option("checkpointLocation", str(tmp_path / "late_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="out-of-order"):
+        lq.awaitTermination(120)
