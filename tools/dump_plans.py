@@ -139,6 +139,10 @@ SHOWCASE = {
         "chi-square cells: one fact aggregate, category-sized totals"
         " broadcast back"
     ),
+    "q_time_weighted_avg": (
+        "LOCF time-weight rollup: the aggregate reuses the lead window's"
+        " hash(user_id) exchange — one data shuffle total"
+    ),
 }
 
 SF = "/root/testdata/sf0.001"
