@@ -4795,6 +4795,75 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEARTBEAT_GAP_US = 15 * 60 * 1_000_000  # liveness threshold: 15 min
+
+
+@query(
+    "q_heartbeat_gaps",
+    f"""
+    WITH e AS (
+        SELECT user_id,
+               epoch_us(ts) AS t_us,
+               lead(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_us
+        FROM events
+    ),
+    d AS (SELECT user_id, nxt_us - t_us AS dur_us FROM e
+          WHERE nxt_us IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) + 1 AS BIGINT) AS n_events,
+           CAST(sum(dur_us) AS BIGINT) AS span_us,
+           CAST(sum(CASE WHEN dur_us > {_HEARTBEAT_GAP_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(sum(CASE WHEN dur_us > {_HEARTBEAT_GAP_US}
+                         THEN dur_us ELSE 0 END) AS BIGINT) AS down_us,
+           CAST(sum(CASE WHEN dur_us > {_HEARTBEAT_GAP_US}
+                         THEN 0 ELSE dur_us END) AS BIGINT) AS up_us,
+           CAST(max(dur_us) AS BIGINT) AS max_gap_us
+    FROM d
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat liveness rollup (TimescaleDB ``heartbeat_agg``): each
+    event asserts the user was live until the next one; an inter-event
+    interval over the 15-minute threshold is a GAP (downtime), under it
+    uptime — per user: gap count, total down/up microseconds, worst
+    gap.  All-integer (µs), no rounding anywhere.  Same one-exchange
+    shape as the other LOCF rollups: the lead window partitions by
+    user_id and the aggregate reuses that partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = (
+        e.select(
+            "user_id",
+            t_us.alias("t_us"),
+            F.lead(t_us).over(w).alias("nxt_us"),
+        )
+        .filter(F.col("nxt_us").isNotNull())
+        .select("user_id", (F.col("nxt_us") - F.col("t_us")).alias("dur_us"))
+    )
+    is_gap = F.col("dur_us") > _HEARTBEAT_GAP_US
+    return (
+        d.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_events"),
+            F.sum("dur_us").alias("span_us"),
+            F.sum(is_gap.cast("long")).alias("n_gaps"),
+            F.sum(F.when(is_gap, F.col("dur_us")).otherwise(0)).alias(
+                "down_us"
+            ),
+            F.sum(F.when(is_gap, F.lit(0)).otherwise(F.col("dur_us"))).alias(
+                "up_us"
+            ),
+            F.max("dur_us").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @query(
     "q_time_in_state",
     """

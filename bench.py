@@ -216,6 +216,7 @@ HEADLINE = [
     # round-7: hypertable LOCF rollups (time_weight / state_agg parity)
     "q_time_weighted_avg",
     "q_time_in_state",
+    "q_heartbeat_gaps",
 ]
 
 

@@ -548,7 +548,9 @@ def test_hypertable_rollups_single_data_exchange(spark):
     (user_id[, event_type]) — hash(user_id) satisfies both, so the plan
     carries exactly ONE hashpartitioning exchange (the only other
     exchange is the presentation ORDER BY's rangepartitioning)."""
-    for name in ("q_time_weighted_avg", "q_time_in_state"):
+    for name in (
+        "q_time_weighted_avg", "q_time_in_state", "q_heartbeat_gaps"
+    ):
         plan = plan_of(spark, name)
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
         assert "BatchEvalPython" not in plan
