@@ -220,6 +220,9 @@ HEADLINE = [
 ]
 
 
+_LOAD_AT_START = round(os.getloadavg()[0], 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -256,6 +259,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # ambient load when the run STARTED — a 1-min load far above the
+        # core count means another tenant contaminated the timings (a
+        # concurrent pytest run inflated entries up to 2.6x; bench_diff
+        # readers should discount high-load runs)
+        "load1_at_start": _LOAD_AT_START,
     }
     # The driver's bench artifact keeps only the LAST ~2000 chars of
     # stdout; with 100+ headline queries the single full-dict line
