@@ -181,6 +181,14 @@ def _twa_update(
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
+        # a NULL value (or ts) reaches pandas as NaN and would silently
+        # turn the exact int64 integral into float arithmetic — make it
+        # a contract violation like out-of-order arrival instead
+        if pdf["v_c"].isna().any() or pdf["t_us"].isna().any():
+            raise ValueError(
+                f"NULL ts/value for user {key[0]}: the LOCF integral "
+                "is exact-integer only — filter or impute upstream"
+            )
         pdf = pdf.sort_values(["t_us", "event_id"])
         for t_us, v_c in zip(pdf["t_us"].tolist(), pdf["v_c"].tolist()):
             if last_us is not None:

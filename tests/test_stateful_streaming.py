@@ -249,3 +249,25 @@ def test_streaming_time_weighted_equals_batch(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="out-of-order"):
         lq.awaitTermination(120)
+
+    # NULL-value contract: NaN would silently float the int64 integral
+    null_src = str(tmp_path / "null_src")
+    spark.createDataFrame(
+        [(1, t0, 9, None)],
+        "event_id long, ts timestamp, user_id long, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(null_src)
+    nq = (
+        streaming_time_weighted(
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(null_src)
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("twa_null")
+        .option("checkpointLocation", str(tmp_path / "null_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="NULL ts/value"):
+        nq.awaitTermination(120)
