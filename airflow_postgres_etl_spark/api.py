@@ -196,14 +196,14 @@ class Table:
 
     # -- reads --------------------------------------------------------------
     def read(
-        self, version=None, where=None, where_eq=None,
+        self, version=None, as_of=None, where=None, where_eq=None,
         where_isnull=None, where_notnull=None,
     ) -> DataFrame:
         from . import sink
 
         return sink.read_keyed_table(
             self.spark, self.path, self.store,
-            version=version, where=where, where_eq=where_eq,
+            version=version, as_of=as_of, where=where, where_eq=where_eq,
             where_isnull=where_isnull, where_notnull=where_notnull,
         )
 

@@ -169,3 +169,57 @@ def test_table_facade_covers_the_format_surface(spark, tmp_path):
     assert d["version"] == t.version() and d["dirty_buckets"] == 0
     assert t.constraints() == {"v_nonneg": "v >= 0"}
     assert t.changes(1).count() >= 1
+
+
+def test_timestamp_as_of_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: resolve to the last version committed at or
+    before the requested time — epoch float and ISO string forms, the
+    before-first-commit error, the version=/as_of= exclusivity, and the
+    pre-feature-manifest (no committed_at) fallback."""
+    import json
+    import time
+
+    import pytest
+
+    from airflow_postgres_etl_spark import sink
+
+    t = Engine(spark).table(str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        key="k", num_buckets=4,
+    )
+    time.sleep(0.05)
+    t_between = time.time()
+    time.sleep(0.05)
+    t.merge(
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        key="k",
+    )
+
+    v1 = {(1, "a"), (2, "b")}
+    cur = {(1, "a"), (2, "B"), (3, "c")}
+    assert {(r.k, r.v) for r in t.read(as_of=t_between).collect()} == v1
+    assert {(r.k, r.v) for r in t.read(as_of=time.time()).collect()} == cur
+
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t_between, tz=timezone.utc).isoformat()
+    assert {(r.k, r.v) for r in t.read(as_of=iso).collect()} == v1
+    # naive ISO strings read as UTC (the session's pinned zone)
+    naive = datetime.fromtimestamp(t_between, tz=timezone.utc).replace(
+        tzinfo=None
+    ).isoformat()
+    assert {(r.k, r.v) for r in t.read(as_of=naive).collect()} == v1
+
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.read(as_of=t_between - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, as_of=t_between)
+
+    # pre-feature manifest: strip committed_at from v1's snapshot — it
+    # must stay eligible at ANY requested time (it IS the oldest commit)
+    p = os.path.join(str(tmp_path / "t"), "_manifest.v1.json")
+    m = json.load(open(p))
+    del m["committed_at"]
+    json.dump(m, open(p, "w"))
+    assert sink.resolve_as_of(str(tmp_path / "t"), t_between - 3600) == 1
