@@ -9166,3 +9166,98 @@ def pipeline_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "vec_id", "dist_q", "rank")
         .orderBy("cluster", "rank")
     )
+
+
+@query(
+    "view_join_ivm",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(FLOOR(o_totalprice)) AS BIGINT) AS sum_amt
+    FROM orders
+    JOIN (SELECT c_custkey,
+                 CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM customer) ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+)
+def view_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (``views.refresh_join_view``)
+    end to end — the star-schema rollup ``orders ⋈ customer`` grouped by
+    market segment, built over three commits: v1 facts (odd orderkeys) →
+    full refresh; v2 facts (the rest) → incremental refresh that reads
+    ONLY the changed fact files with the dim untouched (the production
+    fast path, Δ R⋈S_new); a dim update that MOVES every 10th customer
+    to a new segment → incremental refresh whose R_old⋈ΔS term migrates
+    the affected facts between groups.  The oracle reproduces the final
+    rollup closed-form, so the differential pins the delta-join algebra
+    (signed weights, group moves, the lot) against one declarative SQL
+    join.  Modes are asserted in-query: a refresh that silently fell
+    back to a full recompute FAILS the row, not just the timing.
+
+    Sums run over floor(o_totalprice) — integer-valued doubles, so the
+    incremental accumulation is exact and the differential needs no
+    rounding tolerance.
+
+    100 TB shape: the fact side is only ever read incrementally
+    (changed buckets); the dim is broadcast both ways; a dim change
+    costs one broadcast-hash pass over the old fact snapshot — never a
+    shuffle, and the 100 TB table is never rescanned while dims hold
+    still."""
+    import shutil
+    import tempfile
+
+    from ..sink import keyed_overwrite_parquet
+    from ..views import read_aggregate_view, refresh_join_view
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.floor("o_totalprice").alias("amt"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tmp = tempfile.mkdtemp(prefix="joinivm_")
+    try:
+        fact, dim, mv = f"{tmp}/fact", f"{tmp}/dim", f"{tmp}/mv"
+        keyed_overwrite_parquet(
+            spark, o.filter(F.col("o_orderkey") % 2 == 1), fact,
+            key="o_orderkey", num_buckets=8, vacuum=False,
+        )
+        keyed_overwrite_parquet(
+            spark, c, dim, key="c_custkey", num_buckets=4, vacuum=False
+        )
+        args = (spark, fact, dim, mv, "c_custkey", ["c_mktsegment"], ["amt"])
+        r1 = refresh_join_view(*args)
+        keyed_overwrite_parquet(
+            spark, o.filter(F.col("o_orderkey") % 2 == 0), fact,
+            key="o_orderkey", vacuum=False,
+        )
+        r2 = refresh_join_view(*args)
+        keyed_overwrite_parquet(
+            spark,
+            c.filter(F.col("c_custkey") % 10 == 0)
+            .withColumn("c_mktsegment", F.lit("MOVED")),
+            dim, key="c_custkey", vacuum=False,
+        )
+        r3 = refresh_join_view(*args)
+        if not (
+            r1["mode"] == "full"
+            and r2["mode"] == "incremental" and not r2["fact_rescan"]
+            and r3["mode"] == "incremental" and r3["fact_rescan"]
+        ):
+            raise RuntimeError(
+                f"join-view refresh modes regressed: {r1['mode']}, "
+                f"{r2['mode']}/rescan={r2['fact_rescan']}, "
+                f"{r3['mode']}/rescan={r3['fact_rescan']}"
+            )
+        rows = [
+            (x.c_mktsegment, x.n, int(x.sum_amt))
+            for x in read_aggregate_view(spark, mv).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "segment string, n long, sum_amt long"
+    ).orderBy("segment")

@@ -100,12 +100,13 @@ def refresh_aggregate_view(
     cur_v = manifest["version"]
     meta = store.read_json(_meta_path(mv_path))
     if meta is not None and (
-        meta.get("group_cols") != list(group_cols)
+        meta.get("kind", "aggregate") != "aggregate"
+        or meta.get("group_cols") != list(group_cols)
         or meta.get("sum_cols") != list(sum_cols)
     ):
         raise ValueError(
-            "existing view was built with different group/sum columns; "
-            "use a new mv_path"
+            "existing view was built with a different shape (kind or "
+            "group/sum columns); use a new mv_path"
         )
     if meta is not None and meta["source_version"] == cur_v:
         return {"mode": "noop", "files_read": 0, "source_version": cur_v}
@@ -186,6 +187,183 @@ def refresh_aggregate_view(
     return _full_refresh(spark, target, mv_path, group_cols, sum_cols, cur_v, store)
 
 
+def refresh_join_view(
+    spark: SparkSession,
+    fact: str,
+    dim: str,
+    mv_path: str,
+    on: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    store=LOCAL_STORE,
+) -> dict:
+    """Create or refresh a grouped count/sum view over ``fact ⋈ dim``
+    (equi-join on ``on``) — the star-schema rollup, maintained
+    incrementally from BOTH tables' commit deltas.
+
+    The delta-join identity (signed multisets, the classic IVM result):
+
+        R_new⋈S_new − R_old⋈S_old  =  ΔR⋈S_new  +  R_old⋈ΔS
+
+    so a refresh reads (a) only the fact files the commits since the
+    last refresh touched, joined against the CURRENT dim, plus (b) — only
+    when the dim itself changed — the OLD fact joined against the dim's
+    changed files.  The dominant production case (facts churn hourly,
+    dims change rarely) therefore costs O(changed fact buckets) with the
+    dim broadcast; a dim change costs one fact scan (broadcast hash join
+    against the dim delta, no shuffle).  At 100 TB that asymmetry is the
+    whole point: the 100 TB side is only ever read incrementally.
+
+    Same scope rules as :func:`refresh_aggregate_view`: count/sum only,
+    clean (delta-free) snapshots on both endpoints or the refresh falls
+    back to a full recompute, float sums equal to ~1e-9 relative.
+    Returns ``{"mode", "fact_files_read", "dim_files_read",
+    "fact_rescan", "fact_version", "dim_version"}``.
+    """
+    reserved = {"n"} | {f"sum_{c}" for c in sum_cols}
+    clash = reserved & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"group column(s) {sorted(clash)} collide with the view's "
+            "aggregate output columns (n, sum_<col>)"
+        )
+    fact_m = _load_manifest(fact, store)
+    dim_m = _load_manifest(dim, store)
+    if fact_m is None or dim_m is None:
+        raise FileNotFoundError(f"no keyed table committed at {fact if fact_m is None else dim}")
+    fv, dv = fact_m["version"], dim_m["version"]
+    meta = store.read_json(_meta_path(mv_path))
+    if meta is not None and (
+        meta.get("kind") != "join"
+        or meta.get("on") != on
+        or meta.get("group_cols") != list(group_cols)
+        or meta.get("sum_cols") != list(sum_cols)
+    ):
+        raise ValueError(
+            "existing view at mv_path was built with a different shape "
+            "(kind/on/group/sum columns); use a new mv_path"
+        )
+    if meta is not None and meta["fact_version"] == fv and meta["dim_version"] == dv:
+        return {
+            "mode": "noop", "fact_files_read": 0, "dim_files_read": 0,
+            "fact_rescan": False, "fact_version": fv, "dim_version": dv,
+        }
+
+    def _delta_files(target, m_new, old_v):
+        """(added, removed) rel-file lists between snapshots, or None if
+        either endpoint is unclean or a removed file was vacuumed."""
+        new_files = _base_files(m_new)
+        m_old = store.read_json(_version_manifest_path(target, old_v))
+        old_files = _base_files(m_old) if m_old else None
+        if new_files is None or old_files is None:
+            return None
+        added = sorted(new_files - old_files)
+        removed = sorted(old_files - new_files)
+        if any(not store.exists(os.path.join(target, f)) for f in removed):
+            return None
+        return added, removed
+
+    if meta is not None:
+        f_delta = _delta_files(fact, fact_m, meta["fact_version"])
+        d_delta = _delta_files(dim, dim_m, meta["dim_version"])
+    else:
+        f_delta = d_delta = None
+
+    if meta is None or f_delta is None or d_delta is None:
+        return _full_join_refresh(
+            spark, fact, dim, mv_path, on, group_cols, sum_cols, fv, dv, store
+        )
+
+    def _signed(target, added, removed):
+        parts = []
+        if added:
+            parts.append(_read_files(spark, target, added).withColumn("__w", F.lit(1)))
+        if removed:
+            parts.append(_read_files(spark, target, removed).withColumn("__w", F.lit(-1)))
+        if not parts:
+            return None
+        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
+    delta_r = _signed(fact, *f_delta)
+    delta_s = _signed(dim, *d_delta)
+    terms = []
+    if delta_r is not None:  # ΔR ⋈ S_new — dim broadcast, weight from ΔR
+        s_new = read_keyed_table(spark, dim, store)
+        terms.append(delta_r.join(F.broadcast(s_new), on=on, how="inner"))
+    fact_rescan = delta_s is not None
+    if fact_rescan:  # R_old ⋈ ΔS — OLD fact snapshot, weight from ΔS
+        r_old = read_keyed_table(spark, fact, store, version=meta["fact_version"])
+        terms.append(r_old.join(F.broadcast(delta_s), on=on, how="inner"))
+    if not terms:  # version bumps with no base-file change on either side
+        _write_view(
+            spark, mv_path, _read_view_frame(spark, mv_path, store),
+            group_cols, sum_cols, fv, store,
+            meta_extra={"kind": "join", "on": on, "fact_version": fv, "dim_version": dv},
+        )
+        return {
+            "mode": "incremental", "fact_files_read": 0, "dim_files_read": 0,
+            "fact_rescan": False, "fact_version": fv, "dim_version": dv,
+        }
+    rows = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), terms)
+    aggs = [F.sum("__w").cast("long").alias("__dn")]
+    aggs += [
+        F.sum(F.col(c).cast("double") * F.col("__w")).alias(f"__ds_{c}")
+        for c in sum_cols
+    ]
+    delta = rows.groupBy(*group_cols).agg(*aggs)
+
+    mv = _read_view_frame(spark, mv_path, store)
+    cond = reduce(
+        lambda a, b: a & b, [mv[c].eqNullSafe(delta[c]) for c in group_cols]
+    )
+    merged = mv.join(delta, cond, "full_outer").select(
+        *[F.coalesce(mv[c], delta[c]).alias(c) for c in group_cols],
+        (
+            F.coalesce(mv["n"], F.lit(0)) + F.coalesce(delta["__dn"], F.lit(0))
+        ).cast("long").alias("n"),
+        *[
+            (
+                F.coalesce(mv[f"sum_{c}"], F.lit(0.0))
+                + F.coalesce(delta[f"__ds_{c}"], F.lit(0.0))
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    ).filter(F.col("n") > 0)
+    _write_view(
+        spark, mv_path, merged, group_cols, sum_cols, fv, store,
+        meta_extra={"kind": "join", "on": on, "fact_version": fv, "dim_version": dv},
+    )
+    return {
+        "mode": "incremental",
+        "fact_files_read": len(f_delta[0]) + len(f_delta[1]),
+        "dim_files_read": len(d_delta[0]) + len(d_delta[1]),
+        "fact_rescan": fact_rescan,
+        "fact_version": fv,
+        "dim_version": dv,
+    }
+
+
+def _full_join_refresh(
+    spark, fact, dim, mv_path, on, group_cols, sum_cols, fv, dv, store
+) -> dict:
+    r = read_keyed_table(spark, fact, store)
+    s = read_keyed_table(spark, dim, store)
+    view = _aggregate(r.join(F.broadcast(s), on=on, how="inner"),
+                      list(group_cols), list(sum_cols))
+    _write_view(
+        spark, mv_path, view, group_cols, sum_cols, fv, store,
+        meta_extra={"kind": "join", "on": on, "fact_version": fv, "dim_version": dv},
+    )
+    return {
+        "mode": "full",
+        "fact_files_read": len(r.inputFiles()),
+        "dim_files_read": len(s.inputFiles()),
+        "fact_rescan": True,
+        "fact_version": fv,
+        "dim_version": dv,
+    }
+
+
 def _full_refresh(spark, target, mv_path, group_cols, sum_cols, cur_v, store) -> dict:
     rows = read_keyed_table(spark, target, store)
     view = _aggregate(rows, list(group_cols), list(sum_cols))
@@ -194,7 +372,10 @@ def _full_refresh(spark, target, mv_path, group_cols, sum_cols, cur_v, store) ->
     return {"mode": "full", "files_read": n_files, "source_version": cur_v}
 
 
-def _write_view(spark, mv_path, view_df, group_cols, sum_cols, source_version, store):
+def _write_view(
+    spark, mv_path, view_df, group_cols, sum_cols, source_version, store,
+    meta_extra: dict | None = None,
+):
     prev_meta = store.read_json(_meta_path(mv_path))
     rel = os.path.join("data", uuid.uuid4().hex[:12])
     out = os.path.join(mv_path, rel)
@@ -209,6 +390,7 @@ def _write_view(spark, mv_path, view_df, group_cols, sum_cols, source_version, s
             "data": rel,
             "group_cols": list(group_cols),
             "sum_cols": list(sum_cols),
+            **(meta_extra or {}),
         },
     )
     # retire older view snapshots, keeping the immediately-previous one

@@ -217,6 +217,9 @@ HEADLINE = [
     "q_time_weighted_avg",
     "q_time_in_state",
     "q_heartbeat_gaps",
+    # round-7: incrementally-maintained JOIN view (delta-join algebra;
+    # three commits, two incremental refreshes, modes asserted in-query)
+    "view_join_ivm",
 ]
 
 

@@ -166,7 +166,7 @@ def test_mismatched_view_definition_rejected(spark, tmp_path):
         spark, _rows(spark, [("a", "g", 1.0)]), target, vacuum=False
     )
     refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
-    with pytest.raises(ValueError, match="different group/sum columns"):
+    with pytest.raises(ValueError, match="different shape"):
         refresh_aggregate_view(spark, target, mv, ["oid__id"], ["v"])
 
 
@@ -250,3 +250,188 @@ def test_colliding_group_column_names_rejected(spark, tmp_path):
     keyed_overwrite_parquet(spark, rows, target, vacuum=False)
     with pytest.raises(ValueError, match="collide"):
         refresh_aggregate_view(spark, target, mv, ["n"], ["v"])
+
+
+# ---------------------------------------------------------------------------
+# join views: Δ(R⋈S) = ΔR⋈S_new + R_old⋈ΔS
+# ---------------------------------------------------------------------------
+
+
+def _fact_rows(spark, data):
+    return spark.createDataFrame(data, ["oid__id", "cust", "amt"])
+
+
+def _dim_rows(spark, data):
+    return spark.createDataFrame(data, ["cust", "segment"])
+
+
+def _join_expect(spark, fact, dim):
+    """Ground truth: full recompute of the joined rollup."""
+    from pyspark.sql import functions as F
+
+    r = read_keyed_table(spark, fact)
+    s = read_keyed_table(spark, dim)
+    got = (
+        r.join(s, on="cust", how="inner")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("amt").cast("double")).alias("sum_amt"),
+        )
+        .collect()
+    )
+    return {x.segment: (x.n, x.sum_amt) for x in got}
+
+
+def _join_view(spark, mv):
+    return {
+        x.segment: (x.n, x.sum_amt)
+        for x in read_aggregate_view(spark, mv).collect()
+    }
+
+
+def _join_check(spark, fact, dim, mv):
+    exp, got = _join_expect(spark, fact, dim), _join_view(spark, mv)
+    assert set(exp) == set(got)
+    for g in exp:
+        assert exp[g][0] == got[g][0], f"count mismatch for {g}"
+        assert abs(exp[g][1] - got[g][1]) < 1e-6, f"sum mismatch for {g}"
+
+
+def test_join_view_fact_only_churn_reads_only_fact_delta(spark, tmp_path):
+    """The production case: facts churn, dim untouched — the refresh
+    reads only the changed fact files and never rescans the fact."""
+    from airflow_postgres_etl_spark.views import refresh_join_view
+
+    fact, dim, mv = str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark,
+        _fact_rows(spark, [(f"o{i}", f"c{i % 5}", float(i)) for i in range(60)]),
+        fact, num_buckets=8, vacuum=False,
+    )
+    keyed_overwrite_parquet(
+        spark,
+        _dim_rows(spark, [(f"c{i}", "gold" if i < 2 else "base") for i in range(5)]),
+        dim, key="cust", num_buckets=2, vacuum=False,
+    )
+    r = refresh_join_view(spark, fact, dim, mv, "cust", ["segment"], ["amt"])
+    assert r["mode"] == "full"
+    _join_check(spark, fact, dim, mv)
+
+    # replace two orders, add one -> only the touched buckets re-read
+    keyed_overwrite_parquet(
+        spark,
+        _fact_rows(spark, [("o1", "c3", 500.0), ("o99", "c0", 7.5)]),
+        fact, num_buckets=8, vacuum=False,
+    )
+    r = refresh_join_view(spark, fact, dim, mv, "cust", ["segment"], ["amt"])
+    assert r["mode"] == "incremental" and r["fact_rescan"] is False
+    assert r["dim_files_read"] == 0
+    total = len(read_keyed_table(spark, fact).inputFiles())
+    assert 0 < r["fact_files_read"] < total
+    _join_check(spark, fact, dim, mv)
+
+    # both unchanged -> noop
+    assert refresh_join_view(
+        spark, fact, dim, mv, "cust", ["segment"], ["amt"]
+    )["mode"] == "noop"
+
+
+def test_join_view_dim_change_moves_groups(spark, tmp_path):
+    """The hard IVM case: a dim attribute changes, so existing fact rows
+    MOVE between groups — handled by the R_old⋈ΔS term (old rows leave
+    via the removed dim file's -1 weight, re-enter under the new value)."""
+    from airflow_postgres_etl_spark.views import refresh_join_view
+
+    fact, dim, mv = str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark,
+        _fact_rows(spark, [(f"o{i}", f"c{i % 4}", float(i)) for i in range(40)]),
+        fact, num_buckets=4, vacuum=False,
+    )
+    keyed_overwrite_parquet(
+        spark,
+        _dim_rows(spark, [("c0", "a"), ("c1", "a"), ("c2", "b"), ("c3", "b")]),
+        dim, key="cust", num_buckets=2, vacuum=False,
+    )
+    refresh_join_view(spark, fact, dim, mv, "cust", ["segment"], ["amt"])
+
+    # c1 moves a -> b; c9 appears (no facts yet -> no view effect)
+    keyed_overwrite_parquet(
+        spark, _dim_rows(spark, [("c1", "b"), ("c9", "z")]),
+        dim, key="cust", num_buckets=2, vacuum=False,
+    )
+    r = refresh_join_view(spark, fact, dim, mv, "cust", ["segment"], ["amt"])
+    assert r["mode"] == "incremental" and r["fact_rescan"] is True
+    assert r["dim_files_read"] > 0
+    got = _join_view(spark, mv)
+    assert "z" not in got  # dim row with no facts contributes nothing
+    _join_check(spark, fact, dim, mv)
+
+    # then facts arrive for the new dim row; dim untouched this time
+    keyed_overwrite_parquet(
+        spark, _fact_rows(spark, [("oz", "c9", 9.0)]),
+        fact, num_buckets=4, vacuum=False,
+    )
+    r = refresh_join_view(spark, fact, dim, mv, "cust", ["segment"], ["amt"])
+    assert r["mode"] == "incremental" and r["fact_rescan"] is False
+    assert _join_view(spark, mv)["z"] == (1, 9.0)
+    _join_check(spark, fact, dim, mv)
+
+
+def test_join_view_group_vanishes_and_deletes(spark, tmp_path):
+    """Fact deletions flow through as -1 weights; a group whose count
+    hits zero disappears from the view."""
+    from airflow_postgres_etl_spark.sink import keyed_delete_where
+    from airflow_postgres_etl_spark.views import refresh_join_view
+
+    fact, dim, mv = str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark,
+        _fact_rows(spark, [("o1", "c0", 1.0), ("o2", "c1", 2.0), ("o3", "c1", 3.0)]),
+        fact, num_buckets=2, vacuum=False,
+    )
+    keyed_overwrite_parquet(
+        spark, _dim_rows(spark, [("c0", "solo"), ("c1", "big")]),
+        dim, key="cust", num_buckets=1, vacuum=False,
+    )
+    refresh_join_view(spark, fact, dim, mv, "cust", ["segment"], ["amt"])
+    keyed_delete_where(spark, fact, "cust = 'c0'")
+    # the DML lands as a MOR tombstone delta: compaction restores the
+    # clean-snapshot invariant the incremental path requires
+    compact_keyed_table(spark, fact)
+    r = refresh_join_view(spark, fact, dim, mv, "cust", ["segment"], ["amt"])
+    assert r["mode"] == "incremental"
+    got = _join_view(spark, mv)
+    assert "solo" not in got and got["big"] == (2, 5.0)
+    _join_check(spark, fact, dim, mv)
+
+
+def test_join_view_shape_mismatch_and_kind_fencing(spark, tmp_path):
+    """A join view's mv_path refuses aggregate-view refreshes and
+    reshaped join definitions; MOR deltas on either side fall back to
+    a full recompute (the file-multiset shortcut would be unsound)."""
+    from airflow_postgres_etl_spark.views import refresh_join_view
+
+    fact, dim, mv = str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark, _fact_rows(spark, [("o1", "c0", 1.0)]), fact,
+        num_buckets=2, vacuum=False,
+    )
+    keyed_overwrite_parquet(
+        spark, _dim_rows(spark, [("c0", "a")]), dim,
+        key="cust", num_buckets=1, vacuum=False,
+    )
+    refresh_join_view(spark, fact, dim, mv, "cust", ["segment"], ["amt"])
+    with pytest.raises(ValueError, match="different shape"):
+        refresh_aggregate_view(spark, fact, mv, ["segment"], ["amt"])
+    with pytest.raises(ValueError, match="different shape"):
+        refresh_join_view(spark, fact, dim, mv, "cust", ["segment"], [])
+
+    # MOR delta pending on the fact -> unclean endpoint -> full fallback
+    keyed_merge_mor(
+        spark, _fact_rows(spark, [("o1", "c0", 10.0)]), fact, num_buckets=2
+    )
+    r = refresh_join_view(spark, fact, dim, mv, "cust", ["segment"], ["amt"])
+    assert r["mode"] == "full"
+    _join_check(spark, fact, dim, mv)
