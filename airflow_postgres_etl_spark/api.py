@@ -399,6 +399,23 @@ class Table:
 
         return sink.table_history(self.path, self.store)
 
+    def stats(self) -> dict:
+        """Metadata-only statistics — exact ``COUNT(*)`` and per-tracked-
+        column min/max/null_count from the manifest, zero data scanned
+        (see ``sink.table_stats``; None fields mean "not derivable
+        exactly", never an estimate)."""
+        from . import sink
+
+        return sink.table_stats(self.path, self.store)
+
+    def history_detail(self) -> list[dict]:
+        """``DESCRIBE HISTORY``: version + user-level operation +
+        commit timestamp per surviving snapshot (see
+        ``sink.table_history_detail``)."""
+        from . import sink
+
+        return sink.table_history_detail(self.path, self.store)
+
     def describe(self) -> dict:
         from . import sink
 

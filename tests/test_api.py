@@ -223,3 +223,102 @@ def test_timestamp_as_of_travel(spark, tmp_path):
     del m["committed_at"]
     json.dump(m, open(p, "w"))
     assert sink.resolve_as_of(str(tmp_path / "t"), t_between - 3600) == 1
+
+
+def test_describe_history_operations(spark, tmp_path):
+    """DESCRIBE HISTORY: each surviving snapshot reports the USER-level
+    operation that committed it (outermost entry point wins — an
+    apply_changes_scd2 call's internal merges stamp the user's verb,
+    the Delta convention), plus the commit timestamp; pre-feature
+    manifests (no stamp) degrade to "commit" / None."""
+    import json
+
+    from airflow_postgres_etl_spark import sink
+
+    t = Engine(spark).table(str(tmp_path / "h"))
+    t.merge(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        key="k", num_buckets=4,
+    )
+    t.merge(spark.createDataFrame([(3, "c")], "k long, v string"), key="k")
+    t.delete_where("v = 'b'")
+    t.restore(1)
+
+    hist = t.history_detail()
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    assert [h["operation"] for h in hist] == [
+        "merge", "merge", "delete_where", "restore",
+    ]
+    assert all(isinstance(h["committed_at"], float) for h in hist)
+    # timestamps are monotone non-decreasing across commits
+    stamps = [h["committed_at"] for h in hist]
+    assert stamps == sorted(stamps)
+
+    # a composite entry point stamps ITS name, not its internal merges'
+    scd = str(tmp_path / "scd")
+    ch = spark.createDataFrame(
+        [(1, 10, "x", "U"), (2, 10, "y", "U")], "k long, seq long, v string, op string"
+    )
+    sink.apply_changes_scd2(spark, scd, ch, seq_col="seq", track_cols=["v"],
+                            key="k", num_buckets=4)
+    ops = {h["operation"] for h in sink.table_history_detail(scd)}
+    assert ops == {"apply_changes_scd2"}
+
+    # pre-feature manifest: strip the stamp — reports the degraded form
+    p = os.path.join(str(tmp_path / "h"), "_manifest.v1.json")
+    m = json.load(open(p))
+    del m["operation"], m["committed_at"]
+    json.dump(m, open(p, "w"))
+    h1 = t.history_detail()[0]
+    assert h1["operation"] == "commit" and h1["committed_at"] is None
+
+
+def test_metadata_only_table_stats(spark, tmp_path):
+    """Table.stats(): exact COUNT(*) and tracked-column min/max/nulls
+    straight from the manifest — no data scan — going None (never an
+    estimate) exactly when it can't be exact: pending MOR deltas, or a
+    live file with no recorded count (pre-feature manifest)."""
+    import json
+
+    from airflow_postgres_etl_spark import sink
+
+    t = Engine(spark).table(str(tmp_path / "s"))
+    t.merge(
+        spark.createDataFrame(
+            [(i, float(i), None if i % 3 == 0 else f"u{i}") for i in range(50)],
+            "k long, v double, u string",
+        ),
+        key="k", num_buckets=4, stats_cols=["v", "u"], vacuum=False,
+    )
+    s = t.stats()
+    assert s["clean"] and s["row_count"] == 50
+    assert s["columns"]["v"] == {"min": 0.0, "max": 49.0, "null_count": 0}
+    assert s["columns"]["u"]["null_count"] == 17  # 0,3,...,48
+
+    # replace-by-key keeps the count exact (10 replaced, 1 new)
+    t.merge(
+        spark.createDataFrame(
+            [(k, float(k) * 2, "x") for k in range(0, 51, 5)],
+            "k long, v double, u string",
+        ),
+        key="k",
+    )
+    s = t.stats()
+    assert s["row_count"] == 51 == t.read().count()
+    assert s["columns"]["v"]["max"] == 100.0
+
+    # a pending MOR delta makes file sums unsound -> None, not a guess
+    t.merge_mor(
+        spark.createDataFrame([(1, 7.0, "y")], "k long, v double, u string"),
+        key="k",
+    )
+    s = t.stats()
+    assert s["clean"] is False and s["row_count"] is None
+    assert t.compact() >= 1 and t.stats()["row_count"] == 51
+
+    # pre-feature manifest: drop one file's count -> None (exact or nothing)
+    p = str(tmp_path / "s" / "_manifest.json")
+    m = json.load(open(p))
+    m["rows"].popitem()
+    json.dump(m, open(p, "w"))
+    assert sink.table_stats(str(tmp_path / "s"))["row_count"] is None
