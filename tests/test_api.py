@@ -250,6 +250,11 @@ def test_describe_history_operations(spark, tmp_path):
         "merge", "merge", "delete_where", "restore",
     ]
     assert all(isinstance(h["committed_at"], float) for h in hist)
+    # size metrics: exact row counts per snapshot; the delete_where
+    # version carries a pending MOR tombstone, so its count is honestly
+    # None (exact-or-nothing), and the restore re-points at v1's 2 rows
+    assert [h["total_rows"] for h in hist] == [2, 3, None, 2]
+    assert all(h["num_files"] > 0 for h in hist)
     # timestamps are monotone non-decreasing across commits
     stamps = [h["committed_at"] for h in hist]
     assert stamps == sorted(stamps)
