@@ -9261,3 +9261,115 @@ def view_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "segment string, n long, sum_amt long"
     ).orderBy("segment")
+
+
+@query(
+    "view_star_ivm",
+    """
+    SELECT brand,
+           nation,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(FLOOR(l_extendedprice)) AS BIGINT) AS sum_amt
+    FROM lineitem
+    JOIN (SELECT p_partkey,
+                 CASE WHEN p_partkey % 7 = 0 THEN 'MOVEDBRAND'
+                      ELSE p_brand END AS brand
+          FROM part) ON l_partkey = p_partkey
+    JOIN (SELECT s_suppkey,
+                 CAST(CASE WHEN s_suppkey % 5 = 0 THEN 999
+                      ELSE s_nationkey END AS BIGINT) AS nation
+          FROM supplier) ON l_suppkey = s_suppkey
+    GROUP BY brand, nation
+    ORDER BY brand, nation
+    """,
+)
+def view_star_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-dim star-view IVM (``views.refresh_star_view``) end to end —
+    the rollup ``lineitem ⋈ part ⋈ supplier`` grouped by (brand,
+    nation), maintained over: v1 facts (odd line keys) → full; v2 facts
+    (the rest) → the fast path (changed fact files only, both dims
+    broadcast, no rescan); then BOTH dims change before ONE refresh —
+    every 7th part moves brand and every 5th supplier moves nation —
+    exercising the telescoping convention (term i reads tables j<i at
+    their OLD versions) on rows whose two dim attributes moved at once;
+    a naive all-current implementation double-counts exactly those.
+    The oracle reproduces the final rollup closed-form over the raw
+    tables.  Refresh modes are asserted in-query.
+
+    Sums run over floor(l_extendedprice): integer-valued doubles, exact
+    accumulation, no rounding tolerance in the differential.
+
+    100 TB shape: the fact is only ever read incrementally while dims
+    hold still (measured flat at 64× — SCALE.md); each changed dim adds
+    one broadcast-hash pass over the old fact snapshot, zero shuffles
+    beyond the final group-by."""
+    import shutil
+    import tempfile
+
+    from ..sink import keyed_overwrite_parquet
+    from ..views import read_aggregate_view, refresh_star_view
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("lkey"),
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.floor("l_extendedprice").alias("amt"),
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    sp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").cast("long").alias("nation")
+    )
+    tmp = tempfile.mkdtemp(prefix="starivm_")
+    try:
+        fact, d1, d2, mv = f"{tmp}/f", f"{tmp}/d1", f"{tmp}/d2", f"{tmp}/mv"
+        keyed_overwrite_parquet(
+            spark, li.filter(F.col("lkey") % 2 == 1), fact,
+            key="lkey", num_buckets=8, vacuum=False,
+        )
+        keyed_overwrite_parquet(spark, pt, d1, key="p_partkey",
+                                num_buckets=4, vacuum=False)
+        keyed_overwrite_parquet(spark, sp, d2, key="s_suppkey",
+                                num_buckets=2, vacuum=False)
+        args = (spark, fact, [(d1, "p_partkey"), (d2, "s_suppkey")], mv,
+                ["brand", "nation"], ["amt"])
+        r1 = refresh_star_view(*args)
+        keyed_overwrite_parquet(
+            spark, li.filter(F.col("lkey") % 2 == 0), fact,
+            key="lkey", vacuum=False,
+        )
+        r2 = refresh_star_view(*args)
+        keyed_overwrite_parquet(
+            spark,
+            pt.filter(F.col("p_partkey") % 7 == 0)
+            .withColumn("brand", F.lit("MOVEDBRAND")),
+            d1, key="p_partkey", vacuum=False,
+        )
+        keyed_overwrite_parquet(
+            spark,
+            sp.filter(F.col("s_suppkey") % 5 == 0)
+            .withColumn("nation", F.lit(999).cast("long")),
+            d2, key="s_suppkey", vacuum=False,
+        )
+        r3 = refresh_star_view(*args)
+        if not (
+            r1["mode"] == "full"
+            and r2["mode"] == "incremental" and not r2["fact_rescan"]
+            and r3["mode"] == "incremental" and r3["fact_rescan"]
+            and r3["dim_files_read"] > 0
+        ):
+            raise RuntimeError(
+                f"star-view refresh modes regressed: {r1['mode']}, "
+                f"{r2['mode']}/rescan={r2['fact_rescan']}, "
+                f"{r3['mode']}/rescan={r3['fact_rescan']}"
+            )
+        rows = [
+            (x.brand, x.nation, x.n, int(x.sum_amt))
+            for x in read_aggregate_view(spark, mv).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "brand string, nation long, n long, sum_amt long"
+    ).orderBy("brand", "nation")

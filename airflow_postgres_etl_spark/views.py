@@ -198,7 +198,7 @@ def refresh_join_view(
     store=LOCAL_STORE,
 ) -> dict:
     """Create or refresh a grouped count/sum view over ``fact ⋈ dim``
-    (equi-join on ``on``) — the star-schema rollup, maintained
+    (equi-join on ``on``) — the single-dim star rollup, maintained
     incrementally from BOTH tables' commit deltas.
 
     The delta-join identity (signed multisets, the classic IVM result):
@@ -213,12 +213,61 @@ def refresh_join_view(
     dim broadcast; a dim change costs one fact scan (broadcast hash join
     against the dim delta, no shuffle).  At 100 TB that asymmetry is the
     whole point: the 100 TB side is only ever read incrementally.
+    Measured flat at 64× fact growth for a fixed batch
+    (tools/scale_stress_r7h.py, SCALE.md).
 
-    Same scope rules as :func:`refresh_aggregate_view`: count/sum only,
-    clean (delta-free) snapshots on both endpoints or the refresh falls
-    back to a full recompute, float sums equal to ~1e-9 relative.
+    The k-dim generalization is :func:`refresh_star_view`; this is its
+    k=1 case, kept as the named two-table API.  Same scope rules as
+    :func:`refresh_aggregate_view`: count/sum only, clean (delta-free)
+    snapshots on both endpoints or the refresh falls back to a full
+    recompute, float sums equal to ~1e-9 relative.  Returns ``{"mode",
+    "fact_files_read", "dim_files_read", "fact_rescan", "fact_version",
+    "dim_version"}``.
+    """
+    r = refresh_star_view(
+        spark, fact, [(dim, on)], mv_path, group_cols, sum_cols, store
+    )
+    r["fact_version"], r["dim_version"] = r["versions"][0], r["versions"][1]
+    return r
+
+
+def refresh_star_view(
+    spark: SparkSession,
+    fact: str,
+    dims: list[tuple[str, str]],
+    mv_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    store=LOCAL_STORE,
+) -> dict:
+    """Create or refresh a grouped count/sum rollup over the star join
+    ``fact ⋈ dim_1 ⋈ … ⋈ dim_k`` (each ``dims[i] = (path, on_i)``
+    equi-joins the fact's ``on_i`` column against dim_i's), maintained
+    incrementally from EVERY table's commit deltas via the telescoping
+    multiset identity — with T_0 = fact:
+
+        ∏ T_i_new − ∏ T_i_old  =  Σ_i  (∏_{j<i} T_j_old) ⋈ ΔT_i ⋈ (∏_{j>i} T_j_new)
+
+    One term per CHANGED table; each term carries exactly one signed
+    delta factor (±1 row weights), every other factor is a plain
+    snapshot, and every dim factor is broadcast.  The fast path — only
+    the fact changed — is one term: the fact's changed files joined
+    against the current dims, O(touched fact buckets) whatever the
+    table size.  A changed dim adds one broadcast-hash pass over the
+    OLD fact snapshot (time-travel read; the old version's files
+    provably still exist because the delta check verified them), still
+    zero shuffles.  Multiple tables changing in one refresh compose
+    correctly because term i reads tables j<i at their OLD versions —
+    the convention the unit test pins by changing two dims at once.
+
+    Column names must be unique across the joined tables apart from the
+    join keys (standard star-schema hygiene).  Same scope rules as
+    :func:`refresh_aggregate_view`: count/sum only; any unclean or
+    vacuumed-past-retention endpoint falls back to a provably-correct
+    full recompute; counts exact, float sums ~1e-9 relative.
+
     Returns ``{"mode", "fact_files_read", "dim_files_read",
-    "fact_rescan", "fact_version", "dim_version"}``.
+    "fact_rescan", "versions": [fact_v, dim_1_v, …]}``.
     """
     reserved = {"n"} | {f"sum_{c}" for c in sum_cols}
     clash = reserved & set(group_cols)
@@ -227,84 +276,122 @@ def refresh_join_view(
             f"group column(s) {sorted(clash)} collide with the view's "
             "aggregate output columns (n, sum_<col>)"
         )
-    fact_m = _load_manifest(fact, store)
-    dim_m = _load_manifest(dim, store)
-    if fact_m is None or dim_m is None:
-        raise FileNotFoundError(f"no keyed table committed at {fact if fact_m is None else dim}")
-    fv, dv = fact_m["version"], dim_m["version"]
+    ons = [on for _, on in dims]
+    if len(set(ons)) != len(ons):
+        raise ValueError(f"duplicate join columns across dims: {ons}")
+    paths = [fact] + [p for p, _ in dims]
+    manifests = []
+    for p in paths:
+        m = _load_manifest(p, store)
+        if m is None:
+            raise FileNotFoundError(f"no keyed table committed at {p}")
+        manifests.append(m)
+    versions = [m["version"] for m in manifests]
     meta = store.read_json(_meta_path(mv_path))
     if meta is not None and (
-        meta.get("kind") != "join"
-        or meta.get("on") != on
+        meta.get("kind") != "star"
+        or meta.get("ons") != ons
         or meta.get("group_cols") != list(group_cols)
         or meta.get("sum_cols") != list(sum_cols)
     ):
         raise ValueError(
             "existing view at mv_path was built with a different shape "
-            "(kind/on/group/sum columns); use a new mv_path"
+            "(kind/join/group/sum columns); use a new mv_path"
         )
-    if meta is not None and meta["fact_version"] == fv and meta["dim_version"] == dv:
+    meta_extra = {"kind": "star", "ons": ons, "versions": versions}
+    if meta is not None and meta["versions"] == versions:
         return {
             "mode": "noop", "fact_files_read": 0, "dim_files_read": 0,
-            "fact_rescan": False, "fact_version": fv, "dim_version": dv,
+            "fact_rescan": False, "versions": versions,
         }
 
-    def _delta_files(target, m_new, old_v):
-        """(added, removed) rel-file lists between snapshots, or None if
-        either endpoint is unclean or a removed file was vacuumed."""
-        new_files = _base_files(m_new)
-        m_old = store.read_json(_version_manifest_path(target, old_v))
+    def _delta_files(i):
+        """(added, removed) for table i since the view's snapshot, or
+        None if the shortcut is unsound (unclean endpoint, vacuumed)."""
+        if meta["versions"][i] == versions[i]:
+            return [], []
+        new_files = _base_files(manifests[i])
+        m_old = store.read_json(
+            _version_manifest_path(paths[i], meta["versions"][i])
+        )
         old_files = _base_files(m_old) if m_old else None
         if new_files is None or old_files is None:
             return None
         added = sorted(new_files - old_files)
         removed = sorted(old_files - new_files)
-        if any(not store.exists(os.path.join(target, f)) for f in removed):
+        if any(
+            not store.exists(os.path.join(paths[i], f)) for f in removed
+        ):
             return None
         return added, removed
 
-    if meta is not None:
-        f_delta = _delta_files(fact, fact_m, meta["fact_version"])
-        d_delta = _delta_files(dim, dim_m, meta["dim_version"])
-    else:
-        f_delta = d_delta = None
-
-    if meta is None or f_delta is None or d_delta is None:
-        return _full_join_refresh(
-            spark, fact, dim, mv_path, on, group_cols, sum_cols, fv, dv, store
+    deltas = [_delta_files(i) for i in range(len(paths))] if meta else None
+    if meta is None or any(d is None for d in deltas):
+        return _full_star_refresh(
+            spark, paths, ons, mv_path, group_cols, sum_cols,
+            meta_extra, store,
         )
 
-    def _signed(target, added, removed):
+    def _signed(i):
+        added, removed = deltas[i]
         parts = []
         if added:
-            parts.append(_read_files(spark, target, added).withColumn("__w", F.lit(1)))
+            parts.append(
+                _read_files(spark, paths[i], added).withColumn("__w", F.lit(1))
+            )
         if removed:
-            parts.append(_read_files(spark, target, removed).withColumn("__w", F.lit(-1)))
+            parts.append(
+                _read_files(spark, paths[i], removed).withColumn("__w", F.lit(-1))
+            )
         if not parts:
             return None
-        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
 
-    delta_r = _signed(fact, *f_delta)
-    delta_s = _signed(dim, *d_delta)
+    def _snapshot(i, old: bool):
+        if old and meta["versions"][i] != versions[i]:
+            return read_keyed_table(
+                spark, paths[i], store, version=meta["versions"][i]
+            )
+        return read_keyed_table(spark, paths[i], store)
+
+    out_cols = list(dict.fromkeys([*group_cols, *sum_cols]))
     terms = []
-    if delta_r is not None:  # ΔR ⋈ S_new — dim broadcast, weight from ΔR
-        s_new = read_keyed_table(spark, dim, store)
-        terms.append(delta_r.join(F.broadcast(s_new), on=on, how="inner"))
-    fact_rescan = delta_s is not None
-    if fact_rescan:  # R_old ⋈ ΔS — OLD fact snapshot, weight from ΔS
-        r_old = read_keyed_table(spark, fact, store, version=meta["fact_version"])
-        terms.append(r_old.join(F.broadcast(delta_s), on=on, how="inner"))
-    if not terms:  # version bumps with no base-file change on either side
+    for i in range(len(paths)):
+        d = _signed(i)
+        if d is None:
+            continue
+        if i == 0:
+            frame = d
+            for j in range(1, len(paths)):
+                frame = frame.join(
+                    F.broadcast(_snapshot(j, old=False)), on=ons[j - 1],
+                    how="inner",
+                )
+        else:
+            frame = _snapshot(0, old=True)
+            for j in range(1, len(paths)):
+                if j == i:
+                    other = d
+                else:
+                    other = _snapshot(j, old=(j < i))
+                frame = frame.join(
+                    F.broadcast(other), on=ons[j - 1], how="inner"
+                )
+        terms.append(frame.select(*out_cols, "__w"))
+
+    if not terms:  # version bumps with no base-file change anywhere
         _write_view(
             spark, mv_path, _read_view_frame(spark, mv_path, store),
-            group_cols, sum_cols, fv, store,
-            meta_extra={"kind": "join", "on": on, "fact_version": fv, "dim_version": dv},
+            group_cols, sum_cols, versions[0], store, meta_extra=meta_extra,
         )
         return {
             "mode": "incremental", "fact_files_read": 0, "dim_files_read": 0,
-            "fact_rescan": False, "fact_version": fv, "dim_version": dv,
+            "fact_rescan": False, "versions": versions,
         }
-    rows = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), terms)
+
+    rows = reduce(lambda a, b: a.unionByName(b), terms)
     aggs = [F.sum("__w").cast("long").alias("__dn")]
     aggs += [
         F.sum(F.col(c).cast("double") * F.col("__w")).alias(f"__ds_{c}")
@@ -330,37 +417,36 @@ def refresh_join_view(
         ],
     ).filter(F.col("n") > 0)
     _write_view(
-        spark, mv_path, merged, group_cols, sum_cols, fv, store,
-        meta_extra={"kind": "join", "on": on, "fact_version": fv, "dim_version": dv},
+        spark, mv_path, merged, group_cols, sum_cols, versions[0], store,
+        meta_extra=meta_extra,
     )
     return {
         "mode": "incremental",
-        "fact_files_read": len(f_delta[0]) + len(f_delta[1]),
-        "dim_files_read": len(d_delta[0]) + len(d_delta[1]),
-        "fact_rescan": fact_rescan,
-        "fact_version": fv,
-        "dim_version": dv,
+        "fact_files_read": len(deltas[0][0]) + len(deltas[0][1]),
+        "dim_files_read": sum(len(a) + len(r) for a, r in deltas[1:]),
+        "fact_rescan": any(len(a) + len(r) > 0 for a, r in deltas[1:]),
+        "versions": versions,
     }
 
 
-def _full_join_refresh(
-    spark, fact, dim, mv_path, on, group_cols, sum_cols, fv, dv, store
+def _full_star_refresh(
+    spark, paths, ons, mv_path, group_cols, sum_cols, meta_extra, store
 ) -> dict:
-    r = read_keyed_table(spark, fact, store)
-    s = read_keyed_table(spark, dim, store)
-    view = _aggregate(r.join(F.broadcast(s), on=on, how="inner"),
-                      list(group_cols), list(sum_cols))
+    frame = read_keyed_table(spark, paths[0], store)
+    n_fact = len(frame.inputFiles())
+    n_dim = 0
+    for j in range(1, len(paths)):
+        s = read_keyed_table(spark, paths[j], store)
+        n_dim += len(s.inputFiles())
+        frame = frame.join(F.broadcast(s), on=ons[j - 1], how="inner")
+    view = _aggregate(frame, list(group_cols), list(sum_cols))
     _write_view(
-        spark, mv_path, view, group_cols, sum_cols, fv, store,
-        meta_extra={"kind": "join", "on": on, "fact_version": fv, "dim_version": dv},
+        spark, mv_path, view, group_cols, sum_cols,
+        meta_extra["versions"][0], store, meta_extra=meta_extra,
     )
     return {
-        "mode": "full",
-        "fact_files_read": len(r.inputFiles()),
-        "dim_files_read": len(s.inputFiles()),
-        "fact_rescan": True,
-        "fact_version": fv,
-        "dim_version": dv,
+        "mode": "full", "fact_files_read": n_fact, "dim_files_read": n_dim,
+        "fact_rescan": True, "versions": meta_extra["versions"],
     }
 
 

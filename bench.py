@@ -220,6 +220,9 @@ HEADLINE = [
     # round-7: incrementally-maintained JOIN view (delta-join algebra;
     # three commits, two incremental refreshes, modes asserted in-query)
     "view_join_ivm",
+    # round-7: the k-dim star generalization (telescoping delta terms,
+    # both dims changed before one refresh)
+    "view_star_ivm",
 ]
 
 

@@ -435,3 +435,112 @@ def test_join_view_shape_mismatch_and_kind_fencing(spark, tmp_path):
     r = refresh_join_view(spark, fact, dim, mv, "cust", ["segment"], ["amt"])
     assert r["mode"] == "full"
     _join_check(spark, fact, dim, mv)
+
+
+def test_star_view_three_tables_multi_delta(spark, tmp_path):
+    """The k-dim telescoping identity: fact ⋈ part-dim ⋈ supp-dim with
+    (a) fact-only churn = fast path, (b) BOTH dims changing between two
+    refreshes — term i must read tables j<i at their OLD versions, the
+    convention a naive all-current implementation gets wrong (it would
+    double-count rows whose two dim attributes both moved)."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.views import (
+        read_aggregate_view,
+        refresh_star_view,
+    )
+
+    fact = str(tmp_path / "f")
+    d1, d2, mv = str(tmp_path / "d1"), str(tmp_path / "d2"), str(tmp_path / "mv")
+    # every fact row references part p{i%3} and supplier s{i%2}
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame(
+            [(f"o{i}", f"p{i % 3}", f"s{i % 2}", float(i)) for i in range(30)],
+            ["oid__id", "pk", "sk", "amt"],
+        ),
+        fact, num_buckets=4, vacuum=False,
+    )
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame(
+            [("p0", "brandA"), ("p1", "brandA"), ("p2", "brandB")],
+            ["pk", "brand"],
+        ),
+        d1, key="pk", num_buckets=1, vacuum=False,
+    )
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame(
+            [("s0", "east"), ("s1", "west")], ["sk", "region"]
+        ),
+        d2, key="sk", num_buckets=1, vacuum=False,
+    )
+
+    def recompute():
+        r = read_keyed_table(spark, fact)
+        j = (
+            r.join(read_keyed_table(spark, d1), "pk")
+            .join(read_keyed_table(spark, d2), "sk")
+            .groupBy("brand", "region")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("amt").cast("double")).alias("sum_amt"))
+        )
+        return {(x.brand, x.region): (x.n, x.sum_amt) for x in j.collect()}
+
+    def view():
+        return {
+            (x.brand, x.region): (x.n, x.sum_amt)
+            for x in read_aggregate_view(spark, mv).collect()
+        }
+
+    def check():
+        exp, got = recompute(), view()
+        assert set(exp) == set(got)
+        for g in exp:
+            assert exp[g][0] == got[g][0], f"count mismatch for {g}"
+            assert abs(exp[g][1] - got[g][1]) < 1e-6, f"sum mismatch for {g}"
+
+    args = (spark, fact, [(d1, "pk"), (d2, "sk")], mv,
+            ["brand", "region"], ["amt"])
+    assert refresh_star_view(*args)["mode"] == "full"
+    check()
+
+    # (a) fact-only churn: fast path, no dim reads, no fact rescan
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame(
+            [("o1", "p2", "s1", 999.0), ("o77", "p0", "s0", 7.0)],
+            ["oid__id", "pk", "sk", "amt"],
+        ),
+        fact, num_buckets=4, vacuum=False,
+    )
+    r = refresh_star_view(*args)
+    assert r["mode"] == "incremental" and not r["fact_rescan"]
+    assert r["dim_files_read"] == 0
+    assert 0 < r["fact_files_read"] < len(read_keyed_table(spark, fact).inputFiles())
+    check()
+
+    # (b) BOTH dims move between refreshes: p1 brandA->brandB AND
+    # s0 east->north — rows with (p1, s0) change both attributes at
+    # once; only the old-versions-for-j<i convention counts them once
+    keyed_overwrite_parquet(
+        spark, spark.createDataFrame([("p1", "brandB")], ["pk", "brand"]),
+        d1, key="pk", vacuum=False,
+    )
+    keyed_overwrite_parquet(
+        spark, spark.createDataFrame([("s0", "north")], ["sk", "region"]),
+        d2, key="sk", vacuum=False,
+    )
+    r = refresh_star_view(*args)
+    assert r["mode"] == "incremental" and r["fact_rescan"]
+    assert r["dim_files_read"] > 0
+    check()
+
+    # noop when everything is current
+    assert refresh_star_view(*args)["mode"] == "noop"
+
+    # duplicate join columns rejected
+    with pytest.raises(ValueError, match="duplicate join columns"):
+        refresh_star_view(spark, fact, [(d1, "pk"), (d2, "pk")], mv,
+                          ["brand"], ["amt"])
