@@ -237,17 +237,37 @@ class Table:
             )
         sink.keyed_overwrite_parquet(self.spark, batch, self.path, store=self.store, **kw)
 
-    def merge_mor(self, batch: DataFrame, expectations=None, **kw):
+    def merge_mor(
+        self, batch: DataFrame, expectations=None,
+        auto_compact_depth: int | None = None, **kw,
+    ):
+        """Merge-on-read write; with ``auto_compact_depth=N`` the handle
+        compacts automatically once the pending delta chain reaches N —
+        Databricks auto-compaction's contract: bounded read
+        amplification without a separate maintenance scheduler.  The
+        compaction is its own commit (DESCRIBE HISTORY shows
+        ``merge_mor`` then ``compact``, like OPTIMIZE)."""
         from . import sink
 
         if expectations:
             from .operators.expectations import gate_and_merge
 
-            return gate_and_merge(
+            out = gate_and_merge(
                 self.spark, batch, self.path, expectations,
                 mor=True, store=self.store, **kw,
             )
-        sink.keyed_merge_mor(self.spark, batch, self.path, store=self.store, **kw)
+        else:
+            out = None
+            sink.keyed_merge_mor(
+                self.spark, batch, self.path, store=self.store, **kw
+            )
+        if (
+            auto_compact_depth is not None
+            and sink.table_delta_depth(self.path, self.store)
+            >= auto_compact_depth
+        ):
+            sink.compact_keyed_table(self.spark, self.path, store=self.store)
+        return out
 
     def append(self, batch: DataFrame, **kw) -> int:
         """Fast NEW-key append: O(batch) commit, no existing data read

@@ -327,3 +327,28 @@ def test_metadata_only_table_stats(spark, tmp_path):
     m["rows"].popitem()
     json.dump(m, open(p, "w"))
     assert sink.table_stats(str(tmp_path / "s"))["row_count"] is None
+
+
+def test_auto_compact_bounds_delta_depth(spark, tmp_path):
+    """merge_mor(auto_compact_depth=N): the delta chain self-compacts at
+    depth N — read amplification stays bounded with no maintenance
+    scheduler, content equals the plain sequential merges, and the
+    compaction lands as its own history commit (like OPTIMIZE)."""
+    t = Engine(spark).table(str(tmp_path / "ac"))
+    t.merge(
+        spark.createDataFrame([(i, 0) for i in range(12)], "k long, v long"),
+        key="k", num_buckets=2, vacuum=False,
+    )
+    # same key every time: every delta hits ONE bucket, so the
+    # (per-bucket) depth advances deterministically 1,2,3->compact,...
+    for i in range(1, 7):
+        t.merge_mor(
+            spark.createDataFrame([(1, i * 10)], "k long, v long"),
+            key="k", auto_compact_depth=3,
+        )
+        assert t.delta_depth() < 3  # the chain never outgrows the bound
+    got = {(r.k, r.v) for r in t.read().collect()}
+    exp = {(1, 60)} | {(i, 0) for i in range(12) if i != 1}
+    assert got == exp
+    ops = [h["operation"] for h in t.history_detail()]
+    assert ops.count("compact") == 2 and ops.count("merge_mor") == 6

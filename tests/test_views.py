@@ -544,3 +544,71 @@ def test_star_view_three_tables_multi_delta(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate join columns"):
         refresh_star_view(spark, fact, [(d1, "pk"), (d2, "pk")], mv,
                           ["brand"], ["amt"])
+
+
+def test_streaming_fact_composes_with_star_view(spark, tmp_path):
+    """Continuous star rollup: the fact table advances via checkpointed
+    stream ingest while the dim holds still — each refresh takes the
+    fast path (changed fact files only, zero dim reads) and equals a
+    from-scratch recompute of the join."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.streaming import stream_ingest
+    from airflow_postgres_etl_spark.views import (
+        read_aggregate_view,
+        refresh_star_view,
+    )
+
+    from .fixtures.gen_raw import generate
+
+    csv_dir = str(tmp_path / "csv")
+    generate(csv_dir)
+    files = sorted(os.listdir(csv_dir))
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    for f in files[: len(files) // 2]:
+        os.link(os.path.join(csv_dir, f), os.path.join(half, f))
+
+    tr, ev, ck, dim, mv = (
+        str(tmp_path / d) for d in ("tr", "ev", "ck", "dim", "mv")
+    )
+    q = stream_ingest(spark, half, tr, ev, ck)
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    statuses = [
+        r.status
+        for r in read_keyed_table(spark, ev).select("status").distinct().collect()
+    ]
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame(
+            [(s, "odd" if i % 2 else "even") for i, s in enumerate(sorted(statuses, key=str))],
+            "status string, tier string",
+        ),
+        dim, key="status", num_buckets=1, vacuum=False,
+    )
+    args = (spark, ev, [(dim, "status")], mv, ["tier"], [])
+    assert refresh_star_view(*args)["mode"] == "full"
+
+    for f in files[len(files) // 2 :]:
+        os.link(os.path.join(csv_dir, f), os.path.join(half, f))
+    q2 = stream_ingest(spark, half, tr, ev, ck)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    r = refresh_star_view(*args)
+    assert r["mode"] == "incremental" and not r["fact_rescan"]
+    assert r["dim_files_read"] == 0
+
+    exp = {
+        (x.tier, x.n)
+        for x in read_keyed_table(spark, ev)
+        .join(read_keyed_table(spark, dim), "status")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(x.tier, x.n) for x in read_aggregate_view(spark, mv).collect()}
+    assert got == exp
