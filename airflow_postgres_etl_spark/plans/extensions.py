@@ -9373,3 +9373,125 @@ def view_star_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "brand string, nation long, n long, sum_amt long"
     ).orderBy("brand", "nation")
+
+
+@query(
+    "q_ab_test",
+    """
+    WITH m AS (
+        SELECT user_id % 2 AS variant,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+               CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)
+                        * CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sumsq_c
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT CAST(variant AS BIGINT) AS variant, n, sum_c, sumsq_c,
+           CAST(FLOOR(1000000.0 * sum_c / n / 100.0) AS BIGINT) AS mean_ppm,
+           CAST(FLOOR(1000.0 * ((sumsq_c - 1.0 * sum_c * sum_c / n)
+                                / (n - 1)) / 10000.0) AS BIGINT)
+               AS var_milli
+    FROM m ORDER BY variant
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — per-variant sample moments for a Welch
+    t-test over the purchase-value metric, variant = ``user_id % 2``
+    (the deterministic hash split an experimentation platform ships).
+    Values are floored to integer centi-units PER ROW first, so n /
+    Σx / Σx² are integer-exact and order-independent — the one honest
+    way to differential-test second moments across engines (a raw
+    double Σx² is accumulation-order noise).  Mean (ppm) and sample
+    variance (milli) derive from those integers through the same IEEE
+    double formula on both sides.  The t statistic itself is one more
+    scalar expression over this frame; the moments are the part worth a
+    100 TB plan.
+
+    100 TB shape: ONE map-side-combinable hash aggregate over the
+    filtered fact — variants are 2 groups, so the reduce side is
+    trivially tiny; no window, no join, no second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    v_c = F.floor(F.col("value") * 100).cast("long")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select((F.col("user_id") % 2).cast("long").alias("variant"),
+                v_c.alias("v_c"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_c").cast("long").alias("sum_c"),
+            F.sum(F.col("v_c") * F.col("v_c")).cast("long").alias("sumsq_c"),
+        )
+        .select(
+            "variant", "n", "sum_c", "sumsq_c",
+            F.floor(F.lit(1000000.0) * F.col("sum_c") / F.col("n") / F.lit(100.0))
+            .cast("long").alias("mean_ppm"),
+            F.floor(
+                F.lit(1000.0)
+                * (
+                    (F.col("sumsq_c")
+                     - F.lit(1.0) * F.col("sum_c") * F.col("sum_c") / F.col("n"))
+                    / (F.col("n") - 1)
+                )
+                / F.lit(10000.0)
+            ).cast("long").alias("var_milli"),
+        )
+        .orderBy("variant")
+    )
+
+
+@query(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), pairs AS (
+        SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS cnt
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    )
+    SELECT prev, next, cnt,
+           CAST(1000000 * cnt // sum(cnt) OVER (PARTITION BY prev)
+                AS BIGINT) AS prob_ppm
+    FROM pairs
+    ORDER BY prev, next
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    — the "what do users do next" readout behind journey analytics and
+    next-action models.  Probabilities are integer ppm by floor
+    division, so the differential is exact.
+
+    100 TB shape: one hash(user_id) exchange feeds the lag window; the
+    pair counting is a map-side-combinable aggregate over event-type
+    pairs (alphabet², tiny), and the normalizing window runs on that
+    tiny frame — the raw stream is read once."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    pairs = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        pairs.withColumn("total", F.sum("cnt").over(W.partitionBy("prev")))
+        .select(
+            "prev", "next", "cnt",
+            F.expr("1000000 * cnt div total").cast("long").alias("prob_ppm"),
+        )
+        .orderBy("prev", "next")
+    )

@@ -223,6 +223,10 @@ HEADLINE = [
     # round-7: the k-dim star generalization (telescoping delta terms,
     # both dims changed before one refresh)
     "view_star_ivm",
+    # round-7: experimentation readouts — integer-exact Welch moments
+    # and the first-order Markov transition matrix
+    "q_ab_test",
+    "q_event_transitions",
 ]
 
 
