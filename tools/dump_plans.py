@@ -143,6 +143,15 @@ SHOWCASE = {
         "LOCF time-weight rollup: the aggregate reuses the lead window's"
         " hash(user_id) exchange — one data shuffle total"
     ),
+    "q_event_transitions": (
+        "Markov transitions: one corpus-sized hash(user_id) exchange for"
+        " the lag window; pair counting partial-aggregates map-side, so"
+        " later exchanges move only the alphabet-squared frame"
+    ),
+    "q_ab_test": (
+        "A/B moments: ONE map-side-combinable hash aggregate over the"
+        " filtered fact, two reduce groups"
+    ),
 }
 
 SF = "/root/testdata/sf0.001"
