@@ -9495,3 +9495,95 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev", "next")
     )
+
+
+@query(
+    "view_minmax_ivm",
+    """
+    WITH t AS (
+        SELECT o_custkey % 1000 AS gkey,
+               CAST(FLOOR(o_totalprice) AS BIGINT)
+                 * CASE WHEN o_custkey % 1000 < 10 THEN 2 ELSE 1 END AS amt
+        FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT CAST(gkey AS BIGINT) AS gkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(amt) AS BIGINT) AS sum_amt,
+           CAST(min(amt) AS BIGINT) AS min_amt,
+           CAST(max(amt) AS BIGINT) AS max_amt
+    FROM t GROUP BY gkey ORDER BY gkey
+    """,
+)
+def view_minmax_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized view maintained by touched-group partial
+    recompute (``views.refresh_minmax_view``) — the aggregate family
+    signed-delta IVM cannot carry, exercised through its hard cases:
+    a DELETE that removes group extrema (v2: every 97th order, then
+    compaction to restore clean endpoints) and an UPDATE that doubles
+    amounts for 10 of the 1000 groups (v3).  After each commit the view
+    refreshes incrementally: the manifest diff names the touched
+    groups, only those re-aggregate from the table, untouched groups
+    pass through.  The oracle reproduces the final state closed-form —
+    an extremum the recompute missed (the signed-delta failure mode)
+    would hash-mismatch immediately.  Modes asserted in-query.
+
+    100 TB shape: recompute cost is the files containing touched
+    groups' rows — CoW rewrites whole buckets, so group↔file locality
+    (``cluster_by``/``zorder`` on the group column, stats-tracked for
+    the pruned scan) is what keeps a local batch's recompute local; the
+    driver-side group list is hard-capped (MINMAX_TOUCHED_GROUP_CAP)
+    with a full-recompute fallback, never an unbounded collect."""
+    import shutil
+    import tempfile
+
+    from ..sink import (
+        compact_keyed_table,
+        keyed_delete_where,
+        keyed_overwrite_parquet,
+    )
+    from ..views import read_aggregate_view, refresh_minmax_view
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1000).cast("long").alias("gkey"),
+        F.floor("o_totalprice").alias("amt"),
+    )
+    tmp = tempfile.mkdtemp(prefix="minmaxivm_")
+    try:
+        target, mv = f"{tmp}/t", f"{tmp}/mv"
+        keyed_overwrite_parquet(
+            spark, o, target, key="o_orderkey", num_buckets=8,
+            stats_cols=["gkey"], vacuum=False,
+        )
+        args = (spark, target, mv, ["gkey"], ["amt"])
+        r1 = refresh_minmax_view(*args)
+        keyed_delete_where(spark, target, "o_orderkey % 97 = 0")
+        compact_keyed_table(spark, target)
+        r2 = refresh_minmax_view(*args)
+        keyed_overwrite_parquet(
+            spark,
+            o.filter(
+                (F.col("gkey") < 10) & (F.col("o_orderkey") % 97 != 0)
+            ).withColumn("amt", F.col("amt") * 2),
+            target, key="o_orderkey", vacuum=False,
+        )
+        r3 = refresh_minmax_view(*args)
+        if not (
+            r1["mode"] == "full"
+            and r2["mode"] == "incremental"
+            and r3["mode"] == "incremental"
+            and 0 < r3["groups_recomputed"] <= 1000
+        ):
+            raise RuntimeError(
+                f"minmax-view refresh modes regressed: {r1['mode']}, "
+                f"{r2['mode']}, {r3['mode']}/{r3['groups_recomputed']}"
+            )
+        rows = [
+            (x.gkey, x.n, int(x.sum_amt), x.min_amt, x.max_amt)
+            for x in read_aggregate_view(spark, mv).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "gkey long, n long, sum_amt long, min_amt long, max_amt long"
+    ).orderBy("gkey")

@@ -17,9 +17,12 @@ refreshes the view by reading those 3 buckets' old+new files.
 Scope (documented, test-pinned):
 
 - Aggregates: ``count(*)`` and ``sum(col)`` per group (``avg`` derives
-  as sum/n downstream).  min/max are NOT incrementally maintainable
-  from deltas alone (a removed row may have carried the extremum) —
-  refuse rather than approximate.
+  as sum/n downstream).  min/max are NOT maintainable from signed
+  deltas alone (a removed row may have carried the extremum) — the
+  count/sum refresher refuses them; :func:`refresh_minmax_view`
+  supports them via TOUCHED-GROUP PARTIAL RECOMPUTE instead (the
+  manifest diff names the groups the commits touched; only those are
+  re-aggregated from the table, stats-pruned when possible).
 - The manifest-diff shortcut requires both snapshots to be CLEAN (no
   pending merge-on-read deltas): with deltas pending, a file multiset
   over-counts rows that precedence would shadow.  An unclean endpoint
@@ -185,6 +188,174 @@ def refresh_aggregate_view(
         }
 
     return _full_refresh(spark, target, mv_path, group_cols, sum_cols, cur_v, store)
+
+
+#: a refresh that touches more groups than this recomputes the whole
+#: view instead — collecting the touched-group list to the driver is
+#: what bounds the partial-recompute plan, and a batch touching this
+#: many groups is a backfill, where the full recompute IS the right plan
+MINMAX_TOUCHED_GROUP_CAP = 10_000
+
+
+def refresh_minmax_view(
+    spark: SparkSession,
+    target: str,
+    mv_path: str,
+    group_cols: list[str],
+    agg_cols: list[str],
+    store=LOCAL_STORE,
+) -> dict:
+    """Create or refresh a grouped view of ``target`` carrying MIN/MAX
+    (plus count and sum) per ``agg_cols`` — the aggregates signed deltas
+    cannot maintain (a removed row may have carried the extremum, and a
+    multiset delta can't tell).  The incremental answer is PARTIAL
+    RECOMPUTE: the manifest diff identifies exactly which groups the
+    commits since the last refresh touched (any group present in an
+    added or removed file), those groups — and only those — are
+    recomputed from the current table, and the rest of the view passes
+    through untouched.
+
+    At 100 TB the win is group locality: a daily batch touches today's
+    groups, so the recompute reads the files containing today's rows —
+    pruned via the table's min/max stats when the (single) group column
+    is stats-tracked and no touched group is NULL — while the view's
+    thousands of historical groups are never re-read.  A refresh whose
+    touched-group count exceeds ``MINMAX_TOUCHED_GROUP_CAP`` falls back
+    to a full recompute (that shape is a backfill; collecting the group
+    list is what bounds the plan, so the cap is enforced, not advisory).
+    A batch touching EVERY group (low-cardinality grouping) degrades to
+    a full-scan recompute by construction — this view pays off when
+    groups are many and churn is local.
+
+    View columns: ``group_cols…, n, sum_<c>, min_<c>, max_<c>``.
+    Same endpoint rules as :func:`refresh_aggregate_view` (unclean or
+    vacuumed endpoints → full recompute).  Returns ``{"mode",
+    "files_read", "groups_recomputed", "source_version"}``.
+    """
+    reserved = {"n"} | {
+        f"{p}_{c}" for c in agg_cols for p in ("sum", "min", "max")
+    }
+    clash = reserved & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"group column(s) {sorted(clash)} collide with the view's "
+            "aggregate output columns"
+        )
+    manifest = _load_manifest(target, store)
+    if manifest is None:
+        raise FileNotFoundError(f"no keyed table committed at {target}")
+    cur_v = manifest["version"]
+    meta = store.read_json(_meta_path(mv_path))
+    if meta is not None and (
+        meta.get("kind") != "minmax"
+        or meta.get("group_cols") != list(group_cols)
+        or meta.get("agg_cols") != list(agg_cols)
+    ):
+        raise ValueError(
+            "existing view was built with a different shape (kind or "
+            "group/agg columns); use a new mv_path"
+        )
+    meta_extra = {"kind": "minmax", "agg_cols": list(agg_cols)}
+    if meta is not None and meta["source_version"] == cur_v:
+        return {
+            "mode": "noop", "files_read": 0, "groups_recomputed": 0,
+            "source_version": cur_v,
+        }
+
+    def _minmax_aggregate(rows):
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        for c in agg_cols:
+            aggs += [
+                F.sum(F.col(c).cast("double")).alias(f"sum_{c}"),
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+            ]
+        return rows.groupBy(*group_cols).agg(*aggs)
+
+    def _full():
+        rows = read_keyed_table(spark, target, store)
+        _write_view(
+            spark, mv_path, _minmax_aggregate(rows), group_cols, agg_cols,
+            cur_v, store, meta_extra=meta_extra,
+        )
+        return {
+            "mode": "full", "files_read": len(rows.inputFiles()),
+            "groups_recomputed": -1, "source_version": cur_v,
+        }
+
+    new_files = _base_files(manifest)
+    old_manifest = (
+        store.read_json(_version_manifest_path(target, meta["source_version"]))
+        if meta is not None
+        else None
+    )
+    old_files = _base_files(old_manifest) if old_manifest else None
+    if meta is None or new_files is None or old_files is None:
+        return _full()
+    added = sorted(new_files - old_files)
+    removed = sorted(old_files - new_files)
+    if any(not store.exists(os.path.join(target, f)) for f in removed):
+        return _full()
+    if not added and not removed:
+        _write_view(
+            spark, mv_path, _read_view_frame(spark, mv_path, store),
+            group_cols, agg_cols, cur_v, store, meta_extra=meta_extra,
+        )
+        return {
+            "mode": "incremental", "files_read": 0, "groups_recomputed": 0,
+            "source_version": cur_v,
+        }
+
+    touched_rows = (
+        _read_files(spark, target, added + removed)
+        .select(*group_cols)
+        .distinct()
+        .limit(MINMAX_TOUCHED_GROUP_CAP + 1)
+        .collect()
+    )
+    if len(touched_rows) > MINMAX_TOUCHED_GROUP_CAP:
+        return _full()
+    touched = spark.createDataFrame(
+        touched_rows,
+        _read_files(spark, target, added + removed).select(*group_cols).schema,
+    )
+
+    # stats-pruned recompute scan: single scalar group col, tracked in
+    # the table's stats, no NULL group touched -> range-prune the files
+    where = None
+    if len(group_cols) == 1:
+        vals = [r[0] for r in touched_rows]
+        if None not in vals and vals and isinstance(
+            vals[0], (int, float, str, bool)
+        ):
+            where = (group_cols[0], min(vals), max(vals))
+    base = read_keyed_table(spark, target, store, where=where)
+    cond = reduce(
+        lambda a, b: a & b,
+        [base[c].eqNullSafe(touched[c]) for c in group_cols],
+    )
+    recomputed = _minmax_aggregate(
+        base.join(F.broadcast(touched), cond, "left_semi")
+    )
+
+    mv = _read_view_frame(spark, mv_path, store)
+    anti = reduce(
+        lambda a, b: a & b,
+        [mv[c].eqNullSafe(touched[c]) for c in group_cols],
+    )
+    merged = mv.join(F.broadcast(touched), anti, "left_anti").unionByName(
+        recomputed
+    )
+    _write_view(
+        spark, mv_path, merged, group_cols, agg_cols, cur_v, store,
+        meta_extra=meta_extra,
+    )
+    return {
+        "mode": "incremental",
+        "files_read": len(added) + len(removed),
+        "groups_recomputed": len(touched_rows),
+        "source_version": cur_v,
+    }
 
 
 def refresh_join_view(

@@ -227,6 +227,9 @@ HEADLINE = [
     # and the first-order Markov transition matrix
     "q_ab_test",
     "q_event_transitions",
+    # round-7: MIN/MAX view via touched-group partial recompute (the
+    # aggregate family signed-delta IVM cannot carry)
+    "view_minmax_ivm",
 ]
 
 

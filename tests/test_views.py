@@ -612,3 +612,107 @@ def test_streaming_fact_composes_with_star_view(spark, tmp_path):
     }
     got = {(x.tier, x.n) for x in read_aggregate_view(spark, mv).collect()}
     assert got == exp
+
+
+def test_minmax_view_partial_recompute(spark, tmp_path):
+    """min/max view: removing a group's extremum is the case signed
+    deltas cannot express — the touched-group recompute must find the
+    NEW max; untouched groups' view rows pass through without their
+    files being re-read, and a vanished group leaves the view."""
+    from airflow_postgres_etl_spark.views import (
+        read_aggregate_view,
+        refresh_minmax_view,
+    )
+
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    # groups g0..g9; key k{i}; value i — max of group g falls on its
+    # largest key. stats on grp enable the pruned recompute scan.
+    keyed_overwrite_parquet(
+        spark,
+        _rows(spark, [(f"k{i}", f"g{i % 10}", float(i)) for i in range(100)]),
+        target, num_buckets=8, stats_cols=["grp"], vacuum=False,
+    )
+    args = (spark, target, mv, ["grp"], ["v"])
+    assert refresh_minmax_view(*args)["mode"] == "full"
+
+    def view():
+        return {
+            r.grp: (r.n, r.sum_v, r.min_v, r.max_v)
+            for r in read_aggregate_view(spark, mv).collect()
+        }
+
+    assert view()["g3"] == (10, sum(range(3, 100, 10)), 3.0, 93.0)
+
+    # replace g3's extremum row with a tiny value: max must DROP 93->83
+    keyed_overwrite_parquet(
+        spark, _rows(spark, [("k93", "g3", 0.5)]), target, vacuum=False
+    )
+    r = refresh_minmax_view(*args)
+    assert r["mode"] == "incremental"
+    # only g3 (and any groups sharing the rewritten buckets) recomputed
+    assert 0 < r["groups_recomputed"] <= 10
+    got = view()
+    assert got["g3"] == (10, sum(range(3, 100, 10)) - 93 + 0.5, 0.5, 83.0)
+    assert got["g7"] == (10, sum(range(7, 100, 10)), 7.0, 97.0)
+
+    # delete an entire group: its row leaves the view
+    from airflow_postgres_etl_spark.sink import keyed_delete_where
+
+    keyed_delete_where(spark, target, "grp = 'g5'")
+    compact_keyed_table(spark, target)
+    r = refresh_minmax_view(*args)
+    assert r["mode"] == "incremental"
+    got = view()
+    assert "g5" not in got and len(got) == 9
+
+    # ground truth: every surviving group equals a full recompute
+    from pyspark.sql import functions as F
+
+    exp = {
+        x.grp: (x.n, x.sum_v, x.min_v, x.max_v)
+        for x in read_keyed_table(spark, target)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("v").cast("double")).alias("sum_v"),
+             F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+        .collect()
+    }
+    assert got == exp
+
+    # noop + shape fencing
+    assert refresh_minmax_view(*args)["mode"] == "noop"
+    with pytest.raises(ValueError, match="different shape"):
+        refresh_minmax_view(spark, target, mv, ["grp"], [])
+    with pytest.raises(ValueError, match="different shape"):
+        refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+
+
+def test_minmax_view_touched_group_cap_forces_full(spark, tmp_path):
+    """A refresh touching more groups than MINMAX_TOUCHED_GROUP_CAP
+    falls back to a full recompute — the driver-side group collect is
+    bounded by construction, not by hope."""
+    import airflow_postgres_etl_spark.views as views
+
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark,
+        _rows(spark, [(f"k{i}", f"g{i}", float(i)) for i in range(40)]),
+        target, num_buckets=2, vacuum=False,
+    )
+    views.refresh_minmax_view(spark, target, mv, ["grp"], ["v"])
+    keyed_overwrite_parquet(
+        spark,
+        _rows(spark, [(f"k{i}", f"g{i}", float(i + 1)) for i in range(40)]),
+        target, vacuum=False,
+    )
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(views, "MINMAX_TOUCHED_GROUP_CAP", 5)
+        r = views.refresh_minmax_view(spark, target, mv, ["grp"], ["v"])
+    assert r["mode"] == "full"
+    got = {
+        x.grp: x.max_v
+        for x in views.read_aggregate_view(spark, mv).collect()
+    }
+    assert got["g7"] == 8.0
