@@ -492,6 +492,17 @@ class Table:
             self.spark, self.path, mv_path, group_cols, sum_cols, self.store
         )
 
+    def refresh_minmax_view(
+        self, mv_path: str, group_cols: list[str], agg_cols: list[str]
+    ) -> dict:
+        """Grouped n/sum/min/max view maintained by touched-group
+        partial recompute (see ``views.refresh_minmax_view``)."""
+        from . import views
+
+        return views.refresh_minmax_view(
+            self.spark, self.path, mv_path, group_cols, agg_cols, self.store
+        )
+
     def read_view(self, mv_path: str) -> DataFrame:
         from . import views
 
