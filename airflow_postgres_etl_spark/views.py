@@ -215,17 +215,20 @@ def refresh_minmax_view(
     recomputed from the current table, and the rest of the view passes
     through untouched.
 
-    At 100 TB the win is group locality: a daily batch touches today's
-    groups, so the recompute reads the files containing today's rows —
-    pruned via the table's min/max stats when the (single) group column
-    is stats-tracked and no touched group is NULL — while the view's
-    thousands of historical groups are never re-read.  A refresh whose
-    touched-group count exceeds ``MINMAX_TOUCHED_GROUP_CAP`` falls back
-    to a full recompute (that shape is a backfill; collecting the group
-    list is what bounds the plan, so the cap is enforced, not advisory).
-    A batch touching EVERY group (low-cardinality grouping) degrades to
-    a full-scan recompute by construction — this view pays off when
-    groups are many and churn is local.
+    At 100 TB the win is group locality, and WHERE IT COMES FROM
+    matters: ``keyed_append`` commits add files containing only the
+    batch's rows, so touched groups = the batch's groups exactly, and
+    the recompute scan — pruned via the table's min/max stats when the
+    (single) group column is stats-tracked and no touched group is NULL
+    — excludes every historical file by its footer (measured flat at
+    64× growth, tools/scale_stress_r7i.py).  A CoW merge is coarser: it
+    rewrites whole hash buckets, and a hash bucket contains EVERY
+    group, so a scattered update batch touches them all and the refresh
+    degrades to a full-scan recompute — correct, just not incremental.
+    A refresh whose touched-group count exceeds
+    ``MINMAX_TOUCHED_GROUP_CAP`` falls back to a full recompute (that
+    shape is a backfill; collecting the group list is what bounds the
+    plan, so the cap is enforced, not advisory).
 
     View columns: ``group_cols…, n, sum_<c>, min_<c>, max_<c>``.
     Same endpoint rules as :func:`refresh_aggregate_view` (unclean or
