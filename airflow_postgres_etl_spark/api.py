@@ -356,11 +356,18 @@ class Table:
             self.spark, self.path, max_files_per_bucket, self.store
         )
 
-    def vacuum(self, retention_s: float | None = None) -> int:
+    def vacuum(
+        self, retention_s: float | None = None, dry_run: bool = False
+    ) -> int | list[str]:
+        """Collect unreferenced data files past retention; with
+        ``dry_run=True`` return the relative paths that WOULD be
+        deleted, touching nothing (``sink.vacuum_dry_run``)."""
         from . import sink
 
         if retention_s is None:
             retention_s = sink.DEFAULT_RETENTION_S
+        if dry_run:
+            return sink.vacuum_dry_run(self.path, retention_s, self.store)
         return sink.vacuum_keyed_table(self.path, retention_s, self.store)
 
     def rebucket(self, num_buckets: int) -> None:

@@ -352,3 +352,30 @@ def test_auto_compact_bounds_delta_depth(spark, tmp_path):
     assert got == exp
     ops = [h["operation"] for h in t.history_detail()]
     assert ops.count("compact") == 2 and ops.count("merge_mor") == 6
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
+    """VACUUM DRY RUN: the candidate list names exactly the files the
+    real vacuum then deletes — and the dry run itself touches nothing
+    (every listed file still exists afterwards)."""
+    t = Engine(spark).table(str(tmp_path / "v"))
+    t.merge(
+        spark.createDataFrame([(i, 0) for i in range(20)], "k long, v long"),
+        key="k", num_buckets=2, vacuum=False,
+    )
+    t.merge(
+        spark.createDataFrame([(1, 9)], "k long, v long"),
+        key="k", vacuum=False,
+    )
+    # inside the retention window nothing is eligible
+    assert t.vacuum(dry_run=True) == []
+    cand = t.vacuum(retention_s=0, dry_run=True)
+    assert cand, "the superseded bucket's files must be eligible"
+    for rel in cand:
+        assert os.path.exists(os.path.join(str(tmp_path / "v"), rel))
+    # the real vacuum deletes exactly the listed data files
+    assert t.vacuum(retention_s=0) == len(cand)
+    for rel in cand:
+        assert not os.path.exists(os.path.join(str(tmp_path / "v"), rel))
+    # table unharmed
+    assert t.read().count() == 20 and t.stats()["row_count"] == 20
