@@ -426,6 +426,14 @@ class Table:
 
         return sink.table_history(self.path, self.store)
 
+    def register(self, name: str) -> None:
+        """Expose the table's CURRENT resolved state (manifest version,
+        MOR precedence applied) to ``Engine.sql`` as a temp view.  The
+        view captures this snapshot's plan — re-register after commits
+        you want visible, the same contract as Delta's
+        ``DataFrame.createOrReplaceTempView`` over a snapshot read."""
+        self.read().createOrReplaceTempView(name)
+
     def stats(self) -> dict:
         """Metadata-only statistics — exact ``COUNT(*)`` and per-tracked-
         column min/max/null_count from the manifest, zero data scanned

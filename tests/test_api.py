@@ -379,3 +379,22 @@ def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
         assert not os.path.exists(os.path.join(str(tmp_path / "v"), rel))
     # table unharmed
     assert t.read().count() == 20 and t.stats()["row_count"] == 20
+
+
+def test_table_register_sql_surface(spark, tmp_path):
+    """Table.register exposes the resolved snapshot (MOR precedence
+    applied) to Engine.sql; re-registering after a commit shows the new
+    snapshot."""
+    eng = Engine(spark)
+    t = eng.table(str(tmp_path / "r"))
+    t.merge(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        key="k", num_buckets=2, vacuum=False,
+    )
+    t.merge_mor(spark.createDataFrame([(2, "B")], "k long, v string"), key="k")
+    t.register("kv")
+    got = {(r.k, r.v) for r in eng.sql("SELECT k, v FROM kv").collect()}
+    assert got == {(1, "a"), (2, "B")}  # the delta row wins via precedence
+    t.merge(spark.createDataFrame([(3, "c")], "k long, v string"), key="k")
+    t.register("kv")
+    assert eng.sql("SELECT count(*) AS n FROM kv").collect()[0].n == 3
