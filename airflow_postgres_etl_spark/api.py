@@ -334,6 +334,48 @@ class Table:
         sink.clone_keyed_table(self.path, dest, store=self.store)
         return Table(self.spark, dest, store=self.store)
 
+    # -- write-audit-publish --------------------------------------------------
+    def branch(self, name: str) -> "Table":
+        """Open a WAP branch (sink.wap_begin): a shallow clone under
+        ``<path>/_branches/<name>`` to stage commits on.  Audit it, then
+        :meth:`publish` — main-table readers never see unaudited data."""
+        from . import sink
+
+        return Table(
+            self.spark, sink.wap_begin(self.path, name, self.store),
+            store=self.store,
+        )
+
+    def publish(self, name: str, expectations=None) -> dict:
+        """Audit branch ``name`` (optional expectation rules over its
+        full state) and fast-forward this table to its snapshot — one
+        metadata-only CAS (sink.wap_publish)."""
+        from . import sink
+
+        return sink.wap_publish(
+            self.spark, self.path, name, expectations, store=self.store
+        )
+
+    def abandon(self, name: str) -> None:
+        """Drop an unpublished WAP branch (sink.wap_abandon)."""
+        from . import sink
+
+        sink.wap_abandon(self.path, name, store=self.store)
+
+    def branches(self) -> list[str]:
+        from . import sink
+
+        return sink.wap_branches(self.path, store=self.store)
+
+    def adopt_foreign(self) -> int:
+        """Copy every foreign (clone-source / published-branch) file
+        reference into this table's own directory — one commit, zero
+        rows decoded (sink.adopt_foreign_files).  After this, a
+        published branch directory can be removed."""
+        from . import sink
+
+        return sink.adopt_foreign_files(self.path, store=self.store)
+
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: make an earlier snapshot current again,
         as a forward metadata-only commit (sink.restore_keyed_table)."""

@@ -1084,3 +1084,96 @@ def dedup_against_index(
         .distinct()
     )
     return batch.join(dup_ids, key, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Line-level (paragraph) boilerplate removal — the CCNet / RefinedWeb
+# pass that runs BEFORE document-level near-dedup: headers, footers,
+# cookie banners and navigation chrome repeat verbatim across thousands
+# of pages, so any line whose exact text recurs >= min_dup times
+# corpus-wide is dropped from EVERY document (no survivor copy — unlike
+# exact_dedup, which keeps one representative of a duplicated document,
+# a boilerplate line is noise in all of its hosts).
+#
+# 100 TB shape: ONE shuffle — count lines by their 60-bit md5 hash
+# (partial aggregation collapses the repeats map-side, so the shuffle
+# carries ~|distinct lines| rows, not |corpus lines|).  The heavy set
+# (count >= min_dup) is the boilerplate dictionary: tiny relative to
+# the corpus by construction, so it BROADCASTS into a left-anti join and
+# the corpus lines never shuffle a second time for the filter.  The only
+# other shuffle is the per-document reassembly groupBy, partitioned by
+# doc id — the same key the corpus arrived on.
+# ---------------------------------------------------------------------------
+
+
+def _line_table(
+    docs: DataFrame, col: str, key: str, sep: str
+) -> DataFrame:
+    """(key, pos, line, __lh) — one row per line, ``__lh`` the 60-bit md5
+    hash of the TRIMMED line (NULL for blank lines, which are layout,
+    not boilerplate: they never count and are never removed)."""
+    t = F.trim(F.col("line"))
+    return docs.select(
+        key, F.posexplode(F.split(F.col(col), sep)).alias("pos", "line")
+    ).withColumn(
+        "__lh", F.when(t != "", _token_hash60(t))
+    )
+
+
+def duplicate_line_stats(
+    docs: DataFrame,
+    col: str = "text",
+    key: str = "doc_id",
+    min_dup: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """The boilerplate dictionary: ``(__lh, n_occurrences)`` for every
+    non-blank line recurring >= min_dup times corpus-wide."""
+    return (
+        _line_table(docs, col, key, sep)
+        .filter(F.col("__lh").isNotNull())
+        .groupBy("__lh")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_dup)
+    )
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    col: str = "text",
+    key: str = "doc_id",
+    min_dup: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Drop every occurrence of every line that appears >= ``min_dup``
+    times corpus-wide; surviving lines rejoin by ``sep`` in original
+    order.  Returns one row per input document:
+    ``(key, n_lines, n_kept, clean_fp)`` where ``clean_fp`` is the md5
+    of the cleaned text (compact, differential-friendly — the same
+    fingerprint convention as :func:`remove_shared_spans`).
+
+    Blank (all-whitespace) lines are layout, not boilerplate: they are
+    kept verbatim and never counted.  A document whose every line is
+    boilerplate survives as the empty string (fingerprint of ``""``) —
+    downstream length filters decide its fate, not this pass.
+    """
+    lines = _line_table(docs, col, key, sep)
+    heavy = duplicate_line_stats(docs, col, key, min_dup, sep).select("__lh")
+    kept = lines.join(F.broadcast(heavy), "__lh", "left_anti")
+    rebuilt = kept.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    n_in = lines.groupBy(key).agg(F.count(F.lit(1)).alias("n_lines"))
+    return n_in.join(rebuilt, key, "left").select(
+        key,
+        "n_lines",
+        F.coalesce(F.col("__n_kept"), F.lit(0)).alias("n_kept"),
+        F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_fp"),
+    )

@@ -9587,3 +9587,137 @@ def view_minmax_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "gkey long, n long, sum_amt long, min_amt long, max_amt long"
     ).orderBy("gkey")
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (CCNet / RefinedWeb pass) — the corpus
+# has no newlines, so the query derives a deterministic multi-line form
+# first (3-token lines), then runs operators.dedup.remove_duplicate_lines:
+# one count shuffle on the 60-bit line hash (partial agg collapses the
+# repeats map-side), the heavy dictionary BROADCASTS into the anti-join,
+# and reassembly groups on doc_id.  The oracle rebuilds the identical
+# lines and counts the literal strings (hash-free — collision odds at
+# 60 bits are the documented non-risk).
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_line_dedup",
+    f"""
+    WITH w AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+    l AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(w[(i-1)*3+1:(i-1)*3+3], ' ') AS line
+        FROM w, unnest(generate_series(1, CAST(ceil(len(w) / 3.0) AS BIGINT))) AS t(i)
+    ),
+    h AS (
+        SELECT line FROM l WHERE trim(line) <> ''
+        GROUP BY line HAVING count(*) >= 2
+    ),
+    k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM h)),
+    r AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_fp
+        FROM k GROUP BY doc_id
+    ),
+    n AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+    SELECT n.doc_id,
+           n.n_lines,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(r.clean_fp, md5('')) AS clean_fp
+    FROM n LEFT JOIN r USING (doc_id)
+    """,
+)
+def pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = X.tokens_expr()
+    n_lines = F.ceil(F.size(w) / F.lit(3.0)).cast("int")
+    line_arr = F.when(F.size(w) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.array_join(F.slice(w, (i - 1) * 3 + 1, 3), " "),
+        )
+    )
+    multiline = docs.select(
+        "doc_id", F.array_join(line_arr, "\n").alias("text")
+    )
+    return D.remove_duplicate_lines(multiline, min_dup=2)
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish end to end (sink.wap_begin/wap_publish,
+# Table.branch/publish): the oracle reproduces the final state
+# closed-form over `orders`, proving (a) a gated load lands atomically
+# via the metadata-only fast-forward, (b) a FAILED audit publishes
+# nothing (the bump below is visible exactly once), (c) the blocked
+# branch is abandonable while the published one persists.  In-query
+# RuntimeErrors pin the control-flow invariants the scalar outputs
+# can't (audit raised, state unchanged after the block).
+#
+# 100 TB shape: begin is a shallow clone (zero data moved), audit runs
+# expectation rules over the branch state, publish is ONE CAS; only
+# adopt_foreign ever copies bytes, and only the newly-loaded files.
+# ---------------------------------------------------------------------------
+@query(
+    "table_wap_publish",
+    """
+    SELECT 'count_total' AS name, count(*) AS val FROM orders
+    UNION ALL
+    SELECT 'n_branches', 1 FROM (SELECT 1)
+    UNION ALL
+    SELECT 'sum_custkey_published',
+           CAST(sum(o_custkey
+                    + CASE WHEN o_orderkey % 100 = 0 THEN 1000000 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'version_final', 2 FROM (SELECT 1)
+    ORDER BY name
+    """,
+)
+def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..api import Engine
+    from ..operators.expectations import expect
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tmp = tempfile.mkdtemp(prefix="wap_")
+    try:
+        t = Engine(spark).table(f"{tmp}/t")
+        t.merge(o, key="o_orderkey", num_buckets=8, vacuum=False)
+
+        # the audited load: bump custkey for 100-divisible orders
+        b = t.branch("gated")
+        b.merge(
+            o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+                "o_custkey", F.col("o_custkey") + F.lit(1000000)
+            ),
+            key="o_orderkey",
+        )
+        t.publish("gated", expectations=[expect("ck_pos", "o_custkey >= 0")])
+
+        # the blocked load: audit must refuse negative keys, atomically
+        bad = t.branch("blocked")
+        bad.merge(
+            o.limit(50).withColumn("o_custkey", F.lit(-1).cast("long")),
+            key="o_orderkey",
+        )
+        sum_before = t.read().agg(F.sum("o_custkey")).first()[0]
+        try:
+            t.publish("blocked", expectations=[expect("ck_pos", "o_custkey >= 0")])
+            raise RuntimeError("blocked publish must fail its audit")
+        except ValueError:
+            pass
+        if t.read().agg(F.sum("o_custkey")).first()[0] != sum_before:
+            raise RuntimeError("failed audit leaked data into the source")
+        t.abandon("blocked")
+
+        rows = [
+            ("count_total", t.read().count()),
+            ("n_branches", len(t.branches())),
+            ("sum_custkey_published", sum_before),
+            ("version_final", t.version()),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "name string, val long").orderBy("name")

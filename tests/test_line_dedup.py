@@ -1,0 +1,91 @@
+"""Line-level (CCNet/RefinedWeb-style) boilerplate removal.
+
+Reference parity note: the reference repo has no text pipeline at all
+(its engine is `dags/datahelper/postgres.py`); this operator belongs to
+the brief's training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_etl_spark.operators.dedup import (
+    duplicate_line_stats,
+    remove_duplicate_lines,
+)
+
+BOILER = "subscribe to our newsletter"
+
+
+def _docs(spark):
+    rows = [
+        # boilerplate appears in 3 docs (and twice in doc 1)
+        (1, f"alpha beta\n{BOILER}\ngamma delta\n{BOILER}"),
+        (2, f"{BOILER}\nunique middle line\nanother unique line"),
+        (3, f"intro line\n{BOILER}"),
+        # doc of only boilerplate -> survives as empty string
+        (4, BOILER),
+        # blank lines are layout: kept, never counted as boilerplate
+        (5, "first\n\nsecond"),
+        (6, "first\n\nsecond and more"),
+        # whitespace-only line trims to blank -> kept too
+        (7, "solo line\n   \ntail line"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _fp(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_heavy_dictionary_counts_occurrences(spark):
+    heavy = duplicate_line_stats(_docs(spark), min_dup=2)
+    rows = heavy.collect()
+    # BOILER (5 occurrences) and "first" (docs 5+7? no - doc7 has "solo line")
+    # docs 5 and 6 share the line "first" -> 2 occurrences
+    assert sorted(r["n_occurrences"] for r in rows) == [2, 5]
+
+
+def test_removal_and_reassembly(spark):
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_lines(_docs(spark), min_dup=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+
+    # doc 1: both boilerplate occurrences dropped, order preserved
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 2
+    assert out[1]["clean_fp"] == _fp("alpha beta\ngamma delta")
+
+    # doc 2: leading boilerplate dropped
+    assert out[2]["clean_fp"] == _fp("unique middle line\nanother unique line")
+
+    # doc 4: fully emptied -> empty string, 0 kept
+    assert out[4]["n_kept"] == 0
+    assert out[4]["clean_fp"] == _fp("")
+
+    # docs 5/6: shared "first" dropped, BLANK line kept verbatim
+    assert out[5]["clean_fp"] == _fp("\nsecond")
+    assert out[5]["n_kept"] == 2
+    assert out[6]["clean_fp"] == _fp("\nsecond and more")
+
+    # doc 7: whitespace-only line kept as-is (trims to blank -> layout)
+    assert out[7]["n_lines"] == 3 and out[7]["n_kept"] == 3
+    assert out[7]["clean_fp"] == _fp("solo line\n   \ntail line")
+
+
+def test_min_dup_threshold(spark):
+    # min_dup=6 > the 5 boilerplate occurrences -> nothing is heavy,
+    # every document survives byte-identical
+    out = remove_duplicate_lines(_docs(spark), min_dup=6)
+    docs = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    for r in out.collect():
+        assert r["n_kept"] == r["n_lines"]
+        assert r["clean_fp"] == _fp(docs[r["doc_id"]])
+
+
+def test_heavy_set_broadcasts(spark):
+    plan = remove_duplicate_lines(_docs(spark))._jdf.queryExecution().toString()
+    assert "Broadcast" in plan
