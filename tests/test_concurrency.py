@@ -1,0 +1,233 @@
+"""Optimistic concurrency (`sink._commit_optimistic`): a CAS loser whose
+commit is provably disjoint from the winner's REBASES (rebuilds its
+manifest on the winner's snapshot and retries) instead of failing —
+Delta Lake's conflict-detection contract.  True conflicts (same bucket
+rewritten, layout changed) still raise ConcurrentWriteError.
+
+The interloper pattern: monkeypatch `_write_bucketed` so a second
+writer lands a full commit between the victim's data write and its CAS.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import airflow_postgres_etl_spark.sink as sink
+from airflow_postgres_etl_spark.sink import (
+    keyed_append,
+    keyed_delete_where,
+    keyed_merge_mor,
+    keyed_overwrite_parquet,
+    read_keyed_table,
+    table_version,
+)
+from airflow_postgres_etl_spark.storage import ConcurrentWriteError
+
+
+def _bucket_of(spark, key: str, num_buckets: int = 4) -> int:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return (
+        spark.createDataFrame([(key,)], ["oid__id"])
+        .select(sink._bucket_expr("oid__id", num_buckets).alias("b"))
+        .first()["b"]
+    )
+
+
+def _keys_in_distinct_buckets(spark, n=3, num_buckets=4) -> list[str]:
+    """n short keys that land in n different buckets."""
+    seen: dict[int, str] = {}
+    i = 0
+    while len(seen) < n:
+        k = f"k{i}"
+        seen.setdefault(_bucket_of(spark, k, num_buckets), k)
+        i += 1
+    return list(seen.values())[:n]
+
+
+def _interlope_once(monkeypatch, action):
+    """Run `action()` right after the victim's data-file write, once."""
+    real_write = sink._write_bucketed
+    state = {"fired": False}
+
+    def write_then_interlope(df, path, n):
+        real_write(df, path, n)
+        if not state["fired"]:
+            state["fired"] = True
+            action()
+
+    monkeypatch.setattr(sink, "_write_bucketed", write_then_interlope)
+
+
+def _state(spark, target) -> dict:
+    return {
+        r["oid__id"]: r["v"]
+        for r in read_keyed_table(spark, target).collect()
+    }
+
+
+def test_disjoint_bucket_merges_both_land(spark, tmp_path, monkeypatch):
+    ka, kb, kc = _keys_in_distinct_buckets(spark)
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(ka, 1), (kb, 2)], ["oid__id", "v"]),
+        target, num_buckets=4,
+    )
+    _interlope_once(
+        monkeypatch,
+        lambda: keyed_overwrite_parquet(
+            spark,
+            spark.createDataFrame([(kb, 20)], ["oid__id", "v"]),
+            target, num_buckets=4,
+        ),
+    )
+    # victim merges a DIFFERENT bucket -> rebases, both commits visible
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(kc, 3)], ["oid__id", "v"]),
+        target, num_buckets=4,
+    )
+    assert _state(spark, target) == {ka: 1, kb: 20, kc: 3}
+    assert table_version(target) == 3  # base + interloper + rebased victim
+
+
+def test_mor_upsert_rebases_with_last_writer_wins(spark, tmp_path, monkeypatch):
+    """A blind MOR upsert layers a restamped higher seq over ANY
+    row-preserving winner — even on the same bucket/key."""
+    ka = "a"
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(ka, 1)], ["oid__id", "v"]),
+        target, num_buckets=4,
+    )
+    _interlope_once(
+        monkeypatch,
+        lambda: keyed_overwrite_parquet(
+            spark,
+            spark.createDataFrame([(ka, 50)], ["oid__id", "v"]),
+            target, num_buckets=4,
+        ),
+    )
+    keyed_merge_mor(
+        spark,
+        spark.createDataFrame([(ka, 9)], ["oid__id", "v"]),
+        target,
+    )
+    # the rebased delta's seq outranks the interloper's rewrite
+    assert _state(spark, target) == {ka: 9}
+    m = sink._load_manifest(target)
+    seqs = [e["seq"] for es in m["deltas"].values() for e in es]
+    assert seqs == [m["version"]]
+
+
+def test_append_disjoint_rebases_same_bucket_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    ka, kb, kc = _keys_in_distinct_buckets(spark)
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(ka, 1)], ["oid__id", "v"]),
+        target, num_buckets=4,
+    )
+    # disjoint: interloper appends kb's bucket, victim appends kc's
+    _interlope_once(
+        monkeypatch,
+        lambda: keyed_append(
+            spark,
+            spark.createDataFrame([(kb, 2)], ["oid__id", "v"]),
+            target,
+        ),
+    )
+    keyed_append(
+        spark,
+        spark.createDataFrame([(kc, 3)], ["oid__id", "v"]),
+        target,
+    )
+    assert _state(spark, target) == {ka: 1, kb: 2, kc: 3}
+
+    # same bucket: the victim's new-key verification is stale -> conflict
+    kb2 = next(
+        f"x{i}"
+        for i in range(1000)
+        if _bucket_of(spark, f"x{i}") == _bucket_of(spark, kb)
+    )
+    _interlope_once(
+        monkeypatch,
+        lambda: keyed_append(
+            spark,
+            spark.createDataFrame([(kb2, 4)], ["oid__id", "v"]),
+            target,
+        ),
+    )
+    kb3 = next(
+        f"y{i}"
+        for i in range(1000)
+        if _bucket_of(spark, f"y{i}") == _bucket_of(spark, kb)
+    )
+    with pytest.raises(ConcurrentWriteError, match="bucket"):
+        keyed_append(
+            spark,
+            spark.createDataFrame([(kb3, 5)], ["oid__id", "v"]),
+            target,
+        )
+    assert _state(spark, target)[kb2] == 4 and kb3 not in _state(spark, target)
+
+
+def test_delete_where_conflicts_on_touched_bucket(spark, tmp_path, monkeypatch):
+    """DML decisions were computed from the base snapshot: a concurrent
+    rewrite of a predicate-hit bucket must hard-conflict."""
+    ka = "a"
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(ka, 1)], ["oid__id", "v"]),
+        target, num_buckets=4,
+    )
+    _interlope_once(
+        monkeypatch,
+        lambda: keyed_overwrite_parquet(
+            spark,
+            spark.createDataFrame([(ka, 99)], ["oid__id", "v"]),
+            target, num_buckets=4,
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        keyed_delete_where(spark, target, "v = 1")
+    assert _state(spark, target) == {ka: 99}
+
+
+def test_retry_budget_exhausts(spark, tmp_path, monkeypatch):
+    """An interloper on EVERY attempt exhausts OPTIMISTIC_RETRIES and the
+    original ConcurrentWriteError propagates."""
+    ka, kb, kc = _keys_in_distinct_buckets(spark)
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(ka, 1)], ["oid__id", "v"]),
+        target, num_buckets=4,
+    )
+    real_commit = sink._commit_manifest
+    calls = {"n": 0}
+
+    def always_lose(tgt, manifest, expected_version, store=sink.LOCAL_STORE):
+        calls["n"] += 1
+        # someone else always lands first on the real store
+        cur = sink._load_manifest(tgt)
+        real_commit(
+            tgt,
+            {**cur, "version": cur["version"] + 1},
+            expected_version=cur["version"],
+        )
+        return real_commit(tgt, manifest, expected_version, store=store)
+
+    monkeypatch.setattr(sink, "_commit_manifest", always_lose)
+    with pytest.raises(ConcurrentWriteError):
+        keyed_overwrite_parquet(
+            spark,
+            spark.createDataFrame([(kc, 3)], ["oid__id", "v"]),
+            target, num_buckets=4,
+        )
+    assert calls["n"] == sink.OPTIMISTIC_RETRIES + 1

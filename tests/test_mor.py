@@ -392,12 +392,12 @@ def test_compaction_loses_cas_to_concurrent_mor_merge(spark, tmp_path):
     assert _read_set(spark, target) == got
 
 
-def test_mor_merge_loses_cas_to_concurrent_mor_merge(spark, tmp_path):
-    """Two MOR writers from the same snapshot: the second CAS must fail
-    cleanly (ConcurrentWriteError), the winner's delta stays, the
-    loser's files are orphans for vacuum — and a retry of the losing
-    batch converges."""
-    from airflow_postgres_etl_spark.sink import ConcurrentWriteError, _manifest_path
+def test_mor_merge_rebases_over_concurrent_mor_merge(spark, tmp_path):
+    """Two MOR writers from the same snapshot: the CAS loser REBASES
+    (sink._commit_optimistic — a blind upsert layers a restamped
+    higher seq over any row-preserving winner) and BOTH batches land,
+    with no error and no orphaned data files."""
+    from airflow_postgres_etl_spark.sink import _manifest_path
     from airflow_postgres_etl_spark.storage import LOCAL_STORE
 
     target = str(tmp_path / "t")
@@ -424,13 +424,15 @@ def test_mor_merge_loses_cas_to_concurrent_mor_merge(spark, tmp_path):
                 keyed_merge_mor(spark, _rows(spark, [("b", 22)]), target)
             return LOCAL_STORE.replace_if_version(path, manifest, expected_version)
 
-    with pytest.raises(ConcurrentWriteError):
-        keyed_merge_mor(spark, _rows(spark, [("a", 11)]), target, store=RacingStore())
-    assert _read_set(spark, target) == {("a", 1), ("b", 22)}
-    # the losing batch retries cleanly and both deltas are live
-    keyed_merge_mor(spark, _rows(spark, [("a", 11)]), target)
+    keyed_merge_mor(spark, _rows(spark, [("a", 11)]), target, store=RacingStore())
     assert _read_set(spark, target) == {("a", 11), ("b", 22)}
-    # loser's orphaned commit dir is collectable
+    # winner v2, rebased loser v3 — its delta seq restamped to 3
+    import airflow_postgres_etl_spark.sink as sink
+
+    m = sink._load_manifest(target)
+    assert m["version"] == 3
+    assert {e["seq"] for es in m["deltas"].values() for e in es} == {2, 3}
+    # nothing orphaned: every written file is referenced
     removed = vacuum_keyed_table(target, retention_s=0)
-    assert removed >= 1
+    assert removed == 0
     assert _read_set(spark, target) == {("a", 11), ("b", 22)}

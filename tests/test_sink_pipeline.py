@@ -625,26 +625,31 @@ def test_vacuum_retention_protects_in_flight_readers(spark, tmp_path):
 
 
 def test_concurrent_writer_is_detected(spark, tmp_path, monkeypatch):
-    """If another writer commits between this merge's snapshot read and
-    its manifest swap, the optimistic version check aborts the commit
-    (the local analog of a conditional PUT)."""
+    """If another writer rewrites the SAME bucket between this merge's
+    snapshot read and its manifest swap, the optimistic rebase refuses
+    (true conflict) and the commit aborts.  A concurrent commit to
+    OTHER buckets rebases instead — tests/test_concurrency.py."""
     import airflow_postgres_etl_spark.sink as sink
 
     target = str(tmp_path / "t")
     base = spark.createDataFrame([("a", 1), ("b", 2)], ["oid__id", "v"])
     keyed_overwrite_parquet(spark, base, target, num_buckets=4)
 
-    # interloper lands a commit while our merge is writing its data files
+    # interloper rewrites key "a"'s bucket while our merge of key "a"
+    # is writing its data files
     real_write = sink._write_bucketed
     state = {"fired": False}
 
     def write_then_interlope(df, path, n):
         real_write(df, path, n)
         if not state["fired"]:
-            state["fired"] = True
-            m = sink._load_manifest(target)
-            m["version"] += 1
-            sink._commit_manifest(target, m, expected_version=None)
+            state["fired"] = True  # before the nested merge re-enters
+            keyed_overwrite_parquet(
+                spark,
+                spark.createDataFrame([("a", 99)], ["oid__id", "v"]),
+                target,
+                num_buckets=4,
+            )
 
     monkeypatch.setattr(sink, "_write_bucketed", write_then_interlope)
     batch = spark.createDataFrame([("a", 9)], ["oid__id", "v"])
@@ -653,7 +658,7 @@ def test_concurrent_writer_is_detected(spark, tmp_path, monkeypatch):
     # target state is whatever the interloper committed — our merge left
     # no visible trace, and its files are vacuumable orphans
     got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target).collect()}
-    assert got == {("a", 1), ("b", 2)}
+    assert got == {("a", 99), ("b", 2)}
     # retention_s=0: single-process test, no concurrent writers — the
     # default (DEFAULT_RETENTION_S) would correctly REFUSE to collect
     # these fresh orphans, since a fresh orphan may be a concurrent
