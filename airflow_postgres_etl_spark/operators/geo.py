@@ -1,0 +1,142 @@
+"""Geospatial primitives: haversine distance and the GRID-BUCKETED
+radius join.
+
+The reference repo has no spatial surface (its engine is 246 lines of
+pandas: /root/reference/dags/datahelper/postgres.py); this module
+belongs to the engine-completeness surface — "find all right-side
+points within R km of each left-side point" is the workhorse of
+geo-enrichment (store↔customer, sensor↔asset, POI tagging).
+
+100 TB shape: the naive radius join is a cross product with a trig
+filter — O(|L|·|R|), dead at scale.  The grid join assigns every point
+to a cell of a fixed lat/lon grid sized so that any pair within R km is
+at most one cell apart, EXPLODES the 3x3 neighborhood on the smaller
+side (a 9x fan-out of the small table, not the corpus), and equi-joins
+on the cell id — one shuffle partitioned by cell, candidates bounded by
+local density, then the exact haversine filter.  Cell ids are pure
+integer arithmetic inside codegen; no UDF anywhere.
+
+Determinism note (oracle twins): distances are rounded to 6 decimals
+BEFORE the threshold compare, so an engine-vs-engine last-ulp
+difference in libm trig cannot flip a pair in or out except exactly at
+the rounded boundary — the same residual the LSH/cosine thresholds
+accept (tests/oracle_utils rounding rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+#: km per degree of latitude (and of longitude at the equator)
+KM_PER_DEG = 111.0
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km (double, un-rounded)."""
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlmb)
+        * F.sin(dlmb)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def grid_cell(
+    lat: Column, lon: Column, cell_lat_deg: float, cell_lon_deg: float
+) -> tuple[Column, Column]:
+    """(row, col) integer cell of the fixed grid."""
+    return (
+        F.floor(lat / F.lit(cell_lat_deg)).cast("long"),
+        F.floor(lon / F.lit(cell_lon_deg)).cast("long"),
+    )
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    max_abs_lat: float = 60.0,
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs with haversine distance <= ``radius_km``,
+    via the grid-bucketed plan.  Both inputs need ``lat``/``lon``
+    (degrees, |lat| <= ``max_abs_lat``) columns; the right frame's other
+    columns come back suffixed.  Output adds ``dist_km`` (rounded 6).
+
+    Cell sizing: one cell must cover ``radius_km`` in BOTH axes so a
+    3x3 neighborhood is a complete cover.  Latitude degrees are a fixed
+    111 km; longitude degrees shrink by cos(lat), so the cell width
+    uses the worst case inside the allowed band — cos(max_abs_lat).
+    Points beyond the band raise (a polar cap needs a different
+    partitioner than a lat/lon grid; better loud than silently lossy).
+
+    The 3x3 neighbor explode lands on the RIGHT frame — pass the
+    smaller side there (dims, stores, sensors): the fan-out is 9x the
+    dim, never 9x the corpus.
+    """
+    import math
+
+    cell_lat = radius_km / KM_PER_DEG
+    cell_lon = radius_km / (KM_PER_DEG * math.cos(math.radians(max_abs_lat)))
+
+    def _band_checked(col: Column) -> Column:
+        return F.when(
+            F.abs(col) > max_abs_lat,
+            F.raise_error(
+                F.lit(f"latitude outside the +-{max_abs_lat} grid band")
+            ),
+        ).otherwise(col)
+
+    left = left.withColumn("lat", _band_checked(F.col("lat")))
+    lr, lc = grid_cell(F.col("lat"), F.col("lon"), cell_lat, cell_lon)
+    l_cells = left.withColumn("__cr", lr).withColumn("__cc", lc)
+
+    renamed = right
+    for c in right.columns:
+        renamed = renamed.withColumnRenamed(c, c + suffix)
+    renamed = renamed.withColumn(
+        "lat" + suffix, _band_checked(F.col("lat" + suffix))
+    )
+    rr, rc = grid_cell(
+        F.col("lat" + suffix), F.col("lon" + suffix), cell_lat, cell_lon
+    )
+    neighborhood = F.array(
+        *[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+        ]
+    )
+    r_cells = (
+        renamed.withColumn("__cr0", rr)
+        .withColumn("__cc0", rc)
+        .withColumn("__d", F.explode(neighborhood))
+        .select(
+            "*",
+            (F.col("__cr0") + F.col("__d.dr")).alias("__cr"),
+            (F.col("__cc0") + F.col("__d.dc")).alias("__cc"),
+        )
+        .drop("__cr0", "__cc0", "__d")
+    )
+    dist = F.round(
+        haversine_km(
+            F.col("lat"), F.col("lon"),
+            F.col("lat" + suffix), F.col("lon" + suffix),
+        ),
+        6,
+    )
+    return (
+        l_cells.join(r_cells, ["__cr", "__cc"])
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= radius_km)
+        .drop("__cr", "__cc")
+    )

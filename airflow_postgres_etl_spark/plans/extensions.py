@@ -9721,3 +9721,79 @@ def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "name string, val long").orderBy("name")
+
+
+# ---------------------------------------------------------------------------
+# Geospatial radius join (operators/geo.py).  The corpus has no
+# coordinates, so each customer/supplier gets a deterministic md5-derived
+# point in the +-60deg band (the PII-injection convention).  The ORACLE
+# is the brute-force cross join — the differential proves the grid-
+# bucketed plan (cell equi-join + 3x3 neighbor explode on the 100x
+# smaller supplier side + exact haversine filter) reproduces the naive
+# O(|C|x|S|) semantics without ever building the cross product
+# (tests/test_geo.py pins CartesianProduct out of the plan).
+# ---------------------------------------------------------------------------
+def _geo_sql_point(key: str, prefix: str) -> tuple[str, str]:
+    lat = (
+        f"(CAST('0x' || substr(md5('lat{prefix}:' || {key}), 1, 15) AS BIGINT)"
+        f" % 120000000) / 1000000.0 - 60.0"
+    )
+    lon = (
+        f"(CAST('0x' || substr(md5('lon{prefix}:' || {key}), 1, 15) AS BIGINT)"
+        f" % 360000000) / 1000000.0 - 180.0"
+    )
+    return lat, lon
+
+
+_GEO_C_LAT, _GEO_C_LON = _geo_sql_point("c_custkey", "c")
+_GEO_S_LAT, _GEO_S_LON = _geo_sql_point("s_suppkey", "s")
+
+
+@query(
+    "q_geo_radius_join",
+    f"""
+    WITH c AS (
+        SELECT c_custkey, {_GEO_C_LAT} AS lat, {_GEO_C_LON} AS lon
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey, {_GEO_S_LAT} AS lat, {_GEO_S_LON} AS lon
+        FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           round(2 * 6371.0 * asin(sqrt(
+               sin(radians(s.lat - c.lat) / 2) * sin(radians(s.lat - c.lat) / 2)
+               + cos(radians(c.lat)) * cos(radians(s.lat))
+               * sin(radians(s.lon - c.lon) / 2) * sin(radians(s.lon - c.lon) / 2)
+           )), 6) AS dist_km
+    FROM c, s
+    WHERE round(2 * 6371.0 * asin(sqrt(
+               sin(radians(s.lat - c.lat) / 2) * sin(radians(s.lat - c.lat) / 2)
+               + cos(radians(c.lat)) * cos(radians(s.lat))
+               * sin(radians(s.lon - c.lon) / 2) * sin(radians(s.lon - c.lon) / 2)
+          )), 6) <= 500.0
+    """,
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo
+
+    def _point(df, key, prefix):
+        h = lambda tag: (  # noqa: E731
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{tag}{prefix}:"), F.col(key))), 1, 15
+                ),
+                16, 10,
+            ).cast("long")
+        )
+        return df.select(
+            key,
+            ((h("lat") % 120000000) / 1000000.0 - 60.0).alias("lat"),
+            ((h("lon") % 360000000) / 1000000.0 - 180.0).alias("lon"),
+        )
+
+    c = _point(load_table(spark, sf_dir, "customer"), "c_custkey", "c")
+    s = _point(load_table(spark, sf_dir, "supplier"), "s_suppkey", "s")
+    return geo.radius_join(c, s, 500.0).select(
+        "c_custkey", F.col("s_suppkey_r").alias("s_suppkey"), "dist_km"
+    )

@@ -1,0 +1,82 @@
+"""Grid-bucketed radius join (`operators.geo.radius_join`): the 3x3
+neighborhood cover must reproduce the brute-force cross-join exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_postgres_etl_spark.operators.geo import (
+    haversine_km,
+    radius_join,
+)
+
+
+def _points(spark, n, tag):
+    """Deterministic pseudo-random points in the +-60deg band."""
+    df = spark.range(n).select(
+        F.col("id").alias(f"{tag}_id"),
+        (
+            (F.conv(F.substring(F.md5(F.concat(F.lit(f"lat{tag}:"), F.col("id"))), 1, 15), 16, 10)
+             .cast("long") % 120000000) / 1000000.0 - 60.0
+        ).alias("lat"),
+        (
+            (F.conv(F.substring(F.md5(F.concat(F.lit(f"lon{tag}:"), F.col("id"))), 1, 15), 16, 10)
+             .cast("long") % 360000000) / 1000000.0 - 180.0
+        ).alias("lon"),
+    )
+    return df
+
+
+def test_matches_brute_force(spark):
+    left = _points(spark, 300, "l")
+    right = _points(spark, 60, "r")
+    radius = 800.0
+
+    got = {
+        (r["l_id"], r["r_id_r"])
+        for r in radius_join(left, right, radius).collect()
+    }
+
+    r2 = right.select(
+        F.col("r_id"), F.col("lat").alias("lat2"), F.col("lon").alias("lon2")
+    )
+    brute = (
+        left.crossJoin(r2)
+        .withColumn(
+            "d",
+            F.round(haversine_km(F.col("lat"), F.col("lon"),
+                                 F.col("lat2"), F.col("lon2")), 6),
+        )
+        .filter(F.col("d") <= radius)
+    )
+    want = {(r["l_id"], r["r_id"]) for r in brute.collect()}
+    assert got == want and len(want) > 50
+
+
+def test_distance_column_and_suffix(spark):
+    left = spark.createDataFrame([(1, 0.0, 0.0)], "l_id long, lat double, lon double")
+    right = spark.createDataFrame(
+        [(7, 0.0, 0.5), (8, 0.0, 3.0)], "r_id long, lat double, lon double"
+    )
+    rows = radius_join(left, right, 100.0).collect()
+    assert [r["r_id_r"] for r in rows] == [7]
+    # 0.5 deg of longitude at the equator ~ 55.6 km
+    assert rows[0]["dist_km"] == pytest.approx(55.6, abs=0.5)
+
+
+def test_band_violation_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    left = spark.createDataFrame([(1, 75.0, 0.0)], "l_id long, lat double, lon double")
+    right = spark.createDataFrame([(2, 0.0, 0.0)], "r_id long, lat double, lon double")
+    with pytest.raises(SparkRuntimeException, match="grid band"):
+        radius_join(left, right, 50.0).collect()
+
+
+def test_no_cartesian_in_plan(spark):
+    left = _points(spark, 100, "l")
+    right = _points(spark, 20, "r")
+    plan = radius_join(left, right, 100.0)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
