@@ -638,3 +638,53 @@ def hybrid_rrf(
         .orderBy(F.desc("rrf_micro"), id_col)
         .limit(n)
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML/markup stripping — the extraction step in front of every web
+# corpus (the trafilatura/jusText niche, reduced to its deterministic
+# regex core so it stays a JVM expression chain, no Python in the hot
+# path).  Order matters and is part of the contract:
+#   1. drop <script>/<style>/<!-- --> blocks WITH their content
+#      (payload is code/comments, not text),
+#   2. block-level closing tags become newlines (paragraph structure
+#      survives for the line-level dedup pass),
+#   3. every remaining tag is dropped,
+#   4. the five XML core entities + &nbsp; + numeric decimal escapes
+#      decode,
+#   5. horizontal whitespace collapses per line; blank runs collapse.
+# ---------------------------------------------------------------------------
+
+# no backreferences anywhere: the DuckDB oracle twin runs RE2
+_MARKUP_BLOCK_RES = [
+    r"(?is)<script\b[^>]*>.*?</script>",
+    r"(?is)<style\b[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+]
+_MARKUP_BREAK_RE = r"(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)>|<br\s*/?>"
+_MARKUP_TAG_RE = r"(?s)<[^>]+>"
+
+
+def strip_markup_expr(col: str | Column = "text") -> Column:
+    """Plain text from HTML-ish markup (see module note for the exact
+    pass order).  Pure `regexp_replace`/`translate` chain — vectorizes
+    in whole-stage codegen, mirrors 1:1 into the DuckDB oracle (which
+    needs the explicit 'g' flag)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in _MARKUP_BLOCK_RES:
+        c = F.regexp_replace(c, pat, "")
+    c = F.regexp_replace(c, _MARKUP_BREAK_RE, "\n")
+    c = F.regexp_replace(c, _MARKUP_TAG_RE, " ")
+    for ent, ch in [
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+    ]:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    # horizontal runs -> one space; strip spaces hugging line breaks;
+    # 3+ newlines -> paragraph break
+    c = F.regexp_replace(c, r"[ \t\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    # trim() strips spaces only — newlines at the edges go explicitly
+    c = F.regexp_replace(c, r"^\n+|\n+$", "")
+    return F.trim(c)

@@ -9797,3 +9797,81 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.radius_join(c, s, 500.0).select(
         "c_custkey", F.col("s_suppkey_r").alias("s_suppkey"), "dist_km"
     )
+
+
+# ---------------------------------------------------------------------------
+# Markup stripping (operators/text.py strip_markup_expr).  The corpus is
+# plain text, so each document is first wrapped in a deterministic HTML
+# shell (style+script payloads, headings, paragraphs, comments, entities
+# — all derived from doc_id, the PII-injection convention); the oracle
+# rebuilds the identical shell and mirrors the regex chain step for
+# step (same patterns, same order, RE2-safe: no backreferences).
+# ---------------------------------------------------------------------------
+_HTML_SHELL_SQL = (
+    "'<html><head><style>body { color: red }</style>"
+    "<script>if (1<2) { alert(\"x&y\"); }</script></head>"
+    "<body><h1>Doc ' || doc_id || '</h1><p>' || text || '</p>"
+    "<!-- hidden ' || doc_id || ' --><div>tail &amp; &lt;end&gt; of "
+    "' || doc_id || '</div></body></html>'"
+)
+
+
+@query(
+    "text_strip_markup",
+    f"""
+    WITH h AS (SELECT doc_id, {_HTML_SHELL_SQL} AS t FROM documents),
+    s AS (
+        SELECT doc_id,
+          trim(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  replace(replace(replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(t,
+                              '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+                            '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+                          '(?s)<!--.*?-->', '', 'g'),
+                        '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)>|<br\\s*/?>',
+                        chr(10), 'g'),
+                      '(?s)<[^>]+>', ' ', 'g'),
+                    '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+                  '[ \\t\\r]+', ' ', 'g'),
+                ' ?' || chr(10) || ' ?', chr(10), 'g'),
+              chr(10) || '{{3,}}', chr(10) || chr(10), 'g')
+          ) AS clean
+        FROM h
+    )
+    SELECT doc_id,
+           length(trim(clean, chr(10))) AS n_chars_clean,
+           md5(trim(clean, chr(10))) AS clean_fp
+    FROM s
+    """,
+)
+def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shell = F.concat(
+        F.lit(
+            '<html><head><style>body { color: red }</style>'
+            '<script>if (1<2) { alert("x&y"); }</script></head>'
+            "<body><h1>Doc "
+        ),
+        F.col("doc_id"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- hidden "),
+        F.col("doc_id"),
+        F.lit(" --><div>tail &amp; &lt;end&gt; of "),
+        F.col("doc_id"),
+        F.lit("</div></body></html>"),
+    )
+    clean = X.strip_markup_expr(shell)
+    return docs.select(
+        "doc_id",
+        F.length(clean).cast("long").alias("n_chars_clean"),
+        F.md5(clean).alias("clean_fp"),
+    )
