@@ -230,6 +230,12 @@ HEADLINE = [
     # round-7: MIN/MAX view via touched-group partial recompute (the
     # aggregate family signed-delta IVM cannot carry)
     "view_minmax_ivm",
+    # round-7: line-level boilerplate removal (broadcast heavy
+    # dictionary), grid-bucketed geospatial radius join, and the
+    # HTML-stripping regexp chain
+    "pipeline_line_dedup",
+    "q_geo_radius_join",
+    "text_strip_markup",
 ]
 
 

@@ -152,6 +152,19 @@ SHOWCASE = {
         "A/B moments: ONE map-side-combinable hash aggregate over the"
         " filtered fact, two reduce groups"
     ),
+    "pipeline_line_dedup": (
+        "line-level boilerplate removal: one line-hash count shuffle"
+        " (map-side partial agg), heavy dictionary BROADCAST into the"
+        " anti-join, reassembly grouped on doc id"
+    ),
+    "q_geo_radius_join": (
+        "grid-bucketed radius join: cell equi-join + 3x3 neighbor"
+        " explode on the 100x-smaller side; no cartesian product"
+    ),
+    "text_strip_markup": (
+        "HTML stripping: a single narrow regexp_replace chain in"
+        " whole-stage codegen, zero Exchange"
+    ),
 }
 
 SF = "/root/testdata/sf0.001"
