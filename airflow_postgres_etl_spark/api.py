@@ -367,6 +367,18 @@ class Table:
 
         return sink.wap_branches(self.path, store=self.store)
 
+    def expire_snapshots(
+        self, keep_last: int | None = None, older_than_s: float | None = None
+    ) -> int:
+        """Drop old time-travel snapshots (sink.expire_snapshots) —
+        bounds the version-manifest metadata; never touches data files
+        or the current version."""
+        from . import sink
+
+        return sink.expire_snapshots(
+            self.path, keep_last, older_than_s, store=self.store
+        )
+
     def adopt_foreign(self) -> int:
         """Copy every foreign (clone-source / published-branch) file
         reference into this table's own directory — one commit, zero

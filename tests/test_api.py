@@ -398,3 +398,42 @@ def test_table_register_sql_surface(spark, tmp_path):
     t.merge(spark.createDataFrame([(3, "c")], "k long, v string"), key="k")
     t.register("kv")
     assert eng.sql("SELECT count(*) AS n FROM kv").collect()[0].n == 3
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """expire_snapshots drops the time-travel index, never data or the
+    current version; expired reads/restores raise the documented error;
+    history shrinks; vacuum semantics are untouched."""
+    import pytest as _pytest
+
+    from airflow_postgres_etl_spark.api import Engine
+
+    t = Engine(spark).table(str(tmp_path / "t"))
+    for i in range(1, 6):  # versions 1..5
+        t.merge(
+            spark.createDataFrame([("k", i)], "oid__id string, v long"),
+            key="oid__id", num_buckets=2, vacuum=False,
+        )
+    assert t.history() == [1, 2, 3, 4, 5]
+
+    with _pytest.raises(ValueError):
+        t.expire_snapshots()  # must pass a policy
+
+    assert t.expire_snapshots(keep_last=2) == 3
+    assert t.history() == [4, 5]
+    # current state unaffected; kept snapshot still readable
+    assert t.read().collect()[0]["v"] == 5
+    assert t.read(version=4).collect()[0]["v"] == 4
+    with _pytest.raises(FileNotFoundError):
+        t.read(version=2).collect()
+    with _pytest.raises(FileNotFoundError):
+        t.restore(2)
+
+    # older_than_s in the future expires nothing more
+    assert t.expire_snapshots(keep_last=1, older_than_s=3600) == 0
+    assert t.history() == [4, 5]
+    # both policies: beyond keep_last AND old enough
+    assert t.expire_snapshots(keep_last=1, older_than_s=0) == 1
+    assert t.history() == [5]
+    # the current version never expires
+    assert t.expire_snapshots(keep_last=1, older_than_s=0) == 0
