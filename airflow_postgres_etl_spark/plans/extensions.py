@@ -9875,3 +9875,111 @@ def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("n_chars_clean"),
         F.md5(clean).alias("clean_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine model training (operators/ml.py): logistic regression by
+# full-batch gradient descent over integer stopword-count features,
+# label = (lang == 'en').  One map-side-combinable aggregate per
+# iteration, weights re-enter as literals — MLlib's treeAggregate shape
+# in plain DataFrame ops.  The oracle UNROLLS the three iterations as
+# CTEs; the integer micro-unit scheme (exact BIGINT margins/gradients,
+# sigmoid floored BEFORE summation) makes every intermediate hash-exact
+# across engines.
+#
+# Honest-outcome note: this corpus's `lang` column is metadata (the text
+# is a shared word soup), so the stopword features carry no label signal
+# and the CORRECT converged model is the majority prior — the
+# differential pins the training machinery, not model quality;
+# tests/test_ml.py proves the same learner reaches 100% on separable
+# data with the expected weight signs.
+# ---------------------------------------------------------------------------
+_LR_LANGS = list(X.LANG_STOPWORDS)
+_LR_ITERS = 3
+_LR_INV = 8
+
+
+def _lr_oracle_sql() -> str:
+    feats = ", ".join(f"{_SQL_STOP_HITS[l]} AS x_{l}" for l in _LR_LANGS)
+    sql = (
+        "WITH t AS (SELECT doc_id,"
+        " CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, "
+        + feats
+        + f" FROM (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents)),\n"
+        "nn AS (SELECT count(*) AS n FROM t),\n"
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w_{l}" for l in _LR_LANGS)
+        + ", CAST(0 AS BIGINT) AS w_bias),\n"
+    )
+    for i in range(1, _LR_ITERS + 1):
+        margin = " + ".join(f"w_{l} * x_{l}" for l in _LR_LANGS) + " + w_bias"
+        sql += (
+            f"p{i} AS (SELECT t.*, CAST(floor(1000000.0 / (1.0 + "
+            f"exp(-({margin}) / 1000000.0))) AS BIGINT) AS p "
+            f"FROM t CROSS JOIN w{i - 1}),\n"
+            f"g{i} AS (SELECT "
+            + ", ".join(
+                f"CAST(sum((p - y * 1000000) * x_{l}) AS BIGINT) AS g_{l}"
+                for l in _LR_LANGS
+            )
+            + ", CAST(sum(p - y * 1000000) AS BIGINT) AS g_bias "
+            f"FROM p{i}),\n"
+            f"w{i} AS (SELECT "
+            + ", ".join(
+                f"w_{l} - CAST(floor(g_{l} / ({_LR_INV}.0 * n)) AS BIGINT)"
+                f" AS w_{l}"
+                for l in _LR_LANGS
+            )
+            + f", w_bias - CAST(floor(g_bias / ({_LR_INV}.0 * n)) AS BIGINT)"
+            f" AS w_bias FROM g{i} CROSS JOIN w{i - 1} CROSS JOIN nn),\n"
+        )
+    final_margin = (
+        " + ".join(f"w_{l} * x_{l}" for l in _LR_LANGS) + " + w_bias"
+    )
+    sql += (
+        f"m AS (SELECT t.*, ({final_margin}) AS margin "
+        f"FROM t CROSS JOIN w{_LR_ITERS})\n"
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT 'w_{l}' AS name, w_{l} AS val FROM w{_LR_ITERS}"
+            for l in _LR_LANGS
+        )
+        + f"\nUNION ALL\nSELECT 'w_bias', w_bias FROM w{_LR_ITERS}"
+        "\nUNION ALL\nSELECT 'n_correct', CAST(sum(CASE WHEN "
+        "(CASE WHEN margin > 0 THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END)"
+        " AS BIGINT) FROM m"
+        "\nUNION ALL\nSELECT 'n_docs', n FROM nn\n"
+        ") ORDER BY name"
+    )
+    return sql
+
+
+@query("pipeline_train_logreg", _lr_oracle_sql())
+def pipeline_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import logreg_predictions, train_logreg_gd
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = [
+        X.stopword_hits_expr(lang).cast("long").alias(f"x_{lang}")
+        for lang in _LR_LANGS
+    ]
+    feats = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        *cols,
+    )
+    model = train_logreg_gd(
+        feats, [f"x_{l}" for l in _LR_LANGS],
+        iterations=_LR_ITERS, lr_inv=_LR_INV,
+    )
+    scored = logreg_predictions(feats, model)
+    correct = scored.agg(
+        F.sum((F.col("pred") == F.col("y")).cast("long")).alias("c")
+    ).first()["c"]
+    rows = [
+        *[(f"w_{l}", model["weights"][f"x_{l}"]) for l in _LR_LANGS],
+        ("w_bias", model["bias"]),
+        ("n_correct", correct),
+        ("n_docs", model["n"]),
+    ]
+    return spark.createDataFrame(rows, "name string, val long").orderBy("name")
