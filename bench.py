@@ -236,6 +236,8 @@ HEADLINE = [
     "pipeline_line_dedup",
     "q_geo_radius_join",
     "text_strip_markup",
+    # round-7: in-engine LR training (3 aggregate-only GD iterations)
+    "pipeline_train_logreg",
 ]
 
 
