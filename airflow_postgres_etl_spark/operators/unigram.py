@@ -1,0 +1,199 @@
+"""Unigram-LM tokenizer (the SentencePiece / Kudo 2018 family), hard-EM
+simplified, expressed as pure JVM expressions with an exact SQL twin.
+
+This completes the tokenizer family next to BPE (extensions.py
+``pipeline_bpe_merges``/``_encode``): BPE grows a vocab bottom-up by
+merges; the unigram model starts from an over-complete SUBSTRING vocab
+and segments every word by Viterbi under per-piece costs, then
+re-estimates from the chosen segmentations.
+
+Distribution shape (the BPE precedent): corpus-scale work is ONE word-
+frequency shuffle; everything after runs on the Heaps'-law-bounded
+distinct-word table with the piece-cost table broadcast as a single
+map literal.  The Viterbi DP is UNROLLED over word positions
+(``L_MAX`` columns of lateral aliases — whole-stage codegen, no UDF,
+no recursion): for each prefix length i,
+
+    best_i = min over j in [i-P_MAX, i)  of  best_j + cost(word[j+1..i])
+    back_i = the smallest such j (= longest piece wins ties)
+
+then the chosen pieces reconstruct by walking ``back`` from len(word)
+(again unrolled).  The same generator emits the DuckDB dialect, so both
+engines execute literally the same arithmetic.
+
+Exactness: piece costs are integer micro-nats
+(``floor(1e6 * ln(total/cnt))`` — the BM25 idf convention: ln's
+cross-engine last-ulp difference only matters exactly at the floor
+boundary, the accepted residual); every best/back is then exact BIGINT
+arithmetic, so segmentations — and the M-step counts — are
+hash-identical across engines.
+
+Words longer than ``L_MAX`` (none in this corpus; rare at web scale)
+are excluded from training by contract — the documented alternative is
+raising L_MAX, which grows the unrolled plan linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .text import tokens_expr
+
+L_MAX = 12   # max word length the unrolled DP covers
+P_MAX = 4    # max piece length
+INF = 100_000_000_000_000  # > L_MAX * any real cost; sums stay in int64
+VOCAB_K = 120  # top-K substrings kept (single chars always kept)
+MICRO = 1_000_000
+
+
+def dp_layers(dialect: str) -> list[list[str]]:
+    """The unrolled Viterbi + reconstruction as LAYERS of SELECT
+    expressions over columns ``word`` and a broadcast piece-cost map
+    ``__pm``.  Every expression in a layer references only earlier
+    layers (or siblings at depth <= 2), so Spark applies one chained
+    ``selectExpr('*', ...)`` per layer — Catalyst collapses the Project
+    chain, and the analyzer never sees a deep lateral-alias chain (a
+    flat 100+-alias SELECT exhausts its resolution iterations).  The
+    DuckDB oracle CAN take the flat form (its binder is iterative), so
+    :func:`dp_select_exprs` flattens these same layers — every alias
+    and arithmetic term is byte-identical across dialects, which is
+    what makes the oracle exact; only the map lookup and array helpers
+    differ."""
+    if dialect == "spark":
+        def lk(sub: str) -> str:
+            return f"coalesce(try_element_at(__pm, {sub}), {INF})"
+    elif dialect == "duckdb":
+        def lk(sub: str) -> str:
+            return f"coalesce(list_extract(__pm[{sub}], 1), {INF})"
+    else:
+        raise ValueError(dialect)
+
+    layers: list[list[str]] = [["CAST(0 AS BIGINT) AS b0"]]
+    for i in range(1, L_MAX + 1):
+        js = list(range(max(0, i - P_MAX), i))
+        layer = []
+        for j in js:
+            sub = f"substr(word, {j + 1}, {i - j})"
+            layer.append(f"b{j} + {lk(sub)} AS c_{i}_{j}")
+        cands = ", ".join(f"c_{i}_{j}" for j in js)
+        best = f"least({cands})" if len(js) > 1 else cands
+        layer.append(f"{best} AS b{i}")
+        case = " ".join(f"WHEN c_{i}_{j} = b{i} THEN {j}" for j in js)
+        layer.append(f"CASE {case} END AS k{i}")
+        layers.append(layer)
+    layers.append(["length(word) AS p0"])
+    kcase = " ".join(f"WHEN {i} THEN k{i}" for i in range(1, L_MAX + 1))
+    for s in range(1, L_MAX + 1):
+        layers.append(
+            [
+                f"CASE p{s - 1} {kcase} ELSE 0 END AS q{s}",
+                f"CASE WHEN p{s - 1} > 0 "
+                f"THEN substr(word, q{s} + 1, p{s - 1} - q{s}) END AS t{s}",
+                f"CASE WHEN p{s - 1} > 0 THEN q{s} ELSE 0 END AS p{s}",
+            ]
+        )
+    ts = ", ".join(f"t{s}" for s in range(1, L_MAX + 1))
+    if dialect == "spark":
+        final = f"reverse(filter(array({ts}), x -> x IS NOT NULL)) AS pieces"
+    else:
+        final = (
+            f"list_reverse(list_filter([{ts}], x -> x IS NOT NULL)) AS pieces"
+        )
+    layers.append([final])
+    return layers
+
+
+def dp_select_exprs(dialect: str) -> list[str]:
+    """Flattened :func:`dp_layers` — the form the DuckDB oracle embeds."""
+    return [e for layer in dp_layers(dialect) for e in layer]
+
+
+def word_table(docs: DataFrame, col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-scale shuffle."""
+    return (
+        docs.select(F.explode(tokens_expr(col)).alias("word"))
+        .filter(F.length("word") <= L_MAX)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def substring_vocab(words: DataFrame) -> DataFrame:
+    """(piece, cnt, cost): every substring of length 1..P_MAX weighted by
+    its word's frequency; keep the top ``VOCAB_K`` by (cnt DESC, piece)
+    plus ALL single characters (so every word stays segmentable); cost
+    in integer micro-nats against the kept total."""
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda s: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(P_MAX), F.length("word") - s + 1
+                            ),
+                        ),
+                        lambda l: F.substring(F.col("word"), s, l),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    # vocab-sized single-partition window — the BPE-merges precedent
+    # (documented there): the pieces table is Heaps'-law bounded
+    ranked = counts.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("piece"))
+        ),
+    )
+    kept = ranked.filter(
+        (F.col("__r") <= VOCAB_K) | (F.length("piece") == 1)
+    ).drop("__r")
+    total = kept.agg(F.sum("cnt").alias("__total"))
+    return kept.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.floor(
+            F.lit(float(MICRO)) * F.log(F.col("__total") / F.col("cnt"))
+        ).cast("long").alias("cost"),
+    )
+
+
+def viterbi_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(word, freq, pieces): best segmentation of each distinct word
+    under the vocab costs (unrolled DP, see module doc)."""
+    pm = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "cost"))
+        ).alias("__pm")
+    )
+    df = words.crossJoin(F.broadcast(pm))
+    for layer in dp_layers("spark"):
+        df = df.selectExpr("*", *layer)
+    # cut the lineage: downstream operators over the (vocab-sized)
+    # segmentation otherwise carry the unrolled DP's expression tree
+    # into every later plan, and CollapseProject's re-inlining of the
+    # shared b/k aliases blows the optimizer up (the same
+    # canonicalization hazard the IVF centroid literals hit — see
+    # .claude verify notes).  31-to-millions of distinct words is the
+    # Heaps'-law-bounded side, so materializing it is O(vocab), never
+    # O(corpus).
+    return df.select("word", "freq", "pieces").localCheckpoint(eager=False)
+
+
+def unigram_piece_usage(docs: DataFrame, col: str = "text") -> DataFrame:
+    """The E+M round: (piece, used_cnt) — corpus-weighted counts of the
+    pieces the Viterbi segmentations actually chose."""
+    words = word_table(docs, col)
+    seg = viterbi_segment(words, substring_vocab(words))
+    return (
+        seg.select("freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("used_cnt"))
+    )

@@ -9983,3 +9983,84 @@ def pipeline_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_docs", model["n"]),
     ]
     return spark.createDataFrame(rows, "name string, val long").orderBy("name")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (operators/unigram.py — the SentencePiece family,
+# completing the tokenizer surface next to BPE learn/encode).  The
+# oracle embeds the SAME generated Viterbi unrolling (dp_select_exprs
+# emits both dialects from one spec), so the differential pins the full
+# chain: substring vocab -> micro-nat costs -> exact-BIGINT DP ->
+# reconstruction -> hard-EM usage counts.
+# ---------------------------------------------------------------------------
+def _unigram_oracle_sql() -> str:
+    from ..operators.unigram import L_MAX, P_MAX, VOCAB_K, dp_layers
+
+    # one MATERIALIZED CTE per DP layer: DuckDB (like Spark's
+    # CollapseProject) inlines lateral aliases by substitution, so the
+    # flat unrolling is exponential in the binder — materializing each
+    # layer keeps every alias bound exactly once (the oracle-side twin
+    # of the Spark operator's chained selects + lineage cut)
+    layers = dp_layers("duckdb")
+    ctes = ["seg_0 AS MATERIALIZED (SELECT word, freq, __pm, "
+            + ", ".join(layers[0]) + " FROM words CROSS JOIN m)"]
+    for idx, layer in enumerate(layers[1:], start=1):
+        ctes.append(
+            f"seg_{idx} AS MATERIALIZED (SELECT *, "
+            + ", ".join(layer) + f" FROM seg_{idx - 1})"
+        )
+    seg_ctes = ",\n    ".join(ctes)
+    last = len(layers) - 1
+    return f"""
+    WITH words AS (
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest({SQL_TOKS}) AS word FROM documents)
+        WHERE length(word) <= {L_MAX}
+        GROUP BY word
+    ),
+    subs AS (
+        SELECT freq,
+               unnest(flatten(list_transform(
+                   generate_series(1, length(word)),
+                   s -> list_transform(
+                       generate_series(1, least({P_MAX}, length(word) - s + 1)),
+                       l -> substr(word, s, l))))) AS piece
+        FROM words
+    ),
+    counts AS (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM subs GROUP BY piece
+    ),
+    ranked AS (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS r
+        FROM counts
+    ),
+    kept AS (
+        SELECT piece, cnt FROM ranked WHERE r <= {VOCAB_K} OR length(piece) = 1
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM kept),
+    costs AS (
+        SELECT piece,
+               CAST(floor(1000000.0 * ln(total * 1.0 / cnt)) AS BIGINT) AS cost
+        FROM kept CROSS JOIN tot
+    ),
+    m AS (SELECT map_from_entries(list((piece, cost))) AS __pm FROM costs),
+    {seg_ctes},
+    used AS (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS used_cnt
+        FROM (SELECT freq, unnest(pieces) AS piece FROM seg_{last})
+        GROUP BY piece
+    )
+    SELECT piece, used_cnt FROM used ORDER BY used_cnt DESC, piece LIMIT 30
+    """
+
+
+@query("pipeline_unigram_tokenize", _unigram_oracle_sql())
+def pipeline_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import unigram_piece_usage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        unigram_piece_usage(docs)
+        .orderBy(F.desc("used_cnt"), "piece")
+        .limit(30)
+    )

@@ -1,0 +1,69 @@
+"""Unigram-LM tokenizer (`operators.unigram`): the unrolled Viterbi must
+pick the min-cost segmentation with the documented tie-break (longest
+piece on equal cost), fall back to single characters, and honor the
+L_MAX training contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_etl_spark.operators.unigram import (
+    L_MAX,
+    substring_vocab,
+    unigram_piece_usage,
+    viterbi_segment,
+    word_table,
+)
+
+
+def _segment(spark, word, vocab_rows):
+    words = spark.createDataFrame([(word, 1)], "word string, freq long")
+    vocab = spark.createDataFrame(vocab_rows, "piece string, cnt long, cost long")
+    return list(viterbi_segment(words, vocab).first()["pieces"])
+
+
+def test_min_cost_segmentation(spark):
+    # "abc": a|bc (5+4=9) beats ab|c (6+7=13) and a|b|c (5+8+7=20)
+    vocab = [("a", 0, 5), ("b", 0, 8), ("c", 0, 7), ("ab", 0, 6), ("bc", 0, 4)]
+    assert _segment(spark, "abc", vocab) == ["a", "bc"]
+
+
+def test_tie_breaks_prefer_longer_piece(spark):
+    # ab|c and a|b|c both cost 10 -> the longer first piece wins
+    vocab = [("a", 0, 3), ("b", 0, 3), ("c", 0, 4), ("ab", 0, 6)]
+    assert _segment(spark, "abc", vocab) == ["ab", "c"]
+
+
+def test_single_char_fallback(spark):
+    # no multi-char pieces at all -> per-character segmentation
+    vocab = [("x", 0, 1), ("y", 0, 1), ("z", 0, 1)]
+    assert _segment(spark, "zyx", vocab) == ["z", "y", "x"]
+
+
+def test_corpus_chain_is_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "stream streams streaming"), (2, "stream table tables")],
+        "doc_id long, text string",
+    )
+    a = {(r["piece"], r["used_cnt"]) for r in unigram_piece_usage(docs).collect()}
+    b = {
+        (r["piece"], r["used_cnt"])
+        for r in unigram_piece_usage(docs.repartition(5)).collect()
+    }
+    assert a == b and len(a) > 0
+    # usage counts conserve corpus word mass: every word occurrence is
+    # segmented into >= 1 piece
+    total_words = 6
+    assert sum(c for _, c in a) >= total_words
+
+
+def test_long_words_excluded_by_contract(spark):
+    docs = spark.createDataFrame(
+        [(1, "short " + "x" * (L_MAX + 1))], "doc_id long, text string"
+    )
+    words = word_table(docs)
+    assert {r["word"] for r in words.collect()} == {"short"}
+    vocab = substring_vocab(words)
+    # vocab only ever sees pieces of the admitted words
+    assert all(len(r["piece"]) <= 4 for r in vocab.collect())
