@@ -238,6 +238,8 @@ HEADLINE = [
     "text_strip_markup",
     # round-7: in-engine LR training (3 aggregate-only GD iterations)
     "pipeline_train_logreg",
+    # round-7: unigram-LM tokenizer (unrolled Viterbi on the vocab)
+    "pipeline_unigram_tokenize",
 ]
 
 

@@ -165,6 +165,11 @@ SHOWCASE = {
         "HTML stripping: a single narrow regexp_replace chain in"
         " whole-stage codegen, zero Exchange"
     ),
+    "pipeline_unigram_tokenize": (
+        "unigram tokenizer: ONE corpus word-frequency shuffle; the"
+        " unrolled Viterbi runs on the Heaps'-bounded vocab with piece"
+        " costs broadcast as a map literal"
+    ),
 }
 
 SF = "/root/testdata/sf0.001"
