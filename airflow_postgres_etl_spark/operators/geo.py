@@ -53,10 +53,23 @@ def haversine_km(
 def grid_cell(
     lat: Column, lon: Column, cell_lat_deg: float, cell_lon_deg: float
 ) -> tuple[Column, Column]:
-    """(row, col) integer cell of the fixed grid."""
+    """(row, col) integer cell of the fixed grid.  The column index is
+    MODULAR (0..n_lon-1 over the shifted longitude) so the dateline is
+    an ordinary cell boundary: a pair straddling +-180 sits in adjacent
+    cells mod n_lon, and the 3x3 neighborhood expansion wraps with
+    ``pmod`` — without this, cross-dateline neighbors land in cells
+    ~n_lon apart and the join silently misses them (caught by the
+    brute-force differential, tests/test_geo.py)."""
+    import math
+
+    # cell_lon_deg is a divisor of 360 (radius_join snaps it); round()
+    # recovers the exact integer cell count
+    n_lon = max(1, round(360.0 / cell_lon_deg))
     return (
         F.floor(lat / F.lit(cell_lat_deg)).cast("long"),
-        F.floor(lon / F.lit(cell_lon_deg)).cast("long"),
+        F.pmod(
+            F.floor((lon + F.lit(180.0)) / F.lit(cell_lon_deg)), F.lit(n_lon)
+        ).cast("long"),
     )
 
 
@@ -86,7 +99,14 @@ def radius_join(
     import math
 
     cell_lat = radius_km / KM_PER_DEG
-    cell_lon = radius_km / (KM_PER_DEG * math.cos(math.radians(max_abs_lat)))
+    # snap the longitude cell width UP to an exact divisor of 360 deg:
+    # with a non-divisor width the seam cell (360 mod width) is
+    # narrower than the radius and the +-1 neighborhood no longer
+    # covers pairs straddling it (caught by the brute-force
+    # differential on a cross-dateline pair)
+    want_lon = radius_km / (KM_PER_DEG * math.cos(math.radians(max_abs_lat)))
+    n_lon = max(1, math.floor(360.0 / want_lon))
+    cell_lon = 360.0 / n_lon
 
     def _band_checked(col: Column) -> Column:
         return F.when(
@@ -109,11 +129,14 @@ def radius_join(
     rr, rc = grid_cell(
         F.col("lat" + suffix), F.col("lon" + suffix), cell_lat, cell_lon
     )
+    # with < 3 longitude cells the +-1 offsets alias mod n_lon — emit
+    # only distinct wrapped offsets or candidates would duplicate
+    dcs = (-1, 0, 1) if n_lon >= 3 else ((0, 1) if n_lon == 2 else (0,))
     neighborhood = F.array(
         *[
             F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
             for dr in (-1, 0, 1)
-            for dc in (-1, 0, 1)
+            for dc in dcs
         ]
     )
     r_cells = (
@@ -123,7 +146,10 @@ def radius_join(
         .select(
             "*",
             (F.col("__cr0") + F.col("__d.dr")).alias("__cr"),
-            (F.col("__cc0") + F.col("__d.dc")).alias("__cc"),
+            # wrap the column neighborhood across the dateline
+            F.pmod(F.col("__cc0") + F.col("__d.dc"), F.lit(n_lon)).alias(
+                "__cc"
+            ),
         )
         .drop("__cr0", "__cc0", "__d")
     )
@@ -139,4 +165,39 @@ def radius_join(
         .withColumn("dist_km", dist)
         .filter(F.col("dist_km") <= radius_km)
         .drop("__cr", "__cc")
+    )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_km: float,
+    left_key: str,
+    max_abs_lat: float = 60.0,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Each left point's NEAREST right point within ``max_km`` (left
+    points with no candidate in range drop out — the caller left-joins
+    back if absence matters).  Ties break on the smallest right-side
+    key column values, deterministically.
+
+    Same grid plan as :func:`radius_join` plus one argmin per left key:
+    a ``min(struct(dist, right...))`` aggregate — struct-min is a total
+    order, so the tie-break is the struct's field order (dist first,
+    then every right column ascending).  No window, no second shuffle
+    beyond the candidate aggregation.
+    """
+    cands = radius_join(left, right, max_km, max_abs_lat, suffix)
+    right_cols = [c + suffix for c in right.columns]
+    left_cols = [c for c in cands.columns if c not in right_cols and c != "dist_km"]
+    pick = F.min(
+        F.struct(F.col("dist_km"), *[F.col(c) for c in right_cols])
+    ).alias("__best")
+    out = cands.groupBy(left_key).agg(
+        *[F.first(c).alias(c) for c in left_cols if c != left_key], pick
+    )
+    return out.select(
+        *left_cols,
+        F.col("__best.dist_km").alias("dist_km"),
+        *[F.col(f"__best.{c}").alias(c) for c in right_cols],
     )

@@ -10064,3 +10064,61 @@ def pipeline_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("used_cnt"), "piece")
         .limit(30)
     )
+
+
+# The nearest-neighbor companion (geo.nearest_join): per customer, the
+# closest supplier within 500 km — argmin as ONE struct-min aggregate
+# over the grid candidates (total order => deterministic tie-break:
+# dist, then supplier key).  Oracle = brute-force row_number argmin
+# with the identical ordering.
+@query(
+    "q_geo_nearest",
+    f"""
+    WITH c AS (
+        SELECT c_custkey, {_GEO_C_LAT} AS lat, {_GEO_C_LON} AS lon
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey, {_GEO_S_LAT} AS lat, {_GEO_S_LON} AS lon
+        FROM supplier
+    ),
+    pairs AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               round(2 * 6371.0 * asin(sqrt(
+                   sin(radians(s.lat - c.lat) / 2) * sin(radians(s.lat - c.lat) / 2)
+                   + cos(radians(c.lat)) * cos(radians(s.lat))
+                   * sin(radians(s.lon - c.lon) / 2) * sin(radians(s.lon - c.lon) / 2)
+               )), 6) AS dist_km
+        FROM c, s
+    )
+    SELECT c_custkey, s_suppkey, dist_km FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_custkey ORDER BY dist_km, s_suppkey
+        ) AS rn
+        FROM pairs WHERE dist_km <= 500.0
+    ) WHERE rn = 1
+    """,
+)
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo
+
+    def _point(df, key, prefix):
+        h = lambda tag: (  # noqa: E731
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{tag}{prefix}:"), F.col(key))), 1, 15
+                ),
+                16, 10,
+            ).cast("long")
+        )
+        return df.select(
+            key,
+            ((h("lat") % 120000000) / 1000000.0 - 60.0).alias("lat"),
+            ((h("lon") % 360000000) / 1000000.0 - 180.0).alias("lon"),
+        )
+
+    c = _point(load_table(spark, sf_dir, "customer"), "c_custkey", "c")
+    s = _point(load_table(spark, sf_dir, "supplier"), "s_suppkey", "s")
+    return geo.nearest_join(c, s, 500.0, "c_custkey").select(
+        "c_custkey", F.col("s_suppkey_r").alias("s_suppkey"), "dist_km"
+    )

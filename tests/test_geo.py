@@ -80,3 +80,75 @@ def test_no_cartesian_in_plan(spark):
     right = _points(spark, 20, "r")
     plan = radius_join(left, right, 100.0)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_nearest_join_argmin_and_tiebreak(spark):
+    from airflow_postgres_etl_spark.operators.geo import nearest_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 50.0, 50.0)], "l_id long, lat double, lon double"
+    )
+    right = spark.createDataFrame(
+        [
+            (7, 0.0, 0.5),   # ~55.6 km from left 1
+            (9, 0.0, -0.5),  # same distance -> tie, smaller key wins? no: 7 < 9
+            (8, 0.0, 2.0),   # farther
+        ],
+        "r_id long, lat double, lon double",
+    )
+    rows = nearest_join(left, right, 300.0, "l_id").collect()
+    # left 2 has no candidate within 300 km -> drops out
+    assert len(rows) == 1 and rows[0]["l_id"] == 1
+    # exact tie on dist -> struct-min tie-break picks the smaller r_id
+    assert rows[0]["r_id_r"] == 7
+
+
+def test_nearest_matches_brute_force(spark):
+    from airflow_postgres_etl_spark.operators.geo import (
+        haversine_km,
+        nearest_join,
+    )
+
+    left = _points(spark, 200, "l")
+    right = _points(spark, 40, "r")
+    got = {
+        (r["l_id"], r["r_id_r"])
+        for r in nearest_join(left, right, 1500.0, "l_id").collect()
+    }
+    r2 = right.select(
+        F.col("r_id"), F.col("lat").alias("lat2"), F.col("lon").alias("lon2")
+    )
+    from pyspark.sql.window import Window
+
+    brute = (
+        left.crossJoin(r2)
+        .withColumn(
+            "d",
+            F.round(haversine_km(F.col("lat"), F.col("lon"),
+                                 F.col("lat2"), F.col("lon2")), 6),
+        )
+        .filter(F.col("d") <= 1500.0)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("l_id").orderBy("d", "r_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    want = {(r["l_id"], r["r_id"]) for r in brute.collect()}
+    assert got == want and len(want) > 20
+
+
+def test_cross_dateline_pair_found(spark):
+    from airflow_postgres_etl_spark.operators.geo import radius_join
+
+    # ~222 km apart across the +-180 seam
+    left = spark.createDataFrame(
+        [(1, 0.0, 179.0)], "l_id long, lat double, lon double"
+    )
+    right = spark.createDataFrame(
+        [(2, 0.0, -179.0)], "r_id long, lat double, lon double"
+    )
+    rows = radius_join(left, right, 300.0).collect()
+    assert len(rows) == 1 and rows[0]["dist_km"] < 250
