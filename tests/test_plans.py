@@ -554,3 +554,57 @@ def test_hypertable_rollups_single_data_exchange(spark):
         plan = plan_of(spark, name)
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
         assert "BatchEvalPython" not in plan
+
+
+def test_line_dedup_heavy_set_broadcasts(spark):
+    """The boilerplate dictionary must broadcast into the anti-join —
+    a shuffled anti-join would re-shuffle the corpus lines."""
+    plan = plan_of(spark, "pipeline_line_dedup")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the line-hash count is a two-phase aggregate (map-side combine)
+    assert "partial_" in plan
+
+
+def test_geo_radius_join_no_cartesian(spark):
+    plan = plan_of(spark, "q_geo_radius_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_strip_markup_is_one_narrow_pass(spark):
+    """The regexp chain must stay map-side: no Exchange, no Python."""
+    plan = plan_of(spark, "text_strip_markup")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_train_logreg_gradient_is_partial_agg(spark):
+    """Each GD iteration is one map-side-combinable aggregate over the
+    feature frame; no Python anywhere."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.operators.ml import train_logreg_gd
+    from airflow_postgres_etl_spark.operators.text import stopword_hits_expr
+    from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        stopword_hits_expr("en").cast("long").alias("x_en"),
+    )
+    margin = F.lit(0) + F.lit(1) * F.col("x_en")
+    p = F.floor(F.lit(1e6) / (1.0 + F.exp(-margin / F.lit(1e6)))).cast("long")
+    g = feats.agg(F.sum((p - F.col("y") * F.lit(1_000_000)) * F.col("x_en")))
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan and "EvalPython" not in plan
+
+
+def test_unigram_corpus_side_is_one_shuffle(spark):
+    """word_table is the only corpus-scale stage: one two-phase
+    aggregate, no join touching the corpus."""
+    from airflow_postgres_etl_spark.operators.unigram import word_table
+    from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+    words = word_table(load_table(spark, SF_SMOKE, "documents"))
+    plan = words._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "partial_" in plan
