@@ -231,3 +231,42 @@ def test_retry_budget_exhausts(spark, tmp_path, monkeypatch):
             target, num_buckets=4,
         )
     assert calls["n"] == sink.OPTIMISTIC_RETRIES + 1
+
+
+def test_threaded_writers_converge(spark, tmp_path):
+    """REAL concurrent writers (threads, no monkeypatching): every
+    commit lands exactly once, disjoint-bucket losers rebase, and the
+    final state is the union of all writes."""
+    import threading
+
+    ka, kb, kc = _keys_in_distinct_buckets(spark)
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(ka, 0)], ["oid__id", "v"]),
+        target, num_buckets=4,
+    )
+    errors: list[Exception] = []
+
+    def writer(key: str, rounds: int):
+        try:
+            for i in range(1, rounds + 1):
+                keyed_overwrite_parquet(
+                    spark,
+                    spark.createDataFrame([(key, i)], ["oid__id", "v"]),
+                    target, num_buckets=4, vacuum=False,
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(k, 3)) for k in (kb, kc)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert _state(spark, target) == {ka: 0, kb: 3, kc: 3}
+    # 1 bootstrap + 6 writer commits, serialized by the CAS
+    assert table_version(target) == 7
