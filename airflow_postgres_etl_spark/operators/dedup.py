@@ -1158,22 +1158,30 @@ def remove_duplicate_lines(
     downstream length filters decide its fate, not this pass.
     """
     lines = _line_table(docs, col, key, sep)
-    heavy = duplicate_line_stats(docs, col, key, min_dup, sep).select("__lh")
-    kept = lines.join(F.broadcast(heavy), "__lh", "left_anti")
-    rebuilt = kept.groupBy(key).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            sep,
-        ).alias("__clean"),
-        F.count(F.lit(1)).alias("__n_kept"),
+    heavy = duplicate_line_stats(docs, col, key, min_dup, sep).select(
+        "__lh", F.lit(True).alias("__heavy")
     )
-    n_in = lines.groupBy(key).agg(F.count(F.lit(1)).alias("n_lines"))
-    return n_in.join(rebuilt, key, "left").select(
-        key,
-        "n_lines",
-        F.coalesce(F.col("__n_kept"), F.lit(0)).alias("n_kept"),
-        F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_fp"),
+    # tag-then-aggregate: ONE broadcast join + ONE doc-id shuffle total
+    # (an anti-join plus a separate n_lines aggregate costs a second
+    # corpus-lines shuffle and a doc-id join — measured slower at sf0.1).
+    # collect_list skips NULLs, so the heavy lines drop out of the
+    # rebuild inside the same aggregate that counts them.
+    tagged = lines.join(F.broadcast(heavy), "__lh", "left")
+    keep = F.col("__heavy").isNull()
+    return tagged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            )
+        ).alias("clean_fp"),
     )
