@@ -515,6 +515,55 @@ class Table:
 
         return sink.table_delta_depth(self.path, self.store)
 
+    def maintain(
+        self,
+        max_delta_depth: int = 8,
+        max_files_per_bucket: int = 4,
+        retention_s: float | None = None,
+        keep_snapshots: int | None = None,
+    ) -> dict:
+        """Policy-driven maintenance in one call — the scheduled job a
+        100 TB deployment runs nightly instead of a human reading
+        :meth:`describe`.  Inspects the manifest (no data scan) and runs
+        only what the thresholds demand, in dependency order:
+
+        1. ``compact`` when the deepest MOR delta chain reaches
+           ``max_delta_depth`` (bounds read amplification),
+        2. ``optimize`` when any bucket holds more than
+           ``max_files_per_bucket`` base files (pays back append debt),
+        3. ``expire_snapshots`` when ``keep_snapshots`` is given
+           (count-based; runs BEFORE vacuum, whose own retention pass
+           also expires snapshot manifests older than ``retention_s``),
+        4. ``vacuum`` always (collects retirees past ``retention_s``;
+           default = the sink's reader-safety window).
+
+        Returns ``{"compacted", "optimized", "vacuumed_files",
+        "expired_snapshots"}`` with counts (absent action = not
+        triggered).  Composes the individually-tested primitives; the
+        policy itself is test-pinned (tests/test_api.py)."""
+        from . import sink
+
+        d = self.describe()
+        out: dict = {}
+        if d["max_delta_depth"] >= max_delta_depth:
+            out["compacted"] = sink.compact_keyed_table(
+                self.spark, self.path, store=self.store
+            )
+            d = self.describe()
+        if d["max_files_per_bucket"] > max_files_per_bucket:
+            out["optimized"] = sink.optimize_keyed_table(
+                self.spark, self.path, max_files_per_bucket, store=self.store
+            )
+        if keep_snapshots is not None:
+            out["expired_snapshots"] = sink.expire_snapshots(
+                self.path, keep_last=keep_snapshots, store=self.store
+            )
+        kw = {} if retention_s is None else {"retention_s": retention_s}
+        out["vacuumed_files"] = sink.vacuum_keyed_table(
+            self.path, store=self.store, **kw
+        )
+        return out
+
     # -- table-level sketches ------------------------------------------------
     def sketch(self, cols: list[str]) -> DataFrame:
         """Distinct-count estimates per column ``(column, distinct_est)``

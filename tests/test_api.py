@@ -437,3 +437,50 @@ def test_expire_snapshots(spark, tmp_path):
     assert t.history() == [5]
     # the current version never expires
     assert t.expire_snapshots(keep_last=1, older_than_s=0) == 0
+
+
+def test_maintain_policy(spark, tmp_path):
+    """Table.maintain runs only what the thresholds demand, in order:
+    compact (delta depth), optimize (file count), vacuum, expire."""
+    from airflow_postgres_etl_spark.api import Engine
+
+    t = Engine(spark).table(str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame([("a", 0), ("b", 0)], "oid__id string, v long"),
+        key="oid__id", num_buckets=2, vacuum=False,
+    )
+    # build up MOR depth 3 on one key's bucket + append-file debt
+    for i in range(1, 4):
+        t.merge_mor(
+            spark.createDataFrame([("a", i)], "oid__id string, v long"),
+            key="oid__id",
+        )
+    for i in range(5):
+        t.append(
+            spark.createDataFrame([(f"n{i}", i)], "oid__id string, v long"),
+            verify_new=False,
+        )
+    assert t.delta_depth() == 3
+
+    out = t.maintain(
+        max_delta_depth=3, max_files_per_bucket=1,
+        retention_s=0, keep_snapshots=2,
+    )
+    assert "compacted" in out and out["compacted"] >= 1
+    assert "optimized" in out and out["optimized"] >= 1
+    assert out["vacuumed_files"] >= 1
+    assert out["expired_snapshots"] >= 1
+    assert t.delta_depth() == 0
+    assert t.describe()["max_files_per_bucket"] == 1
+    # retention_s=0 lets vacuum's own retention pass expire even the
+    # kept snapshot manifests; the current version always survives
+    assert t.history() == [t.version()]
+    # data unchanged by maintenance
+    got = {r["oid__id"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": 3, "b": 0, **{f"n{i}": i for i in range(5)}}
+
+    # healthy table: nothing triggers, state untouched
+    v = t.version()
+    out2 = t.maintain(retention_s=0)
+    assert "compacted" not in out2 and "optimized" not in out2
+    assert out2["vacuumed_files"] == 0 and t.version() == v
