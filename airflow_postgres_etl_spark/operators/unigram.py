@@ -197,3 +197,30 @@ def unigram_piece_usage(docs: DataFrame, col: str = "text") -> DataFrame:
         .groupBy("piece")
         .agg(F.sum("freq").alias("used_cnt"))
     )
+
+
+def unigram_encode(docs: DataFrame, col: str = "text") -> DataFrame:
+    """The APPLY step (BPE-encode symmetry): tokenize every document
+    under the learned segmentation — ``(doc id cols..., n_words,
+    n_pieces, n_chars_encoded)``.  ONE corpus-scale join: the corpus's
+    exploded words equi-join the broadcast (vocab-sized) word->pieces
+    table; per-word piece counts then aggregate back per document.
+    Words beyond L_MAX pass through unsegmented (counted as one piece —
+    the <unk> convention), so every word is accounted for."""
+    words = word_table(docs, col)
+    seg = viterbi_segment(words, substring_vocab(words)).select(
+        "word", F.size("pieces").alias("__np")
+    )
+    id_cols = [c for c in docs.columns if c != col]
+    exploded = docs.select(
+        *id_cols, F.explode(tokens_expr(col)).alias("word")
+    )
+    return (
+        exploded.join(F.broadcast(seg), "word", "left")
+        .groupBy(*id_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("__np"), F.lit(1))).alias("n_pieces"),
+            F.sum(F.length("word")).alias("n_chars_encoded"),
+        )
+    )

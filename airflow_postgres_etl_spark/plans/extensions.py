@@ -10122,3 +10122,43 @@ def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.nearest_join(c, s, 500.0, "c_custkey").select(
         "c_custkey", F.col("s_suppkey_r").alias("s_suppkey"), "dist_km"
     )
+
+
+# The unigram APPLY step: per-document piece counts under the learned
+# vocab — one corpus join against the broadcast word->pieces table
+# (everything heavy was already pinned by pipeline_unigram_tokenize's
+# differential; this one pins the encode aggregation and the over-L_MAX
+# <unk> pass-through).
+def _unigram_encode_oracle_sql() -> str:
+    from ..operators.unigram import L_MAX
+
+    base = _unigram_oracle_sql()
+    head, _tail = base.rsplit("SELECT piece, used_cnt", 1)
+    return (
+        head
+        + f""", wp AS (SELECT word, len(pieces) AS np FROM seg_{_unigram_seg_last()}),
+    ex AS (
+        SELECT doc_id, unnest({SQL_TOKS}) AS word FROM documents
+    )
+    SELECT ex.doc_id,
+           count(*) AS n_words,
+           CAST(sum(coalesce(wp.np, 1)) AS BIGINT) AS n_pieces,
+           CAST(sum(length(ex.word)) AS BIGINT) AS n_chars_encoded
+    FROM ex LEFT JOIN wp USING (word)
+    GROUP BY ex.doc_id
+    """
+    )
+
+
+def _unigram_seg_last() -> int:
+    from ..operators.unigram import dp_layers
+
+    return len(dp_layers("duckdb")) - 1
+
+
+@query("pipeline_unigram_encode", _unigram_encode_oracle_sql())
+def pipeline_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import unigram_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_encode(docs)

@@ -240,6 +240,7 @@ HEADLINE = [
     "pipeline_train_logreg",
     # round-7: unigram-LM tokenizer (unrolled Viterbi on the vocab)
     "pipeline_unigram_tokenize",
+    "pipeline_unigram_encode",
     "q_geo_nearest",
 ]
 
