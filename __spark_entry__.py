@@ -90,11 +90,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     last_green = _last_green_round()
+    latest = max(last_green.values(), default=0)
 
     def _key(name: str) -> tuple[float, int]:
         rnd = last_green.get(name, 0)
         if name in _REFERENCE_CORE and rnd > 0:
             rnd -= 1.5  # re-cover the reference core every other round
+        if 0 < rnd <= latest - 3:
+            # HARD-stale green rows outrank even never-checked new
+            # queries: a query whose last driver row is >= 3 rounds old
+            # has had live code churn since its last independent check,
+            # while a new query always shipped with a same-session
+            # oracle differential — re-verify the stale ones first so
+            # the rotation period stays bounded as the library grows
+            # (VERDICT r6 task 4).
+            rnd -= 100
         return (rnd, _REG_INDEX[name])
 
     order = sorted(QUERIES, key=_key)
