@@ -557,10 +557,12 @@ def test_hypertable_rollups_single_data_exchange(spark):
 
 
 def test_line_dedup_heavy_set_broadcasts(spark):
-    """The boilerplate dictionary must broadcast into the anti-join —
-    a shuffled anti-join would re-shuffle the corpus lines."""
+    """The boilerplate dictionary must broadcast into the tag join —
+    a shuffled join would re-shuffle the corpus lines (the operator is
+    tag-then-aggregate: one broadcast LEFT join, one doc-id shuffle)."""
     plan = plan_of(spark, "pipeline_line_dedup")
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
     # the line-hash count is a two-phase aggregate (map-side combine)
     assert "partial_" in plan
 
