@@ -224,3 +224,47 @@ def unigram_encode(docs: DataFrame, col: str = "text") -> DataFrame:
             F.sum(F.length("word")).alias("n_chars_encoded"),
         )
     )
+
+
+def reestimated_vocab(init_vocab: DataFrame, usage: DataFrame) -> DataFrame:
+    """The M-step's new cost table: pieces re-weighted by what the
+    round-0 Viterbi actually USED.  Unused single characters survive at
+    count 1 (add-one smoothing) so every word stays segmentable; unused
+    multi-char pieces drop out — the unigram prune.  Same integer
+    micro-nat cost formula as the init vocab."""
+    chars = init_vocab.filter(F.length("piece") == 1).select("piece")
+    smoothed = usage.select("piece", F.col("used_cnt").alias("cnt")).unionByName(
+        chars.join(usage, "piece", "left_anti").select(
+            "piece", F.lit(1).cast("long").alias("cnt")
+        )
+    )
+    total = smoothed.agg(F.sum("cnt").alias("__total"))
+    return smoothed.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.floor(
+            F.lit(float(MICRO)) * F.log(F.col("__total") / F.col("cnt"))
+        ).cast("long").alias("cost"),
+    )
+
+
+def unigram_piece_usage_em(docs: DataFrame, col: str = "text") -> DataFrame:
+    """One FULL hard-EM round: init vocab -> Viterbi -> usage counts
+    (E+M) -> re-estimated costs -> second Viterbi -> final usage counts.
+    Both Viterbi passes run the same unrolled DP on the vocab-sized
+    word table; corpus-scale work stays the single word-frequency
+    shuffle."""
+    words = word_table(docs, col)
+    init = substring_vocab(words)
+    seg0 = viterbi_segment(words, init)
+    usage0 = (
+        seg0.select("freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("used_cnt"))
+    )
+    seg1 = viterbi_segment(words, reestimated_vocab(init, usage0))
+    return (
+        seg1.select("freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("used_cnt"))
+    )

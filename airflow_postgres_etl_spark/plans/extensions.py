@@ -10162,3 +10162,67 @@ def pipeline_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return unigram_encode(docs)
+
+
+# One FULL hard-EM round (operators/unigram.py unigram_piece_usage_em):
+# the oracle repeats the layered seg chain under the re-estimated map.
+def _unigram_seg_chain(prefix: str, map_cte: str) -> str:
+    from ..operators.unigram import dp_layers
+
+    layers = dp_layers("duckdb")
+    ctes = [
+        f"{prefix}_0 AS MATERIALIZED (SELECT word, freq, __pm, "
+        + ", ".join(layers[0])
+        + f" FROM words CROSS JOIN {map_cte})"
+    ]
+    for idx, layer in enumerate(layers[1:], start=1):
+        ctes.append(
+            f"{prefix}_{idx} AS MATERIALIZED (SELECT *, "
+            + ", ".join(layer)
+            + f" FROM {prefix}_{idx - 1})"
+        )
+    return ",\n    ".join(ctes)
+
+
+def _unigram_em_oracle_sql() -> str:
+    base = _unigram_oracle_sql()
+    head, _tail = base.rsplit("SELECT piece, used_cnt", 1)
+    last = _unigram_seg_last()
+    return (
+        head
+        + f""",
+    chars AS (SELECT piece FROM kept WHERE length(piece) = 1),
+    sm AS (
+        SELECT piece, used_cnt AS cnt FROM used
+        UNION ALL
+        SELECT c.piece, CAST(1 AS BIGINT) FROM chars c
+        WHERE c.piece NOT IN (SELECT piece FROM used)
+    ),
+    tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM sm),
+    costs2 AS (
+        SELECT piece,
+               CAST(floor(1000000.0 * ln(total * 1.0 / cnt)) AS BIGINT) AS cost
+        FROM sm CROSS JOIN tot2
+    ),
+    m2 AS (SELECT map_from_entries(list((piece, cost))) AS __pm FROM costs2),
+    {_unigram_seg_chain("em", "m2")},
+    used1 AS (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS used_cnt
+        FROM (SELECT freq, unnest(pieces) AS piece FROM em_{last})
+        GROUP BY piece
+    )
+    SELECT piece, used_cnt FROM used1 ORDER BY used_cnt DESC, piece LIMIT 30
+    """
+    )
+
+
+@query("pipeline_unigram_em", _unigram_em_oracle_sql())
+def pipeline_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import unigram_piece_usage_em
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        unigram_piece_usage_em(docs)
+        .orderBy(F.desc("used_cnt"), "piece")
+        .limit(30)
+    )

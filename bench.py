@@ -241,6 +241,7 @@ HEADLINE = [
     # round-7: unigram-LM tokenizer (unrolled Viterbi on the vocab)
     "pipeline_unigram_tokenize",
     "pipeline_unigram_encode",
+    "pipeline_unigram_em",
     "q_geo_nearest",
 ]
 

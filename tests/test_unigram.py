@@ -67,3 +67,31 @@ def test_long_words_excluded_by_contract(spark):
     vocab = substring_vocab(words)
     # vocab only ever sees pieces of the admitted words
     assert all(len(r["piece"]) <= 4 for r in vocab.collect())
+
+
+def test_em_round_prunes_and_conserves(spark):
+    from airflow_postgres_etl_spark.operators.unigram import (
+        unigram_piece_usage,
+        unigram_piece_usage_em,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "streaming streams stream streamer"),
+         (2, "stream table stream tables streaming")],
+        "doc_id long, text string",
+    )
+    u0 = {r["piece"]: r["used_cnt"] for r in unigram_piece_usage(docs).collect()}
+    u1 = {r["piece"]: r["used_cnt"] for r in unigram_piece_usage_em(docs).collect()}
+    # every word still fully segmented: summed piece characters conserve
+    # corpus characters in BOTH rounds (pieces tile the words exactly)
+    chars0 = sum(len(p) * c for p, c in u0.items())
+    chars1 = sum(len(p) * c for p, c in u1.items())
+    assert chars0 == chars1 > 0
+    # hard-EM concentrates mass: the vocabulary in play never grows
+    assert len(u1) <= len(u0)
+    # deterministic under repartition
+    u1b = {
+        r["piece"]: r["used_cnt"]
+        for r in unigram_piece_usage_em(docs.repartition(4)).collect()
+    }
+    assert u1 == u1b
