@@ -96,13 +96,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rnd = last_green.get(name, 0)
         if name in _REFERENCE_CORE and rnd > 0:
             rnd -= 1.5  # re-cover the reference core every other round
-        if 0 < rnd <= latest - 3:
-            # HARD-stale green rows outrank even never-checked new
-            # queries: a query whose last driver row is >= 3 rounds old
-            # has had live code churn since its last independent check,
-            # while a new query always shipped with a same-session
-            # oracle differential — re-verify the stale ones first so
-            # the rotation period stays bounded as the library grows
+        if rnd == 0:
+            # NEVER-driver-checked queries front the whole queue: a new
+            # query ships with a same-session builder-side oracle
+            # differential, but it has NO independent driver row at all —
+            # a strictly weaker evidence state than a 3-round-stale
+            # green, which at least passed the driver's own harness once
+            # (VERDICT r7 task 3 resolved the r8 window-overflow this
+            # way: all 14 never-checked r7 queries land in r8's ~50-slot
+            # window, and the 2 overflow victims are hard-stale greens
+            # that slip one round to r9).
+            rnd = -200
+        elif rnd <= latest - 3:
+            # HARD-stale green rows come next: a query whose last driver
+            # row is >= 3 rounds old has had live code churn since its
+            # last independent check — re-verify before fresher greens
+            # so the rotation period stays bounded as the library grows
             # (VERDICT r6 task 4).
             rnd -= 100
         return (rnd, _REG_INDEX[name])

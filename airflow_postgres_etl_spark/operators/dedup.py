@@ -1098,11 +1098,15 @@ def dedup_against_index(
 # 100 TB shape: ONE shuffle — count lines by their 60-bit md5 hash
 # (partial aggregation collapses the repeats map-side, so the shuffle
 # carries ~|distinct lines| rows, not |corpus lines|).  The heavy set
-# (count >= min_dup) is the boilerplate dictionary: tiny relative to
-# the corpus by construction, so it BROADCASTS into a left-anti join and
-# the corpus lines never shuffle a second time for the filter.  The only
-# other shuffle is the per-document reassembly groupBy, partitioned by
-# doc id — the same key the corpus arrived on.
+# (count >= min_dup) is the boilerplate dictionary.  When it is small
+# it BROADCASTS into the tagging join and the corpus lines never
+# shuffle a second time for the filter; but the dictionary is
+# corpus-DERIVED (at min_dup=2 on web text it can be a large fraction
+# of distinct lines), so the broadcast is size-gated — above the
+# threshold a sort-merge join on the line hash pays one extra linear
+# corpus-lines shuffle instead of an unbounded driver broadcast.  The
+# only other shuffle is the per-document reassembly groupBy,
+# partitioned by doc id — the same key the corpus arrived on.
 # ---------------------------------------------------------------------------
 
 
@@ -1144,6 +1148,7 @@ def remove_duplicate_lines(
     key: str = "doc_id",
     min_dup: int = 2,
     sep: str = "\n",
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Drop every occurrence of every line that appears >= ``min_dup``
     times corpus-wide; surviving lines rejoin by ``sep`` in original
@@ -1156,17 +1161,36 @@ def remove_duplicate_lines(
     kept verbatim and never counted.  A document whose every line is
     boilerplate survives as the empty string (fingerprint of ``""``) —
     downstream length filters decide its fate, not this pass.
+
+    The heavy dictionary is corpus-derived and, at the default
+    ``min_dup=2`` on a web-scale corpus, can be a large fraction of all
+    distinct lines — a corpus-sized frame, which must NEVER broadcast
+    (the LSH band join OOM'd the driver on exactly this mistake; the
+    measurement lives in SCALE.md "corpus-sized frames must never
+    broadcast").  So the dictionary is materialised once
+    (``localCheckpoint`` — the count and the join share one
+    computation), counted, and the join strategy picked by size:
+    ``<= broadcast_threshold`` heavy lines (~8 B hash + bool each, so
+    the default 1M rows is tens of MB in an executor) broadcasts as
+    before; above it, a sort-merge left join on ``__lh`` — one extra
+    corpus-lines shuffle, linear, same output (unit-tested
+    differential-equal and plan-gated both ways).
     """
     lines = _line_table(docs, col, key, sep)
-    heavy = duplicate_line_stats(docs, col, key, min_dup, sep).select(
-        "__lh", F.lit(True).alias("__heavy")
+    heavy = (
+        duplicate_line_stats(docs, col, key, min_dup, sep)
+        .select("__lh", F.lit(True).alias("__heavy"))
+        .localCheckpoint(eager=True)
     )
-    # tag-then-aggregate: ONE broadcast join + ONE doc-id shuffle total
+    # tag-then-aggregate: ONE dictionary join + ONE doc-id shuffle total
     # (an anti-join plus a separate n_lines aggregate costs a second
     # corpus-lines shuffle and a doc-id join — measured slower at sf0.1).
     # collect_list skips NULLs, so the heavy lines drop out of the
     # rebuild inside the same aggregate that counts them.
-    tagged = lines.join(F.broadcast(heavy), "__lh", "left")
+    if heavy.count() <= broadcast_threshold:
+        tagged = lines.join(F.broadcast(heavy), "__lh", "left")
+    else:
+        tagged = lines.join(heavy.hint("merge"), "__lh", "left")
     keep = F.col("__heavy").isNull()
     return tagged.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_lines"),

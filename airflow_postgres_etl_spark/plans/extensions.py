@@ -9630,13 +9630,16 @@ def pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = X.tokens_expr()
     n_lines = F.ceil(F.size(w) / F.lit(3.0)).cast("int")
-    line_arr = F.when(F.size(w) == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_lines),
-            lambda i: F.array_join(F.slice(w, (i - 1) * 3 + 1, 3), " "),
-        )
+    line_arr = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.array_join(F.slice(w, (i - 1) * 3 + 1, 3), " "),
     )
-    multiline = docs.select(
+    # zero-token docs are EXCLUDED to match the oracle: its
+    # generate_series(1, ceil(0/3)) emits no line rows, so the doc is
+    # absent from `n` — while array_join('', split) here would round-trip
+    # to a single '' line and emit the doc with n_lines=1 (latent
+    # differential mismatch flagged by the r7 advisor)
+    multiline = docs.filter(F.size(w) > 0).select(
         "doc_id", F.array_join(line_arr, "\n").alias("text")
     )
     return D.remove_duplicate_lines(multiline, min_dup=2)

@@ -89,3 +89,32 @@ def test_min_dup_threshold(spark):
 def test_heavy_set_broadcasts(spark):
     plan = remove_duplicate_lines(_docs(spark))._jdf.queryExecution().toString()
     assert "Broadcast" in plan
+
+
+def test_big_dictionary_never_broadcasts(spark):
+    """broadcast_threshold=0 forces the sort-merge branch: the heavy
+    dictionary is corpus-derived and unbounded at min_dup=2 on web
+    text, so above the gate it must join as SortMergeJoin — the r5
+    LSH-band lesson (SCALE.md: corpus-sized frames must never
+    broadcast)."""
+    from airflow_postgres_etl_spark.plans.guard import assert_plan
+
+    out = remove_duplicate_lines(_docs(spark), broadcast_threshold=0)
+    assert_plan(out, forbid=("BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                             "CartesianProduct"),
+                require=("SortMergeJoin",))
+
+
+def test_branches_differential_equal(spark):
+    """Both join strategies produce byte-identical results."""
+    small = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_fp"])
+        for r in remove_duplicate_lines(_docs(spark), min_dup=2).collect()
+    }
+    big = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_fp"])
+        for r in remove_duplicate_lines(
+            _docs(spark), min_dup=2, broadcast_threshold=0
+        ).collect()
+    }
+    assert small == big

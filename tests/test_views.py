@@ -716,3 +716,120 @@ def test_minmax_view_touched_group_cap_forces_full(spark, tmp_path):
         for x in views.read_aggregate_view(spark, mv).collect()
     }
     assert got["g7"] == 8.0
+
+
+def test_view_lifecycle_goes_through_store_seam(spark, tmp_path, monkeypatch):
+    """VERDICT r7 residual 3: view-snapshot retirement walked
+    `os.listdir` + `shutil.rmtree` directly and `_read_view_frame` read
+    by raw directory path, so a refresh against a non-local
+    ManifestStore would corrupt its own retention.  Spy on both: a
+    create + two refreshes (the second retires the oldest snapshot) +
+    a read through a FakeConditionalStore must never touch the view
+    path via os/shutil outside a store frame, and every listing /
+    deletion must route through the seam."""
+    import os as _os
+    import shutil as _shutil
+
+    import airflow_postgres_etl_spark.views as views_mod
+    from airflow_postgres_etl_spark.storage import FakeConditionalStore
+
+    store = FakeConditionalStore()
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+
+    # the fake store's own list_dir/delete_tree delegate to os/shutil
+    # (local stand-ins for prefix listing / prefix DELETE), so direct
+    # hits are offenders only when no store frame is active
+    in_store = {"depth": 0}
+    offenders: list[str] = []
+    real_listdir, real_rmtree = _os.listdir, _shutil.rmtree
+
+    def spy_listdir(path="."):
+        if in_store["depth"] == 0:
+            offenders.append(f"listdir:{path}")
+        return real_listdir(path)
+
+    def spy_rmtree(path, *a, **k):
+        if in_store["depth"] == 0:
+            offenders.append(f"rmtree:{path}")
+        return real_rmtree(path, *a, **k)
+
+    store_calls: list[str] = []
+    real_store_list, real_store_delete = store.list_dir, store.delete_tree
+
+    def spy_store_list(path):
+        store_calls.append(f"list:{path}")
+        in_store["depth"] += 1
+        try:
+            return real_store_list(path)
+        finally:
+            in_store["depth"] -= 1
+
+    def spy_store_delete(path):
+        store_calls.append(f"delete:{path}")
+        in_store["depth"] += 1
+        try:
+            return real_store_delete(path)
+        finally:
+            in_store["depth"] -= 1
+
+    store.list_dir = spy_store_list
+    store.delete_tree = spy_store_delete
+
+    keyed_overwrite_parquet(
+        spark,
+        _rows(spark, [(f"k{i}", f"g{i % 3}", float(i)) for i in range(30)]),
+        target, num_buckets=4, store=store, vacuum=False,
+    )
+    refresh_aggregate_view(spark, target, mv, ["grp"], ["v"], store=store)
+
+    monkeypatch.setattr(_os, "listdir", spy_listdir)
+    monkeypatch.setattr(_shutil, "rmtree", spy_rmtree)
+    try:
+        # two more commits + refreshes: the second refresh retires the
+        # oldest view snapshot (grace window keeps only prev + current)
+        keyed_overwrite_parquet(
+            spark, _rows(spark, [("k1", "g0", 100.0)]), target,
+            num_buckets=4, store=store, vacuum=False,
+        )
+        r1 = refresh_aggregate_view(spark, target, mv, ["grp"], ["v"], store=store)
+        keyed_overwrite_parquet(
+            spark, _rows(spark, [("k2", "g1", 200.0)]), target,
+            num_buckets=4, store=store, vacuum=False,
+        )
+        r2 = refresh_aggregate_view(spark, target, mv, ["grp"], ["v"], store=store)
+        got = _view_through(spark, mv, store)
+    finally:
+        monkeypatch.setattr(_os, "listdir", real_listdir)
+        monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+
+    assert r1["mode"] == "incremental" and r2["mode"] == "incremental"
+    view_offenders = [o for o in offenders if str(tmp_path / "mv") in o]
+    assert view_offenders == [], f"direct os/shutil on the view path: {view_offenders}"
+    assert any(c.startswith("delete:") and "mv" in c for c in store_calls), (
+        "retirement never routed a deletion through the store seam"
+    )
+    assert any(c.startswith("list:") and "mv" in c for c in store_calls)
+
+    # exactly two snapshots survive retirement (current + grace window)
+    snaps = real_store_list(str(tmp_path / "mv" / "data"))
+    assert len(snaps) == 2, snaps
+
+    # and the view equals a quiet recompute
+    from pyspark.sql import functions as F
+
+    df = read_keyed_table(spark, target, store=store)
+    exp = {
+        r.grp: (r.n, r.sum_v)
+        for r in df.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("double")).alias("sum_v"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def _view_through(spark, mv, store):
+    return {
+        r.grp: (r.n, r.sum_v)
+        for r in read_aggregate_view(spark, mv, store=store).collect()
+    }
