@@ -650,8 +650,10 @@ def hybrid_rrf(
 #   2. block-level closing tags become newlines (paragraph structure
 #      survives for the line-level dedup pass),
 #   3. every remaining tag is dropped,
-#   4. the five XML core entities + &nbsp; + numeric decimal escapes
-#      decode,
+#   4. the five XML core entities + &nbsp; + the &#39; apostrophe
+#      escape decode — &amp; strictly LAST (standard entity-decoding
+#      order: decoding it earlier would double-decode '&amp;lt;' into
+#      '<' instead of the literal '&lt;' — r7 advisor finding),
 #   5. horizontal whitespace collapses per line; blank runs collapse.
 # ---------------------------------------------------------------------------
 
@@ -676,8 +678,9 @@ def strip_markup_expr(col: str | Column = "text") -> Column:
     c = F.regexp_replace(c, _MARKUP_BREAK_RE, "\n")
     c = F.regexp_replace(c, _MARKUP_TAG_RE, " ")
     for ent, ch in [
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
         ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+        ("&amp;", "&"),  # LAST — see pass-order note above
     ]:
         c = F.replace(c, F.lit(ent), F.lit(ch))
     # horizontal runs -> one space; strip spaces hugging line breaks;

@@ -9815,7 +9815,7 @@ _HTML_SHELL_SQL = (
     "<script>if (1<2) { alert(\"x&y\"); }</script></head>"
     "<body><h1>Doc ' || doc_id || '</h1><p>' || text || '</p>"
     "<!-- hidden ' || doc_id || ' --><div>tail &amp; &lt;end&gt; of "
-    "' || doc_id || '</div></body></html>'"
+    "' || doc_id || ' (code: &amp;lt;b&amp;gt;)</div></body></html>'"
 )
 
 
@@ -9841,8 +9841,9 @@ _HTML_SHELL_SQL = (
                         '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)>|<br\\s*/?>',
                         chr(10), 'g'),
                       '(?s)<[^>]+>', ' ', 'g'),
-                    '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
                     '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+                    '&amp;', '&'),
                   '[ \\t\\r]+', ' ', 'g'),
                 ' ?' || chr(10) || ' ?', chr(10), 'g'),
               chr(10) || '{{3,}}', chr(10) || chr(10), 'g')
@@ -9870,7 +9871,10 @@ def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         F.lit(" --><div>tail &amp; &lt;end&gt; of "),
         F.col("doc_id"),
-        F.lit("</div></body></html>"),
+        # double-escaped entities pin the decode ORDER: &amp; decodes
+        # LAST, so '&amp;lt;b&amp;gt;' must surface as the literal
+        # '&lt;b&gt;', never double-decode to '<b>' (r7 advisor)
+        F.lit(" (code: &amp;lt;b&amp;gt;)</div></body></html>"),
     )
     clean = X.strip_markup_expr(shell)
     return docs.select(

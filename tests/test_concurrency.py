@@ -270,3 +270,146 @@ def test_threaded_writers_converge(spark, tmp_path):
     assert _state(spark, target) == {ka: 0, kb: 3, kc: 3}
     # 1 bootstrap + 6 writer commits, serialized by the CAS
     assert table_version(target) == 7
+
+
+def test_intermediate_unsafe_commit_blocks_rebase(spark, tmp_path, monkeypatch):
+    """Delta-protocol parity (r7 advisor, medium): the rebase check must
+    validate EVERY commit between the loser's base and the winner.  A
+    widen_column at v+1 (re-types columns, re-routes buckets by the new
+    key hash) followed by a rebase-SAFE merge at v+2 used to pass the
+    tip-only check, silently layering the loser's stale-typed delta
+    files over the widened table."""
+    ka, kb, kc = _keys_in_distinct_buckets(spark)
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(ka, 1), (kb, 2)], ["oid__id", "v"]),
+        target, num_buckets=4,
+    )
+
+    def widen_then_safe_merge():
+        # a REAL concurrent writer is a separate process with its own
+        # op stack; inside the interloper hook the victim's outermost
+        # @_records_op frame would otherwise mislabel these commits
+        saved = sink._CURRENT_OP[:]
+        sink._CURRENT_OP.clear()
+        try:
+            sink.widen_keyed_table(spark, target, {"v": "bigint"})  # v2: unsafe
+            keyed_overwrite_parquet(                                 # v3: safe
+                spark,
+                spark.createDataFrame([(kb, 20)], ["oid__id", "v"]),
+                target, num_buckets=4,
+            )
+        finally:
+            sink._CURRENT_OP.extend(saved)
+
+    _interlope_once(monkeypatch, widen_then_safe_merge)
+    with pytest.raises(ConcurrentWriteError, match="widen"):
+        keyed_merge_mor(
+            spark,
+            spark.createDataFrame([(kc, 9)], ["oid__id", "v"]),
+            target, num_buckets=4,
+        )
+    # the blocked loser published nothing: state is the interloper's
+    assert _state(spark, target) == {ka: 1, kb: 20}
+
+
+def test_two_safe_intermediate_commits_still_rebase(spark, tmp_path, monkeypatch):
+    """Control for the intermediate-commit walk: N row-preserving
+    winners in a row are each validated and the loser still rebases."""
+    ka, kb, kc = _keys_in_distinct_buckets(spark)
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(ka, 1)], ["oid__id", "v"]),
+        target, num_buckets=4,
+    )
+
+    def two_safe_commits():
+        for k, v in [(kb, 2), (kb, 20)]:
+            keyed_overwrite_parquet(
+                spark,
+                spark.createDataFrame([(k, v)], ["oid__id", "v"]),
+                target, num_buckets=4,
+            )
+
+    _interlope_once(monkeypatch, two_safe_commits)
+    keyed_merge_mor(
+        spark,
+        spark.createDataFrame([(kc, 9)], ["oid__id", "v"]),
+        target, num_buckets=4,
+    )
+    assert _state(spark, target) == {ka: 1, kb: 20, kc: 9}
+    assert table_version(target) == 4
+
+
+def test_cow_merge_conflicts_on_concurrent_rebucket(spark, tmp_path, monkeypatch):
+    """r7 advisor (low): the CoW merge path needs the num_buckets guard
+    the MOR paths have — a concurrent rebucket must conflict even when
+    the merge's affected buckets happen to be empty in BOTH snapshots
+    (files written under the old modulus must never rebase into a table
+    specced with the new one)."""
+    ka, kb = _keys_in_distinct_buckets(spark, n=2)
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(ka, 1), (kb, 2)], ["oid__id", "v"]),
+        target, num_buckets=4,
+    )
+    # a key whose bucket-4 id holds no base rows AND whose bucket id is
+    # also unoccupied under the rebucketed 8-bucket layout: the disjoint
+    # check alone cannot see the rebucket, only the num_buckets guard can
+    occupied4 = {_bucket_of(spark, k, 4) for k in (ka, kb)}
+    occupied8 = {_bucket_of(spark, k, 8) for k in (ka, kb)}
+    kv = None
+    for i in range(200):
+        cand = f"c{i}"
+        b4 = _bucket_of(spark, cand, 4)
+        if b4 not in occupied4 and b4 not in occupied8:
+            kv = cand
+            break
+    assert kv is not None
+
+    _interlope_once(
+        monkeypatch, lambda: sink.rebucket_keyed_table(spark, target, 8)
+    )
+    with pytest.raises(ConcurrentWriteError, match="bucket count"):
+        keyed_overwrite_parquet(
+            spark,
+            spark.createDataFrame([(kv, 7)], ["oid__id", "v"]),
+            target, num_buckets=4,
+        )
+
+
+def test_missing_intermediate_version_manifest_is_hard_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """A vacuumed/crash-lost intermediate version manifest means the
+    commit's safety can't be proven — the rebase must refuse, never
+    guess."""
+    import os
+
+    ka, kb, kc = _keys_in_distinct_buckets(spark)
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(ka, 1)], ["oid__id", "v"]),
+        target, num_buckets=4,
+    )
+
+    def commit_twice_and_lose_v2():
+        for v in (2, 20):
+            keyed_overwrite_parquet(
+                spark,
+                spark.createDataFrame([(kb, v)], ["oid__id", "v"]),
+                target, num_buckets=4,
+            )
+        os.remove(sink._version_manifest_path(target, 2))
+
+    _interlope_once(monkeypatch, commit_twice_and_lose_v2)
+    with pytest.raises(ConcurrentWriteError, match="version manifest"):
+        keyed_merge_mor(
+            spark,
+            spark.createDataFrame([(kc, 9)], ["oid__id", "v"]),
+            target, num_buckets=4,
+        )

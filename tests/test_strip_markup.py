@@ -43,3 +43,13 @@ def test_whitespace_collapses(spark):
 def test_case_insensitive_and_multiline(spark):
     html = "<SCRIPT>\nvar a = 1;\n</SCRIPT><P>ok</P>"
     assert _strip(spark, html) == "ok"
+
+
+def test_double_escaped_entities_decode_once(spark):
+    """&amp; decodes LAST (standard entity-decoding order): a
+    double-escaped '&amp;lt;' is the literal text '&lt;', not '<' —
+    and since tag-stripping already ran, it can never resurrect a tag
+    (r7 advisor finding)."""
+    assert _strip(spark, "x &amp;lt;b&amp;gt; y") == "x &lt;b&gt; y"
+    assert _strip(spark, "&amp;amp;") == "&amp;"
+    assert _strip(spark, "&amp;nbsp;") == "&nbsp;"

@@ -168,3 +168,22 @@ def test_mor_seq_safety_after_publish(spark, tmp_path):
     # a post-publish MOR merge on the source must win precedence
     t.merge_mor(spark.createDataFrame([("a", 4)], "k string, v long"), key="k")
     assert _state(t) == {"a": 4}
+
+
+def test_branch_name_traversal_rejected(tmp_path):
+    """'.'/'..' (and any non-allowlisted name) must never resolve a
+    branch path into the source table itself: os.path.join(src,
+    '_branches', '..') normalizes to src, so a clone/delete aimed there
+    would hit the SOURCE (r7 advisor finding)."""
+    import pytest as _pytest
+
+    from airflow_postgres_etl_spark import sink as sink_mod
+
+    src = str(tmp_path / "t")
+    for bad in ("..", ".", "../x", "a/b", "_hidden", "", "a b", "a\nb"):
+        with _pytest.raises(ValueError, match="invalid branch name"):
+            sink_mod._branch_path(src, bad)
+    # normal names still resolve under the branch subtree
+    for ok in ("audit-2026", "r8.main", "B_1"):
+        p = sink_mod._branch_path(src, ok)
+        assert p.startswith(src + "/") and "_branches" in p
