@@ -35,6 +35,8 @@ raising L_MAX, which grows the unrolled plan linearly.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -82,7 +84,14 @@ def dp_layers(dialect: str) -> list[list[str]]:
         case = " ".join(f"WHEN c_{i}_{j} = b{i} THEN {j}" for j in js)
         layer.append(f"CASE {case} END AS k{i}")
         layers.append(layer)
-    layers.append(["length(word) AS p0"])
+    # the word's total Viterbi cost (= b at its length): the corpus
+    # log-prob observable the EM-curve query aggregates (freq * wcost),
+    # exact BIGINT like everything else in the DP
+    bcase = " ".join(f"WHEN {i} THEN b{i}" for i in range(1, L_MAX + 1))
+    layers.append([
+        "length(word) AS p0",
+        f"CASE length(word) {bcase} ELSE 0 END AS wcost",
+    ])
     kcase = " ".join(f"WHEN {i} THEN k{i}" for i in range(1, L_MAX + 1))
     for s in range(1, L_MAX + 1):
         layers.append(
@@ -168,6 +177,16 @@ def substring_vocab(words: DataFrame) -> DataFrame:
 def viterbi_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
     """(word, freq, pieces): best segmentation of each distinct word
     under the vocab costs (unrolled DP, see module doc)."""
+    return _viterbi(words, vocab).select("word", "freq", "pieces")
+
+
+def viterbi_segment_costed(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """:func:`viterbi_segment` plus ``wcost`` — the word's total
+    segmentation cost in micro-nats (the EM objective's per-word term)."""
+    return _viterbi(words, vocab).select("word", "freq", "pieces", "wcost")
+
+
+def _viterbi(words: DataFrame, vocab: DataFrame) -> DataFrame:
     pm = vocab.agg(
         F.map_from_entries(
             F.collect_list(F.struct("piece", "cost"))
@@ -184,7 +203,9 @@ def viterbi_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
     # .claude verify notes).  31-to-millions of distinct words is the
     # Heaps'-law-bounded side, so materializing it is O(vocab), never
     # O(corpus).
-    return df.select("word", "freq", "pieces").localCheckpoint(eager=False)
+    return df.select("word", "freq", "pieces", "wcost").localCheckpoint(
+        eager=False
+    )
 
 
 def unigram_piece_usage(docs: DataFrame, col: str = "text") -> DataFrame:
@@ -246,6 +267,64 @@ def reestimated_vocab(init_vocab: DataFrame, usage: DataFrame) -> DataFrame:
             F.lit(float(MICRO)) * F.log(F.col("__total") / F.col("cnt"))
         ).cast("long").alias("cost"),
     )
+
+
+def _usage_of(seg: DataFrame) -> DataFrame:
+    return (
+        seg.select("freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("used_cnt"))
+    )
+
+
+def unigram_em_curve(
+    docs: DataFrame, col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """Hard-EM iterated to ``rounds`` re-estimations, reporting the
+    training curve AS DATA: one row per round ``(round, vocab_size,
+    corpus_cost_micro)`` where ``corpus_cost_micro = Σ_words freq ·
+    wcost`` — the corpus negative log-likelihood under that round's
+    model, in exact integer micro-nats.
+
+    Convergence story (test-pinned on the fixture corpora): the curve
+    is NON-INCREASING and reaches a fixed point — Viterbi under costs
+    θ_t can only lower the objective for fixed θ_t, the M-step's
+    re-estimated costs are the (add-one-smoothed, floored) MLE of the
+    chosen pieces, and once segmentations stop changing the usage —
+    hence the cost table, hence the objective — is EXACTLY stationary.
+    The floor/smoothing approximations can in principle cost a few
+    micro-nats near the fixed point; the unit test pins monotonicity in
+    micro-nats on the fixtures, where the EM gains dwarf them.
+
+    Distribution shape: corpus-scale work stays the ONE word-frequency
+    shuffle; each round is one more unrolled-Viterbi pass over the
+    Heaps'-law-bounded distinct-word table with the (vocab-sized) cost
+    map broadcast — K rounds cost K vocab-table passes, never K corpus
+    scans."""
+    words = word_table(docs, col).localCheckpoint(eager=False)
+    vocab = substring_vocab(words)
+    stats = []
+    for r in range(rounds + 1):
+        seg = _viterbi(words, vocab)
+        vs = vocab.agg(F.count(F.lit(1)).alias("vocab_size"))
+        stats.append(
+            seg.agg(
+                F.sum(F.col("freq") * F.col("wcost"))
+                .cast("long")
+                .alias("corpus_cost_micro")
+            )
+            .crossJoin(F.broadcast(vs))
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "vocab_size",
+                "corpus_cost_micro",
+            )
+        )
+        if r < rounds:
+            vocab = reestimated_vocab(vocab, _usage_of(seg)).localCheckpoint(
+                eager=False
+            )
+    return reduce(lambda a, b: a.unionByName(b), stats)
 
 
 def unigram_piece_usage_em(docs: DataFrame, col: str = "text") -> DataFrame:

@@ -10233,3 +10233,69 @@ def pipeline_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("used_cnt"), "piece")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-EM iterated to a FIXED POINT (VERDICT r7 task 6): the training
+# curve itself is the query result — per round, the vocab size and the
+# corpus negative log-likelihood in exact integer micro-nats
+# (sum over distinct words of freq * Viterbi-total-cost).  Non-increasing
+# and exactly stationary once segmentations stop changing (measured: the
+# fixture corpora reach the fixed point by round 2); the monotonicity
+# invariant is pinned in tests/test_unigram_em.py.  The oracle unrolls
+# every round: K+1 generated Viterbi chains with the re-estimation CTEs
+# between them — all integer arithmetic, so the curve is hash-exact.
+# ---------------------------------------------------------------------------
+_EM_CURVE_ROUNDS = 3
+
+
+def _unigram_em_curve_oracle_sql(rounds: int = _EM_CURVE_ROUNDS) -> str:
+    base = _unigram_oracle_sql()
+    head = base[: base.index("seg_0 AS MATERIALIZED")]
+    last = _unigram_seg_last()
+    parts = [head.rstrip().rstrip(",")]
+    parts.append(",\n    chars AS (SELECT piece FROM kept WHERE length(piece) = 1)")
+    stats = []
+    for r in range(rounds + 1):
+        cost_cte = "costs" if r == 0 else f"costs_r{r}"
+        map_cte = "m" if r == 0 else f"m_r{r}"
+        if r > 0:
+            parts.append(
+                f""",
+    used_r{r} AS (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS used_cnt
+        FROM (SELECT freq, unnest(pieces) AS piece FROM s{r - 1}_{last})
+        GROUP BY piece
+    ),
+    sm_r{r} AS (
+        SELECT piece, used_cnt AS cnt FROM used_r{r}
+        UNION ALL
+        SELECT c.piece, CAST(1 AS BIGINT) FROM chars c
+        WHERE c.piece NOT IN (SELECT piece FROM used_r{r})
+    ),
+    tot_r{r} AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM sm_r{r}),
+    {cost_cte} AS (
+        SELECT piece,
+               CAST(floor(1000000.0 * ln(total * 1.0 / cnt)) AS BIGINT) AS cost
+        FROM sm_r{r} CROSS JOIN tot_r{r}
+    ),
+    {map_cte} AS (SELECT map_from_entries(list((piece, cost))) AS __pm FROM {cost_cte})"""
+            )
+        parts.append(",\n    " + _unigram_seg_chain(f"s{r}", map_cte))
+        stats.append(
+            f"SELECT {r} AS round, "
+            f"(SELECT count(*) FROM {cost_cte}) AS vocab_size, "
+            f"CAST(sum(freq * wcost) AS BIGINT) AS corpus_cost_micro "
+            f"FROM s{r}_{last}"
+        )
+    parts.append("\n    " + "\n    UNION ALL\n    ".join(stats))
+    parts.append("\n    ORDER BY round")
+    return "".join(parts)
+
+
+@query("pipeline_unigram_em_curve", _unigram_em_curve_oracle_sql())
+def pipeline_unigram_em_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import unigram_em_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_em_curve(docs, rounds=_EM_CURVE_ROUNDS).orderBy("round")

@@ -276,7 +276,7 @@ def refresh_minmax_view(
         return rows.groupBy(*group_cols).agg(*aggs)
 
     def _full():
-        rows = read_keyed_table(spark, target, store)
+        rows = _read_pinned(spark, target, cur_v, store)
         _write_view(
             spark, mv_path, _minmax_aggregate(rows), group_cols, agg_cols,
             cur_v, store, meta_extra=meta_extra,
@@ -332,7 +332,7 @@ def refresh_minmax_view(
             vals[0], (int, float, str, bool)
         ):
             where = (group_cols[0], min(vals), max(vals))
-    base = read_keyed_table(spark, target, store, where=where)
+    base = _read_pinned(spark, target, cur_v, store, where=where)
     cond = reduce(
         lambda a, b: a & b,
         [base[c].eqNullSafe(touched[c]) for c in group_cols],
@@ -528,7 +528,10 @@ def refresh_star_view(
             return read_keyed_table(
                 spark, paths[i], store, version=meta["versions"][i]
             )
-        return read_keyed_table(spark, paths[i], store)
+        # "new" snapshots pin to the version THIS refresh captured, not
+        # the live tip — a commit landing mid-refresh must not leak into
+        # a view recorded as reflecting versions[] (_read_pinned doc)
+        return _read_pinned(spark, paths[i], versions[i], store)
 
     out_cols = list(dict.fromkeys([*group_cols, *sum_cols]))
     terms = []
@@ -606,11 +609,12 @@ def refresh_star_view(
 def _full_star_refresh(
     spark, paths, ons, mv_path, group_cols, sum_cols, meta_extra, store
 ) -> dict:
-    frame = read_keyed_table(spark, paths[0], store)
+    versions = meta_extra["versions"]
+    frame = _read_pinned(spark, paths[0], versions[0], store)
     n_fact = len(frame.inputFiles())
     n_dim = 0
     for j in range(1, len(paths)):
-        s = read_keyed_table(spark, paths[j], store)
+        s = _read_pinned(spark, paths[j], versions[j], store)
         n_dim += len(s.inputFiles())
         frame = frame.join(F.broadcast(s), on=ons[j - 1], how="inner")
     view = _aggregate(frame, list(group_cols), list(sum_cols))
@@ -625,11 +629,29 @@ def _full_star_refresh(
 
 
 def _full_refresh(spark, target, mv_path, group_cols, sum_cols, cur_v, store) -> dict:
-    rows = read_keyed_table(spark, target, store)
+    rows = _read_pinned(spark, target, cur_v, store)
     view = _aggregate(rows, list(group_cols), list(sum_cols))
     _write_view(spark, mv_path, view, group_cols, sum_cols, cur_v, store)
     n_files = len(rows.inputFiles())
     return {"mode": "full", "files_read": n_files, "source_version": cur_v}
+
+
+def _read_pinned(spark, target, version, store, **kw) -> DataFrame:
+    """Snapshot read pinned to the version this refresh captured: every
+    scan a refresh issues must come from the SAME snapshot it records in
+    the view meta, or a writer committing mid-refresh produces a view
+    whose content is v(N+1) while its meta says N — and the next
+    incremental refresh double-applies the N→N+1 delta (VERDICT r7
+    task 5).  Falls back to the tip read only when the pinned version IS
+    the tip but its per-version manifest copy was crash-lost (the
+    documented CAS/copy gap) — same snapshot either way."""
+    try:
+        return read_keyed_table(spark, target, store, version=version, **kw)
+    except FileNotFoundError:
+        m = _load_manifest(target, store)
+        if m is not None and m["version"] == version:
+            return read_keyed_table(spark, target, store, **kw)
+        raise
 
 
 def _write_view(

@@ -243,6 +243,8 @@ HEADLINE = [
     "pipeline_unigram_encode",
     "pipeline_unigram_em",
     "q_geo_nearest",
+    # round-8: hard-EM iterated to the fixed point, curve as data
+    "pipeline_unigram_em_curve",
 ]
 
 

@@ -95,3 +95,31 @@ def test_em_round_prunes_and_conserves(spark):
         for r in unigram_piece_usage_em(docs.repartition(4)).collect()
     }
     assert u1 == u1b
+
+
+def test_em_curve_monotone_and_fixed_point(spark):
+    """VERDICT r7 task 6: hard-EM iterated — the corpus cost (exact
+    integer micro-nats) is NON-INCREASING round over round, improves at
+    least once from the init vocab, and is exactly stationary once
+    segmentations stop changing."""
+    from airflow_postgres_etl_spark.operators.unigram import unigram_em_curve
+
+    docs = spark.createDataFrame(
+        [(1, "streaming streams stream streamer tables"),
+         (2, "stream table stream tables streaming stream"),
+         (3, "streamer tablet table stream tables")],
+        "doc_id long, text string",
+    )
+    rows = unigram_em_curve(docs, rounds=4).orderBy("round").collect()
+    costs = [r["corpus_cost_micro"] for r in rows]
+    assert len(costs) == 5
+    assert all(a >= b for a, b in zip(costs, costs[1:])), costs  # monotone
+    assert costs[-1] < costs[0]  # at least one real improvement
+    # fixed point: once two consecutive rounds are equal, the rest are
+    settled = [i for i in range(1, 5) if costs[i] == costs[i - 1]]
+    if settled:
+        first = settled[0]
+        assert all(c == costs[first] for c in costs[first:])
+    # the vocab only ever shrinks (unigram prune) and never loses chars
+    sizes = [r["vocab_size"] for r in rows]
+    assert all(a >= b for a, b in zip(sizes, sizes[1:])), sizes

@@ -833,3 +833,112 @@ def _view_through(spark, mv, store):
         r.grp: (r.n, r.sum_v)
         for r in read_aggregate_view(spark, mv, store=store).collect()
     }
+
+
+def _agg_at_version(spark, target, v):
+    from pyspark.sql import functions as F
+
+    df = read_keyed_table(spark, target, version=v)
+    return {
+        r.grp: (r.n, r.sum_v)
+        for r in df.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("double")).alias("sum_v"),
+        ).collect()
+    }
+
+
+def _views_equal(got, exp):
+    if set(got) != set(exp):
+        return False
+    return all(
+        got[g][0] == exp[g][0] and abs(got[g][1] - exp[g][1]) < 1e-6
+        for g in exp
+    )
+
+
+def test_refresh_pins_snapshot_under_racing_commit(spark, tmp_path, monkeypatch):
+    """VERDICT r7 task 5 (deterministic leg): a writer committing
+    between the refresher's manifest read and its table scan must not
+    leak into the view — every scan comes from the snapshot the view
+    meta records, or the next incremental refresh double-applies that
+    commit's delta forever (signed-delta views never self-heal)."""
+    import airflow_postgres_etl_spark.views as views_mod
+
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark,
+        _rows(spark, [(f"k{i}", f"g{i % 3}", float(i)) for i in range(30)]),
+        target, num_buckets=4, vacuum=False,
+    )  # v1
+
+    real_rkt = views_mod.read_keyed_table
+    fired = {"done": False}
+
+    def rkt_with_interloper(*a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            keyed_overwrite_parquet(  # v2 lands mid-refresh
+                spark, _rows(spark, [("kX", "g0", 1000.0)]), target,
+                num_buckets=4, vacuum=False,
+            )
+        return real_rkt(*a, **k)
+
+    monkeypatch.setattr(views_mod, "read_keyed_table", rkt_with_interloper)
+    r = refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    monkeypatch.setattr(views_mod, "read_keyed_table", real_rkt)
+
+    assert r["mode"] == "full" and r["source_version"] == 1
+    # the view reflects EXACTLY v1 — the racing commit is absent
+    assert _views_equal(_view(spark, mv), _agg_at_version(spark, target, 1))
+
+    # the next refresh applies the v1->v2 delta exactly once
+    r2 = refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    assert r2["mode"] == "incremental" and r2["source_version"] == 2
+    _check(spark, target, mv)
+
+
+def test_refresh_races_threaded_writer(spark, tmp_path):
+    """VERDICT r7 task 5 (stochastic leg): refreshes racing REAL
+    concurrent merges (threads, no monkeypatching) must each land on a
+    self-consistent (content, recorded-version) pair, and the settled
+    view must equal a quiet recompute."""
+    import threading
+
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark,
+        _rows(spark, [(f"k{i}", f"g{i % 3}", float(i)) for i in range(30)]),
+        target, num_buckets=4, vacuum=False,
+    )
+    errors: list[Exception] = []
+
+    def writer():
+        try:
+            for i in range(8):
+                keyed_overwrite_parquet(
+                    spark,
+                    _rows(spark, [(f"k{i % 5}", f"g{i % 3}", float(100 + i))]),
+                    target, num_buckets=4, vacuum=False,
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for _ in range(5):
+            r = refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+            v = r["source_version"]
+            got = _view(spark, mv)
+            assert _views_equal(got, _agg_at_version(spark, target, v)), (
+                f"view at recorded v{v} mixes snapshot versions"
+            )
+    finally:
+        t.join()
+    assert not errors, errors
+
+    # settle: refresh until noop, then the view equals a quiet recompute
+    while refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])["mode"] != "noop":
+        pass
+    _check(spark, target, mv)
