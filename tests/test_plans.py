@@ -610,3 +610,17 @@ def test_unigram_corpus_side_is_one_shuffle(spark):
     words = word_table(load_table(spark, SF_SMOKE, "documents"))
     plan = words._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1 and "partial_" in plan
+
+
+def test_unigram_em_curve_stays_jvm_side(spark):
+    """The K-round EM curve never leaves the JVM (every Viterbi pass is
+    the unrolled codegen DP) and its broadcast is the vocab-sized cost
+    map — corpus-scale work stays word_table's single aggregate."""
+    from airflow_postgres_etl_spark.operators.unigram import unigram_em_curve
+    from airflow_postgres_etl_spark.sources.parquet_source import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    curve = unigram_em_curve(docs, rounds=1)
+    plan = curve._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
