@@ -43,6 +43,7 @@ def stream_ingest(
     compact_at_depth: int = 8,
     expectations=None,
     fail_thresholds=None,
+    maintain_views=None,
 ) -> StreamingQuery:
     """Continuous ingest: file source → ingest chain → keyed merge.
 
@@ -70,6 +71,20 @@ def stream_ingest(
     checkpoint hasn't advanced, so a restart retries the same batch
     (fail-stop, not skip).  Like ``expectations`` it accepts a flat dict
     for both targets or ``{"events": {...}, "tracking": {...}}``.
+
+    ``maintain_views=[{"target": "events"|"tracking", "mv_path": str,
+    "group_cols": [...], "sum_cols": [...]}, ...]`` maintains aggregate
+    views IN-BAND: after each trigger's merges, every listed view
+    refreshes through the manifest-diff path (``views.
+    refresh_aggregate_view``) — the DLT continuous-materialized-view
+    shape, reading only the files that trigger's commits touched.
+    Replay-safe BY ALGEBRA, not bookkeeping: a re-delivered epoch's
+    merge re-commits content-identical rows, so the replayed refresh's
+    signed delta (+1 new files, −1 retired files) cancels inside the
+    count/sum aggregate and the view converges to the crash-free state
+    (test-pinned, incl. a crash between refresh and checkpoint commit).
+    A view refresh failure fails the stream (fail-stop) — the
+    checkpoint hasn't advanced, so the restart retries merge+refresh.
     """
     if merge_mode not in ("cow", "mor"):
         raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
@@ -134,6 +149,21 @@ def stream_ingest(
             for tgt in (events_target, tracking_target):
                 if table_delta_depth(tgt) >= compact_at_depth:
                     compact_keyed_table(spark_b, tgt)
+        if maintain_views:
+            # import inside the batch fn (same pattern as gate_and_merge)
+            # so tests can seam-inject; refresh AFTER compaction so MOR
+            # runs take the incremental path on clean snapshots
+            from .. import views as _views
+
+            targets = {"events": events_target, "tracking": tracking_target}
+            for spec in maintain_views:
+                _views.refresh_aggregate_view(
+                    spark_b,
+                    targets[spec["target"]],
+                    spec["mv_path"],
+                    spec["group_cols"],
+                    spec.get("sum_cols", []),
+                )
 
     return (
         raw.writeStream.foreachBatch(merge_batch)

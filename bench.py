@@ -269,7 +269,7 @@ def _settle_load(threshold: float = LOAD_CONTAMINATION_THRESHOLD,
     return round(load, 2), load > threshold
 
 
-def _last_clean_timings() -> dict[str, float]:
+def _last_clean_timings(sf: float | None) -> dict[str, float]:
     """Per-query times from the most recent NON-contaminated
     BENCH_LOCAL.jsonl entry at the same sf — the drift re-run baseline.
     Empty on any problem (first run, missing file): the guard is an
@@ -281,8 +281,10 @@ def _last_clean_timings() -> dict[str, float]:
             lines = fh.read().splitlines()
         for raw in reversed(lines):
             row = json.loads(raw)
-            if not row.get("contaminated") and isinstance(
-                row.get("queries"), dict
+            if (
+                not row.get("contaminated")
+                and row.get("sf") == sf
+                and isinstance(row.get("queries"), dict)
             ):
                 return {k: float(v) for k, v in row["queries"].items()}
     except Exception:
@@ -296,7 +298,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     load1, contaminated = _settle_load()
-    last_clean = _last_clean_timings()
+    last_clean = _last_clean_timings(sf)
 
     spark = get_spark(app_name="bench")
     # warm the JVM + parquet footer cache outside the timed region

@@ -942,3 +942,86 @@ def test_refresh_races_threaded_writer(spark, tmp_path):
     while refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])["mode"] != "noop":
         pass
     _check(spark, target, mv)
+
+
+def test_stream_ingest_maintains_views_in_band(spark, tmp_path, monkeypatch):
+    """DLT-style continuous materialized view: stream_ingest refreshes
+    the listed aggregate views inside each trigger, and a crash AFTER
+    the refresh but BEFORE the checkpoint commit converges on replay —
+    the re-delivered merge re-commits content-identical rows, so the
+    replayed refresh's signed delta cancels."""
+    import os
+
+    import airflow_postgres_etl_spark.views as views_mod
+    from airflow_postgres_etl_spark.sink import table_version
+    from airflow_postgres_etl_spark.streaming import stream_ingest
+
+    from .fixtures.gen_raw import generate
+
+    csv_dir = str(tmp_path / "csv")
+    generate(csv_dir)
+    files = sorted(os.listdir(csv_dir))
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for f in files[:3]:
+        os.link(os.path.join(csv_dir, f), os.path.join(feed, f))
+
+    tr, ev, ck, mv = (str(tmp_path / d) for d in ("tr", "ev", "ck", "mv"))
+    spec = [{"target": "events", "mv_path": mv,
+             "group_cols": ["status"], "sum_cols": []}]
+
+    q = stream_ingest(spark, feed, tr, ev, ck, maintain_views=spec)
+    q.awaitTermination(180)
+    assert q.exception() is None
+    meta = views_mod.LOCAL_STORE.read_json(views_mod._meta_path(mv))
+    assert meta["source_version"] == table_version(ev)
+
+    def check():
+        exp = {
+            (r.status, r.n)
+            for r in read_keyed_table(spark, ev)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        got = {
+            (r.status, r.n)
+            for r in views_mod.read_aggregate_view(spark, mv).collect()
+        }
+        assert got == exp and len(got) > 0
+
+    from pyspark.sql import functions as F
+
+    check()
+
+    # wave 2 with an injected crash AFTER refresh, BEFORE checkpoint
+    for f in files[3:]:
+        os.link(os.path.join(csv_dir, f), os.path.join(feed, f))
+    real_refresh = views_mod.refresh_aggregate_view
+    state = {"fired": False}
+
+    def refresh_then_crash(*a, **kw):
+        r = real_refresh(*a, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("injected crash after view refresh")
+        return r
+
+    monkeypatch.setattr(views_mod, "refresh_aggregate_view", refresh_then_crash)
+    q2 = stream_ingest(spark, feed, tr, ev, ck, maintain_views=spec,
+                       max_files_per_trigger=10)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected crash"):
+        q2.awaitTermination(180)
+    assert q2.exception() is not None
+
+    # restart: the epoch re-delivers, the merge re-commits identical
+    # rows, the replayed refresh's signed delta cancels -> converged
+    monkeypatch.setattr(views_mod, "refresh_aggregate_view", real_refresh)
+    q3 = stream_ingest(spark, feed, tr, ev, ck, maintain_views=spec)
+    q3.awaitTermination(180)
+    assert q3.exception() is None
+    meta = views_mod.LOCAL_STORE.read_json(views_mod._meta_path(mv))
+    assert meta["source_version"] == table_version(ev)
+    check()
