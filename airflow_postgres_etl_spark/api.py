@@ -69,6 +69,38 @@ class Engine:
         maintenance, indexes, constraints, and views in one object."""
         return Table(self.spark, path)
 
+    # -- cross-table materialized views ---------------------------------------
+    # (single-table view refresh lives on Table; a join/star view spans
+    # several tables, so the Engine hosts it)
+    def refresh_join_view(
+        self, fact: str, dim: str, mv_path: str, on: str,
+        group_cols: list[str], sum_cols: list[str],
+    ) -> dict:
+        """Incrementally-maintained count/sum view over ``fact ⋈ dim``
+        (see ``views.refresh_join_view``)."""
+        from . import views
+
+        return views.refresh_join_view(
+            self.spark, fact, dim, mv_path, on, group_cols, sum_cols
+        )
+
+    def refresh_star_view(
+        self, fact: str, dims: list[tuple[str, str]], mv_path: str,
+        group_cols: list[str], sum_cols: list[str],
+    ) -> dict:
+        """The k-dim star generalization (``views.refresh_star_view``);
+        ``dims = [(path, join_col), ...]``."""
+        from . import views
+
+        return views.refresh_star_view(
+            self.spark, fact, dims, mv_path, group_cols, sum_cols
+        )
+
+    def read_view(self, mv_path: str) -> DataFrame:
+        from . import views
+
+        return views.read_aggregate_view(self.spark, mv_path)
+
     def stream_ingest(self, csv_dir: str, out_dir: str, checkpoint_dir: str, **kw):
         """Continuous variant of :meth:`ingest`: file-source checkpoint as
         the high-water mark, replace-by-key merge per micro-batch.

@@ -1025,3 +1025,43 @@ def test_stream_ingest_maintains_views_in_band(spark, tmp_path, monkeypatch):
     meta = views_mod.LOCAL_STORE.read_json(views_mod._meta_path(mv))
     assert meta["source_version"] == table_version(ev)
     check()
+
+
+def test_engine_facade_hosts_cross_table_views(spark, tmp_path):
+    """Join/star views span tables, so the Engine hosts their refresh;
+    the facade must delegate to the tested refreshers verbatim."""
+    from airflow_postgres_etl_spark.api import Engine
+
+    eng = Engine(spark)
+    fact, dim, mv = (str(tmp_path / d) for d in ("f", "d", "mv"))
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame(
+            [(f"k{i}", f"d{i % 2}", float(i)) for i in range(20)],
+            ["oid__id", "dkey", "v"],
+        ),
+        fact, num_buckets=4, vacuum=False,
+    )
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame(
+            [("d0", "east"), ("d1", "west")], ["dkey", "region"]
+        ),
+        dim, key="dkey", num_buckets=2, vacuum=False,
+    )
+    r = eng.refresh_join_view(fact, dim, mv, "dkey", ["region"], ["v"])
+    assert r["mode"] == "full"
+    got = {
+        (x.region, x.n, x.sum_v) for x in eng.read_view(mv).collect()
+    }
+    assert {g[0] for g in got} == {"east", "west"}
+    assert sum(g[1] for g in got) == 20
+
+    # fact churn -> incremental through the facade
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([("k1", "d0", 100.0)], ["oid__id", "dkey", "v"]),
+        fact, num_buckets=4, vacuum=False,
+    )
+    r2 = eng.refresh_join_view(fact, dim, mv, "dkey", ["region"], ["v"])
+    assert r2["mode"] == "incremental" and not r2["fact_rescan"]
