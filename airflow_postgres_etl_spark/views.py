@@ -41,6 +41,7 @@ atomically and records the source snapshot version it reflects.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from functools import reduce
 
@@ -56,6 +57,12 @@ from .sink import (
 from .storage import LOCAL_STORE
 
 MV_META_NAME = "_mv_meta.json"
+
+#: snapshots younger than this never retire — the defense-in-depth
+#: bound that turns a violated single-refresher contract into stray
+#: garbage (collected by the next quiet refresh) instead of a view meta
+#: pointing at a deleted directory
+VIEW_RETIRE_GRACE_S = 300.0
 
 
 def _meta_path(mv_path: str) -> str:
@@ -681,11 +688,20 @@ def _write_view(
     # refresh against a non-local ManifestStore would otherwise corrupt
     # its own retention by no-oping off the local filesystem (the exact
     # class sink.py was seam-routed for in r7; VERDICT r7 residual 3).
+    # Age guard: views, like tables, are single-writer, but a violated
+    # contract must degrade to garbage, never to a meta pointing at a
+    # deleted directory — a racing refresher's snapshot is younger than
+    # the grace window, so it survives this retirement pass and the next
+    # quiet refresh collects whichever one lost the meta race.
     keep = {rel, prev_meta["data"] if prev_meta else None}
     data_root = os.path.join(mv_path, "data")
+    now = time.time()
     for d in store.list_dir(data_root):
-        if os.path.join("data", d) not in keep:
-            store.delete_tree(os.path.join(data_root, d))
+        full = os.path.join(data_root, d)
+        mt = store.mtime(full)
+        young = mt is not None and now - mt < VIEW_RETIRE_GRACE_S
+        if os.path.join("data", d) not in keep and not young:
+            store.delete_tree(full)
 
 
 def _read_view_frame(spark, mv_path, store) -> DataFrame:

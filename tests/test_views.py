@@ -775,6 +775,10 @@ def test_view_lifecycle_goes_through_store_seam(spark, tmp_path, monkeypatch):
     store.list_dir = spy_store_list
     store.delete_tree = spy_store_delete
 
+    # retirement is age-guarded (racing-refresher defense): zero the
+    # grace so this single-writer test retires deterministically
+    monkeypatch.setattr(views_mod, "VIEW_RETIRE_GRACE_S", 0.0)
+
     keyed_overwrite_parquet(
         spark,
         _rows(spark, [(f"k{i}", f"g{i % 3}", float(i)) for i in range(30)]),
@@ -1065,3 +1069,37 @@ def test_engine_facade_hosts_cross_table_views(spark, tmp_path):
     )
     r2 = eng.refresh_join_view(fact, dim, mv, "dkey", ["region"], ["v"])
     assert r2["mode"] == "incremental" and not r2["fact_rescan"]
+
+
+def test_view_retirement_age_guard(spark, tmp_path, monkeypatch):
+    """Snapshots younger than the grace window never retire — a racing
+    refresher (contract violation) degrades to stray garbage, never to
+    a meta pointing at a deleted directory."""
+    import os
+
+    import airflow_postgres_etl_spark.views as views_mod
+
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark, _rows(spark, [("a", "g", 1.0)]), target,
+        num_buckets=2, vacuum=False,
+    )
+    refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    for i in range(2):
+        keyed_overwrite_parquet(
+            spark, _rows(spark, [("a", "g", float(i))]), target,
+            num_buckets=2, vacuum=False,
+        )
+        refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    data_root = os.path.join(mv, "data")
+    # default grace: all three snapshots are young -> none retired
+    assert len(os.listdir(data_root)) == 3
+    # zero grace: the next refresh retires down to current + previous
+    monkeypatch.setattr(views_mod, "VIEW_RETIRE_GRACE_S", 0.0)
+    keyed_overwrite_parquet(
+        spark, _rows(spark, [("a", "g", 9.0)]), target,
+        num_buckets=2, vacuum=False,
+    )
+    refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
+    assert len(os.listdir(data_root)) == 2
+    _check(spark, target, mv)
