@@ -170,6 +170,17 @@ SHOWCASE = {
         " unrolled Viterbi runs on the Heaps'-bounded vocab with piece"
         " costs broadcast as a map literal"
     ),
+    "pipeline_unigram_em_curve": (
+        "hard-EM to a fixed point: K+1 Viterbi passes over the"
+        " checkpointed vocab-sized word table, corpus cost as exact"
+        " integer micro-nats — corpus work never repeats"
+    ),
+    "pipeline_line_dedup": (
+        "line dedup with the size-gated dictionary join: heavy set"
+        " materialized once (count + join share it), broadcast below"
+        " the threshold, sort-merge above — never an unbounded"
+        " corpus-derived broadcast"
+    ),
 }
 
 SF = "/root/testdata/sf0.001"
