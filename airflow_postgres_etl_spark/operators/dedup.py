@@ -1115,8 +1115,15 @@ def _line_table(
 ) -> DataFrame:
     """(key, pos, line, __lh) — one row per line, ``__lh`` the 60-bit md5
     hash of the TRIMMED line (NULL for blank lines, which are layout,
-    not boilerplate: they never count and are never removed)."""
-    t = F.trim(F.col("line"))
+    not boilerplate: they never count and are never removed).
+
+    "Trimmed"/"blank" means ALL leading/trailing whitespace (``\\s`` —
+    tabs and unicode spaces included), via regexp, not ``F.trim`` (which
+    strips 0x20 only): a tab-only line is layout exactly like a
+    space-only one — the r8 hypothesis differential caught the
+    implementation dropping recurring tab-only lines as boilerplate
+    while the docstring promised otherwise."""
+    t = F.regexp_replace(F.col("line"), r"^\s+|\s+$", "")
     return docs.select(
         key, F.posexplode(F.split(F.col(col), sep)).alias("pos", "line")
     ).withColumn(

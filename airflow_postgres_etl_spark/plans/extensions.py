@@ -9609,7 +9609,10 @@ def view_minmax_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w, unnest(generate_series(1, CAST(ceil(len(w) / 3.0) AS BIGINT))) AS t(i)
     ),
     h AS (
-        SELECT line FROM l WHERE trim(line) <> ''
+        -- blank = ALL-whitespace (regexp, mirroring the Spark side's
+        -- \\s trim rule; DuckDB trim() strips 0x20 only, same as Spark's)
+        SELECT line FROM l
+        WHERE regexp_replace(line, '^\\s+|\\s+$', '', 'g') <> ''
         GROUP BY line HAVING count(*) >= 2
     ),
     k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM h)),
@@ -10299,3 +10302,29 @@ def pipeline_unigram_em_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_em_curve(docs, rounds=_EM_CURVE_ROUNDS).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# The line-dedup SORT-MERGE branch as its own driver-checked query: the
+# gate (dedup.remove_duplicate_lines broadcast_threshold) picks a join
+# strategy by dictionary size, and a strategy the correctness gate never
+# exercises is a strategy that can rot — so the big-corpus branch gets
+# an independent differential row against the SAME oracle (forced via
+# threshold=0; plan pinned SortMergeJoin in tests/test_line_dedup.py).
+# ---------------------------------------------------------------------------
+from .queries import ORACLE as _ORACLE  # noqa: E402  (after registration above)
+
+
+@query("pipeline_line_dedup_sortmerge", _ORACLE["pipeline_line_dedup"])
+def pipeline_line_dedup_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = X.tokens_expr()
+    n_lines = F.ceil(F.size(w) / F.lit(3.0)).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.array_join(F.slice(w, (i - 1) * 3 + 1, 3), " "),
+    )
+    multiline = docs.filter(F.size(w) > 0).select(
+        "doc_id", F.array_join(line_arr, "\n").alias("text")
+    )
+    return D.remove_duplicate_lines(multiline, min_dup=2, broadcast_threshold=0)
