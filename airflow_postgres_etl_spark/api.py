@@ -657,3 +657,45 @@ class Table:
         from . import views
 
         return views.read_aggregate_view(self.spark, mv_path, self.store)
+
+    def refresh_distinct_view(
+        self, mv_path: str, group_cols: list[str], item_col: str, k: int = 128
+    ) -> dict:
+        """Per-group approx-COUNT-DISTINCT view stored as a KMV sketch —
+        appends maintain it from the added files alone (see
+        ``views.refresh_distinct_view``)."""
+        from . import views
+
+        return views.refresh_distinct_view(
+            self.spark, self.path, mv_path, group_cols, item_col, k,
+            self.store,
+        )
+
+    def read_distinct_view(self, mv_path: str) -> DataFrame:
+        from . import views
+
+        return views.read_distinct_view(self.spark, mv_path, self.store)
+
+    def refresh_quantile_view(
+        self,
+        mv_path: str,
+        group_cols: list[str],
+        value_col: str,
+        key_col: str,
+        k: int = 256,
+    ) -> dict:
+        """Per-group quantile view stored as a mergeable bottom-k row
+        sample (see ``views.refresh_quantile_view``)."""
+        from . import views
+
+        return views.refresh_quantile_view(
+            self.spark, self.path, mv_path, group_cols, value_col, key_col,
+            k, self.store,
+        )
+
+    def read_quantile_view(
+        self, mv_path: str, qs: list[tuple[str, float]]
+    ) -> DataFrame:
+        from . import views
+
+        return views.read_quantile_view(self.spark, mv_path, qs, self.store)

@@ -9589,6 +9589,214 @@ def view_minmax_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("gkey")
 
 
+_DVK = 32  # KMV k for the distinct view — small enough that groups hit
+#            the fill line at sf0.01, so the estimator path is exercised
+
+
+@query(
+    "view_distinct_ivm",
+    f"""
+    WITH t AS (
+        SELECT o_custkey % 50 AS gkey,
+               CAST(o_orderkey % 997 AS VARCHAR) AS item
+        FROM orders
+        WHERE (o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0)
+           OR o_orderkey % 3 = 1
+    ),
+    h AS (SELECT DISTINCT gkey,
+                 CAST('0x' || substr(md5(item), 1, 15) AS BIGINT) AS h
+          FROM t),
+    r AS (SELECT gkey, h,
+                 row_number() OVER (PARTITION BY gkey ORDER BY h) AS rn
+          FROM h),
+    s AS (SELECT gkey, CAST(count(*) AS BIGINT) AS n_k, max(h) AS kth
+          FROM r WHERE rn <= {_DVK} GROUP BY gkey)
+    SELECT CAST(gkey AS BIGINT) AS gkey, n_k, kth,
+           CASE WHEN n_k < {_DVK} THEN CAST(n_k AS DOUBLE)
+                ELSE {float(_DVK - 1)} * 1152921504606846976.0
+                     / CAST(kth AS DOUBLE) END AS est_distinct
+    FROM s ORDER BY gkey
+    """,
+)
+def view_distinct_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-COUNT-DISTINCT materialized view stored as a KMV sketch
+    (``views.refresh_distinct_view``) — the aggregate family neither
+    signed-delta IVM (no subtraction) nor cheap recompute (state = the
+    whole distinct set) can carry.  Lifecycle: build (full) → DELETE
+    every 5th source order + compaction → touched-group partial
+    recompute → APPEND of a disjoint key range → the sketch-merge fast
+    path, which reads ONLY the appended files and the view itself
+    (``groups_recomputed == 0``, asserted in-query).  Ordering the
+    delete BEFORE the append means the final hash verifies BOTH
+    maintenance paths: the recomputed sketches flow through the append
+    merge into the output.  The oracle rebuilds the final-state KMV
+    closed-form — a single wrong hash in any path mismatches.
+
+    100 TB shape: the fact-stream case (hourly appends to an events
+    table with a distinct-users-per-group dashboard) refreshes in
+    O(batch + view) — even the minmax view's partial recompute would
+    rescan every historical file of the touched groups, and an exact
+    distinct view would hold the full distinct set as state."""
+    import shutil
+    import tempfile
+
+    from ..sink import (
+        compact_keyed_table,
+        keyed_append,
+        keyed_delete_where,
+        keyed_overwrite_parquet,
+    )
+    from ..views import read_distinct_view, refresh_distinct_view
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).cast("long").alias("gkey"),
+        (F.col("o_orderkey") % 997).cast("string").alias("item"),
+    )
+    tmp = tempfile.mkdtemp(prefix="distinctivm_")
+    try:
+        target, mv = f"{tmp}/t", f"{tmp}/mv"
+        keyed_overwrite_parquet(
+            spark, o.filter(F.col("o_orderkey") % 3 == 0), target,
+            key="o_orderkey", num_buckets=8, stats_cols=["gkey"],
+            vacuum=False,
+        )
+        args = (spark, target, mv, ["gkey"], "item")
+        r1 = refresh_distinct_view(*args, k=_DVK)
+        keyed_delete_where(spark, target, "o_orderkey % 5 = 0")
+        compact_keyed_table(spark, target)
+        r2 = refresh_distinct_view(*args, k=_DVK)
+        keyed_append(
+            spark, o.filter(F.col("o_orderkey") % 3 == 1), target,
+            key="o_orderkey",
+        )
+        r3 = refresh_distinct_view(*args, k=_DVK)
+        if not (
+            r1["mode"] == "full"
+            and r2["mode"] == "incremental"
+            and r2["groups_recomputed"] > 0
+            and r3["mode"] == "incremental"
+            and r3["groups_recomputed"] == 0
+        ):
+            raise RuntimeError(
+                f"distinct-view refresh modes regressed: {r1['mode']}, "
+                f"{r2['mode']}/{r2['groups_recomputed']}, "
+                f"{r3['mode']}/{r3['groups_recomputed']}"
+            )
+        rows = [
+            (x.gkey, x.n_k, x.kth, x.est_distinct)
+            for x in read_distinct_view(spark, mv).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "gkey long, n_k long, kth long, est_distinct double"
+    ).orderBy("gkey")
+
+
+_QVK = 64  # bottom-k sample size for the quantile view
+
+
+@query(
+    "view_quantile_ivm",
+    f"""
+    WITH t AS (
+        SELECT event_type, value, event_id FROM events
+        WHERE ((event_id % 2 = 0 AND event_id % 7 <> 0) OR event_id % 2 = 1)
+          AND value IS NOT NULL
+    ),
+    h AS (SELECT event_type, value,
+                 CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                      1, 15) AS BIGINT) AS hh
+          FROM t),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY hh) AS rn FROM h),
+    s AS (SELECT event_type, value, hh FROM r WHERE rn <= {_QVK}),
+    rk AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, hh) AS vr,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM s)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_sample,
+           max(CASE WHEN vr = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                    THEN value END) AS p50,
+           max(CASE WHEN vr = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                    THEN value END) AS p90,
+           max(CASE WHEN vr = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                    THEN value END) AS p99
+    FROM rk GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def view_quantile_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile materialized view stored as a mergeable bottom-k row
+    sample (``views.refresh_quantile_view``): per-event-type latency
+    percentiles maintained across a DELETE (touched-group recompute)
+    followed by an APPEND (sample-merge fast path, reads only the
+    appended files — ``groups_recomputed == 0`` asserted in-query).
+    The sample is the k smallest md5(event_id) hashes per group — merge
+    is "k smallest of the union", the KMV property over rows — and the
+    read picks exact type-1 quantiles of the sample, bit-exact members
+    of the value column, so the oracle reproduces the final state
+    hash-for-hash with no tolerance."""
+    import shutil
+    import tempfile
+
+    from ..sink import (
+        compact_keyed_table,
+        keyed_append,
+        keyed_delete_where,
+        keyed_overwrite_parquet,
+    )
+    from ..views import read_quantile_view, refresh_quantile_view
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="quantivm_")
+    try:
+        target, mv = f"{tmp}/t", f"{tmp}/mv"
+        keyed_overwrite_parquet(
+            spark, ev.filter(F.col("event_id") % 2 == 0), target,
+            key="event_id", num_buckets=8, vacuum=False,
+        )
+        args = (spark, target, mv, ["event_type"], "value", "event_id")
+        r1 = refresh_quantile_view(*args, k=_QVK)
+        keyed_delete_where(spark, target, "event_id % 7 = 0")
+        compact_keyed_table(spark, target)
+        r2 = refresh_quantile_view(*args, k=_QVK)
+        keyed_append(
+            spark, ev.filter(F.col("event_id") % 2 == 1), target,
+            key="event_id",
+        )
+        r3 = refresh_quantile_view(*args, k=_QVK)
+        if not (
+            r1["mode"] == "full"
+            and r2["mode"] == "incremental"
+            and r2["groups_recomputed"] > 0
+            and r3["mode"] == "incremental"
+            and r3["groups_recomputed"] == 0
+        ):
+            raise RuntimeError(
+                f"quantile-view refresh modes regressed: {r1['mode']}, "
+                f"{r2['mode']}/{r2['groups_recomputed']}, "
+                f"{r3['mode']}/{r3['groups_recomputed']}"
+            )
+        qs = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+        rows = [
+            (x.event_type, x.n_sample, x.p50, x.p90, x.p99)
+            for x in read_quantile_view(spark, mv, qs).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_sample long, p50 double, p90 double, "
+        "p99 double",
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Line-level boilerplate removal (CCNet / RefinedWeb pass) — the corpus
 # has no newlines, so the query derives a deterministic multi-line form

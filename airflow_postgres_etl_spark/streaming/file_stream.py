@@ -85,6 +85,18 @@ def stream_ingest(
     (test-pinned, incl. a crash between refresh and checkpoint commit).
     A view refresh failure fails the stream (fail-stop) — the
     checkpoint hasn't advanced, so the restart retries merge+refresh.
+
+    A spec may also carry ``"kind": "distinct"`` (``item_col``,
+    optional ``k``) or ``"kind": "quantile"`` (``value_col``,
+    ``key_col``, optional ``k``) to maintain the sketch-backed views
+    in-band.  Their replay story is recompute-exactness rather than
+    delta cancellation: a CoW merge's bucket rewrites put files on the
+    REMOVED side, so the refresh partially recomputes touched groups
+    from the pinned snapshot — identical rows give identical sketches,
+    and a replayed epoch converges the same way the aggregates do
+    (under MOR the unclean endpoint falls back to a full recompute
+    until in-band compaction restores clean snapshots — correct, just
+    not incremental).
     """
     if merge_mode not in ("cow", "mor"):
         raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
@@ -157,13 +169,29 @@ def stream_ingest(
 
             targets = {"events": events_target, "tracking": tracking_target}
             for spec in maintain_views:
-                _views.refresh_aggregate_view(
-                    spark_b,
-                    targets[spec["target"]],
-                    spec["mv_path"],
-                    spec["group_cols"],
-                    spec.get("sum_cols", []),
-                )
+                tgt = targets[spec["target"]]
+                kind = spec.get("kind", "aggregate")
+                if kind == "aggregate":
+                    _views.refresh_aggregate_view(
+                        spark_b, tgt, spec["mv_path"], spec["group_cols"],
+                        spec.get("sum_cols", []),
+                    )
+                elif kind == "distinct":
+                    _views.refresh_distinct_view(
+                        spark_b, tgt, spec["mv_path"], spec["group_cols"],
+                        spec["item_col"], spec.get("k", 128),
+                    )
+                elif kind == "quantile":
+                    _views.refresh_quantile_view(
+                        spark_b, tgt, spec["mv_path"], spec["group_cols"],
+                        spec["value_col"], spec["key_col"],
+                        spec.get("k", 256),
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown maintain_views kind {kind!r} "
+                        "(aggregate | distinct | quantile)"
+                    )
 
     return (
         raw.writeStream.foreachBatch(merge_batch)

@@ -316,19 +316,50 @@ def refresh_minmax_view(
             "source_version": cur_v,
         }
 
-    touched_rows = (
-        _read_files(spark, target, added + removed)
-        .select(*group_cols)
-        .distinct()
-        .limit(MINMAX_TOUCHED_GROUP_CAP + 1)
-        .collect()
+    mv = _read_view_frame(spark, mv_path, store)
+    res = _touched_partial_recompute(
+        spark, target, cur_v, store, group_cols, added, removed,
+        _minmax_aggregate, mv,
     )
-    if len(touched_rows) > MINMAX_TOUCHED_GROUP_CAP:
+    if res is None:
         return _full()
-    touched = spark.createDataFrame(
-        touched_rows,
-        _read_files(spark, target, added + removed).select(*group_cols).schema,
+    merged, n_groups = res
+    _write_view(
+        spark, mv_path, merged, group_cols, agg_cols, cur_v, store,
+        meta_extra=meta_extra,
     )
+    return {
+        "mode": "incremental",
+        "files_read": len(added) + len(removed),
+        "groups_recomputed": n_groups,
+        "source_version": cur_v,
+    }
+
+
+def _touched_partial_recompute(
+    spark, target, cur_v, store, group_cols, added, removed, build, mv,
+    cap: int | None = None,
+):
+    """The partial-recompute step shared by every view kind whose
+    aggregate cannot be maintained from signed deltas (min/max, KMV
+    sketches, bottom-k samples): the manifest diff names the groups the
+    commits touched (any group present in an added or removed file);
+    ``build`` re-aggregates exactly those groups from the PINNED current
+    snapshot, every other view row passes through untouched.
+
+    Returns ``(merged_frame, n_touched_groups)`` — or ``None`` when the
+    touched-group list exceeds ``cap`` (collecting it to the driver is
+    what bounds this plan, so the caller must full-recompute instead;
+    that shape is a backfill, where the full recompute IS the right
+    plan).  ``cap`` resolves against the module global at call time so
+    tests can lower it."""
+    if cap is None:
+        cap = MINMAX_TOUCHED_GROUP_CAP
+    touched_src = _read_files(spark, target, added + removed).select(*group_cols)
+    touched_rows = touched_src.distinct().limit(cap + 1).collect()
+    if len(touched_rows) > cap:
+        return None
+    touched = spark.createDataFrame(touched_rows, touched_src.schema)
 
     # stats-pruned recompute scan: single scalar group col, tracked in
     # the table's stats, no NULL group touched -> range-prune the files
@@ -344,11 +375,8 @@ def refresh_minmax_view(
         lambda a, b: a & b,
         [base[c].eqNullSafe(touched[c]) for c in group_cols],
     )
-    recomputed = _minmax_aggregate(
-        base.join(F.broadcast(touched), cond, "left_semi")
-    )
+    recomputed = build(base.join(F.broadcast(touched), cond, "left_semi"))
 
-    mv = _read_view_frame(spark, mv_path, store)
     anti = reduce(
         lambda a, b: a & b,
         [mv[c].eqNullSafe(touched[c]) for c in group_cols],
@@ -356,16 +384,7 @@ def refresh_minmax_view(
     merged = mv.join(F.broadcast(touched), anti, "left_anti").unionByName(
         recomputed
     )
-    _write_view(
-        spark, mv_path, merged, group_cols, agg_cols, cur_v, store,
-        meta_extra=meta_extra,
-    )
-    return {
-        "mode": "incremental",
-        "files_read": len(added) + len(removed),
-        "groups_recomputed": len(touched_rows),
-        "source_version": cur_v,
-    }
+    return merged, len(touched_rows)
 
 
 def refresh_join_view(
@@ -728,3 +747,317 @@ def read_aggregate_view(
     if meta is None:
         raise FileNotFoundError(f"no aggregate view at {mv_path}")
     return _read_view_frame(spark, mv_path, store)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-backed views — mergeable-summary aggregates maintained
+# incrementally.  count/sum views subtract (signed deltas); min/max views
+# partially recompute; the THIRD family is aggregates whose state is a
+# mergeable sketch: approx-distinct (KMV, operators/sketch.py) and
+# quantiles (bottom-k row sample).  Sketches buy a maintenance property
+# the exact aggregate lacks: under APPEND-ONLY commits the new view is
+# ``merge(old_sketch, sketch(added files))`` — the refresh reads ONLY the
+# added files and the view itself, never the table, and the result is
+# IDENTICAL to the sketch built over the full table directly (the KMV
+# merge property: k smallest of a union is computable from per-part
+# k-smallest sets).  At 100 TB that is the fact-stream case: a per-hour
+# append refreshes a per-group distinct-users or latency-quantile view in
+# O(batch + view), where even the minmax view's touched-group recompute
+# would re-scan every historical file of the touched groups.
+#
+# Removals (CoW rewrite, DELETE, MOR compaction folding tombstones) can
+# evict sketch members, so — exactly like min/max — commits that remove
+# files fall back to touched-group partial recompute from the pinned
+# snapshot (shared helper above), and unclean/vacuumed endpoints to a
+# full recompute.  Both fallbacks land on the same bit-exact state the
+# append path maintains, so the refresh mode never changes the answer
+# (test-pinned; the driver's view_distinct_ivm / view_quantile_ivm
+# oracles reproduce the final sketches closed-form in SQL).
+# ---------------------------------------------------------------------------
+
+
+def _refresh_sketch_view(
+    spark, target, mv_path, group_cols, store, *, kind, shape, build,
+    merge_append,
+) -> dict:
+    """Shared maintenance skeleton for sketch-valued views.
+
+    ``build(rows) -> per-group sketch frame`` defines the view content;
+    ``merge_append(mv, part)`` combines the stored view with the sketch
+    of freshly-appended files (both view-sized — the merge is array
+    arithmetic inside one full_outer join on the group key, no explode,
+    no window).  Paths: noop (same version) / append merge (no files
+    removed) / touched-group partial recompute (removals) / full
+    (no meta, unclean endpoint, vacuumed delta source, over group cap).
+    """
+    manifest = _load_manifest(target, store)
+    if manifest is None:
+        raise FileNotFoundError(f"no keyed table committed at {target}")
+    cur_v = manifest["version"]
+    meta = store.read_json(_meta_path(mv_path))
+    if meta is not None and (
+        meta.get("kind") != kind
+        or meta.get("group_cols") != list(group_cols)
+        or any(meta.get(f) != v for f, v in shape.items())
+    ):
+        raise ValueError(
+            "existing view was built with a different shape (kind, group "
+            "columns or sketch parameters); use a new mv_path"
+        )
+    meta_extra = {"kind": kind, **shape}
+    if meta is not None and meta["source_version"] == cur_v:
+        return {
+            "mode": "noop", "files_read": 0, "groups_recomputed": 0,
+            "source_version": cur_v,
+        }
+
+    def _full():
+        rows = _read_pinned(spark, target, cur_v, store)
+        _write_view(
+            spark, mv_path, build(rows), group_cols, [], cur_v, store,
+            meta_extra=meta_extra,
+        )
+        return {
+            "mode": "full", "files_read": len(rows.inputFiles()),
+            "groups_recomputed": -1, "source_version": cur_v,
+        }
+
+    new_files = _base_files(manifest)
+    old_manifest = (
+        store.read_json(_version_manifest_path(target, meta["source_version"]))
+        if meta is not None
+        else None
+    )
+    old_files = _base_files(old_manifest) if old_manifest else None
+    if meta is None or new_files is None or old_files is None:
+        return _full()
+    added = sorted(new_files - old_files)
+    removed = sorted(old_files - new_files)
+    if any(not store.exists(os.path.join(target, f)) for f in removed):
+        return _full()
+    mv = _read_view_frame(spark, mv_path, store)
+    if not added and not removed:
+        _write_view(
+            spark, mv_path, mv, group_cols, [], cur_v, store,
+            meta_extra=meta_extra,
+        )
+        return {
+            "mode": "incremental", "files_read": 0, "groups_recomputed": 0,
+            "source_version": cur_v,
+        }
+    if not removed:
+        # append fast path: sketch ONLY the added files, merge into the
+        # stored view — O(batch + view) whatever the table size
+        part = build(_read_files(spark, target, added))
+        _write_view(
+            spark, mv_path, merge_append(mv, part), group_cols, [], cur_v,
+            store, meta_extra=meta_extra,
+        )
+        return {
+            "mode": "incremental", "files_read": len(added),
+            "groups_recomputed": 0, "source_version": cur_v,
+        }
+    res = _touched_partial_recompute(
+        spark, target, cur_v, store, group_cols, added, removed, build, mv
+    )
+    if res is None:
+        return _full()
+    merged, n_groups = res
+    _write_view(
+        spark, mv_path, merged, group_cols, [], cur_v, store,
+        meta_extra=meta_extra,
+    )
+    return {
+        "mode": "incremental", "files_read": len(added) + len(removed),
+        "groups_recomputed": n_groups, "source_version": cur_v,
+    }
+
+
+def _group_merge(mv, part, group_cols, merged_cols):
+    """full_outer view⋈part on the group key, groups coalesced,
+    ``merged_cols`` (name -> Column over the joined frame) appended."""
+    cond = reduce(
+        lambda a, b: a & b, [mv[c].eqNullSafe(part[c]) for c in group_cols]
+    )
+    joined = mv.join(part, cond, "full_outer")
+    return joined.select(
+        *[F.coalesce(mv[c], part[c]).alias(c) for c in group_cols],
+        *[col.alias(name) for name, col in merged_cols.items()],
+    )
+
+
+def refresh_distinct_view(
+    spark: SparkSession,
+    target: str,
+    mv_path: str,
+    group_cols: list[str],
+    item_col: str,
+    k: int = 128,
+    store=LOCAL_STORE,
+) -> dict:
+    """Create or refresh a per-group approx-DISTINCT(``item_col``) view
+    of ``target``, stored as a KMV sketch (``group_cols…, ks
+    array<long>, n_k, kth`` — :mod:`operators.sketch`).  Distinct counts
+    are the aggregate NEITHER signed deltas (no subtraction) nor
+    cheap recompute (state = the whole distinct set) can maintain; the
+    k-minimum-values summary is both mergeable and 2^60-hash
+    deterministic, so appends maintain it exactly from the added files
+    alone and the DuckDB differential reproduces every estimate
+    bit-for-bit.  NULL items are ignored (COUNT DISTINCT semantics).
+    Returns the same mode dict as :func:`refresh_minmax_view`."""
+    from .operators.sketch import kmv_sketch
+
+    group_cols = list(group_cols)
+
+    def build(rows):
+        return kmv_sketch(
+            rows.filter(F.col(item_col).isNotNull()),
+            group_cols,
+            F.col(item_col).cast("string"),
+            k=k,
+        )
+
+    empty = F.array().cast("array<long>")
+
+    def merge_append(mv, part):
+        ks = F.slice(
+            F.array_sort(
+                F.array_union(
+                    F.coalesce(mv["ks"], empty), F.coalesce(part["ks"], empty)
+                )
+            ),
+            1,
+            k,
+        )
+        return _group_merge(mv, part, group_cols, {"ks": ks}).select(
+            *group_cols,
+            "ks",
+            F.size("ks").cast("long").alias("n_k"),
+            F.array_max("ks").alias("kth"),
+        )
+
+    return _refresh_sketch_view(
+        spark, target, mv_path, group_cols, store,
+        kind="kmv_distinct", shape={"item_col": item_col, "k": k},
+        build=build, merge_append=merge_append,
+    )
+
+
+def read_distinct_view(
+    spark: SparkSession, mv_path: str, store=LOCAL_STORE
+) -> DataFrame:
+    """``group_cols…, n_k, kth, est_distinct`` from the stored sketches
+    (exact below the k fill line, ``(k-1)·2^60/kth`` at it)."""
+    from .operators.sketch import kmv_estimate_expr
+
+    meta = store.read_json(_meta_path(mv_path))
+    if meta is None or meta.get("kind") != "kmv_distinct":
+        raise FileNotFoundError(f"no distinct view at {mv_path}")
+    return _read_view_frame(spark, mv_path, store).select(
+        *meta["group_cols"],
+        "n_k",
+        "kth",
+        kmv_estimate_expr(meta["k"]).alias("est_distinct"),
+    )
+
+
+def refresh_quantile_view(
+    spark: SparkSession,
+    target: str,
+    mv_path: str,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    store=LOCAL_STORE,
+) -> dict:
+    """Create or refresh a per-group QUANTILE view of
+    ``target.value_col``, stored as a bottom-k row sample (``group_cols…,
+    smp array<struct<h,v>>, n_smp``): the rows whose md5-hashed
+    ``key_col`` is among the k smallest per group, carrying the value.
+    The k-smallest-hash sample is a uniform sample whose merge is "k
+    smallest of the union" — the KMV property over ROWS — so appends
+    maintain it exactly from the added files alone, and any quantile of
+    the view estimates the population quantile with O(1/sqrt(k)) rank
+    error.  ``key_col`` must uniquely key rows (the table's primary
+    key); NULL values are excluded (quantile semantics).  Read with
+    :func:`read_quantile_view`."""
+    from .operators.sketch import bottomk_sample
+
+    group_cols = list(group_cols)
+
+    def build(rows):
+        sample = bottomk_sample(
+            rows.filter(F.col(value_col).isNotNull()).select(
+                *group_cols,
+                F.col(value_col).cast("double").alias("__v"),
+                F.col(key_col).cast("string").alias("__rk"),
+            ),
+            group_cols,
+            F.col("__rk"),
+            k=k,
+        )
+        return sample.groupBy(*group_cols).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__h").alias("h"), F.col("__v").alias("v")
+                    )
+                )
+            ).alias("smp"),
+            F.count("*").cast("long").alias("n_smp"),
+        )
+
+    empty = F.array().cast("array<struct<h:bigint,v:double>>")
+
+    def merge_append(mv, part):
+        # concat, not union: row keys are unique, so the two samples are
+        # disjoint row sets; sort on (h, v) then keep the k smallest
+        smp = F.slice(
+            F.array_sort(
+                F.concat(
+                    F.coalesce(mv["smp"], empty), F.coalesce(part["smp"], empty)
+                )
+            ),
+            1,
+            k,
+        )
+        return _group_merge(mv, part, group_cols, {"smp": smp}).select(
+            *group_cols, "smp", F.size("smp").cast("long").alias("n_smp")
+        )
+
+    return _refresh_sketch_view(
+        spark, target, mv_path, group_cols, store,
+        kind="bottomk_quantile",
+        shape={"value_col": value_col, "key_col": key_col, "k": k},
+        build=build, merge_append=merge_append,
+    )
+
+
+def read_quantile_view(
+    spark: SparkSession,
+    mv_path: str,
+    qs: list[tuple[str, float]],
+    store=LOCAL_STORE,
+) -> DataFrame:
+    """Exact type-1 quantiles of each group's stored sample:
+    ``group_cols…, n_sample, <name>…`` for ``qs = [(name, q), …]``.
+    Ties break on the sample hash — deterministic, and what the SQL
+    oracle mirrors.  Picked values are bit-exact sample members (no
+    interpolation arithmetic)."""
+    from .operators.sketch import sample_quantiles
+
+    meta = store.read_json(_meta_path(mv_path))
+    if meta is None or meta.get("kind") != "bottomk_quantile":
+        raise FileNotFoundError(f"no quantile view at {mv_path}")
+    group_cols = meta["group_cols"]
+    ex = (
+        _read_view_frame(spark, mv_path, store)
+        .select(*group_cols, F.explode("smp").alias("s"))
+        .select(
+            *group_cols,
+            F.col("s.h").alias("__h"),
+            F.col("s.v").alias("__v"),
+        )
+    )
+    return sample_quantiles(ex, group_cols, "__v", qs, tie_break="__h")

@@ -245,6 +245,10 @@ HEADLINE = [
     "q_geo_nearest",
     # round-8: hard-EM iterated to the fixed point, curve as data
     "pipeline_unigram_em_curve",
+    # round-8: sketch-backed views — approx-distinct (KMV) and quantile
+    # (bottom-k sample), whose append refresh reads ONLY the added files
+    "view_distinct_ivm",
+    "view_quantile_ivm",
 ]
 
 

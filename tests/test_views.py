@@ -1103,3 +1103,326 @@ def test_view_retirement_age_guard(spark, tmp_path, monkeypatch):
     refresh_aggregate_view(spark, target, mv, ["grp"], ["v"])
     assert len(os.listdir(data_root)) == 2
     _check(spark, target, mv)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-backed views: approx-distinct (KMV) and quantile (bottom-k
+# sample).  The contract is bit-exactness against the sketch built over
+# the final table DIRECTLY, whatever sequence of refresh modes produced
+# the view — append merges must equal the union sketch (the KMV merge
+# property), removals must partially recompute, unclean endpoints must
+# fall back full, and none of it may change a single hash.
+# ---------------------------------------------------------------------------
+
+
+def _sketch_rows(spark, n, start=0):
+    return spark.createDataFrame(
+        [
+            (f"k{i}", i % 5, f"item{i % 23}", float((i * 7) % 101))
+            for i in range(start, start + n)
+        ],
+        ["oid__id", "grp", "item", "val"],
+    )
+
+
+def _direct_distinct(spark, target, k):
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.operators.sketch import (
+        kmv_estimate_expr,
+        kmv_sketch,
+    )
+
+    final = read_keyed_table(spark, target)
+    d = kmv_sketch(
+        final.filter(F.col("item").isNotNull()),
+        ["grp"],
+        F.col("item").cast("string"),
+        k=k,
+    ).select("grp", "n_k", "kth", kmv_estimate_expr(k).alias("est"))
+    return {r.grp: (r.n_k, r.kth, r.est) for r in d.collect()}
+
+
+def test_distinct_view_append_merge_equals_direct(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import keyed_append
+    from airflow_postgres_etl_spark.views import (
+        read_distinct_view,
+        refresh_distinct_view,
+    )
+
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark, _sketch_rows(spark, 80), target, num_buckets=4, vacuum=False
+    )
+    r = refresh_distinct_view(spark, target, mv, ["grp"], "item", k=8)
+    assert r["mode"] == "full"
+
+    keyed_append(spark, _sketch_rows(spark, 120, start=80), target)
+    r = refresh_distinct_view(spark, target, mv, ["grp"], "item", k=8)
+    # the append fast path: only the added files were sketched
+    assert r["mode"] == "incremental" and r["groups_recomputed"] == 0
+    total = len(read_keyed_table(spark, target).inputFiles())
+    assert 0 < r["files_read"] < total
+
+    got = {
+        x.grp: (x.n_k, x.kth, x.est_distinct)
+        for x in read_distinct_view(spark, mv).collect()
+    }
+    assert got == _direct_distinct(spark, target, 8)
+    assert (
+        refresh_distinct_view(spark, target, mv, ["grp"], "item", k=8)["mode"]
+        == "noop"
+    )
+
+
+def test_distinct_view_removal_partial_recompute(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import keyed_delete_where
+    from airflow_postgres_etl_spark.views import (
+        read_distinct_view,
+        refresh_distinct_view,
+    )
+
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark, _sketch_rows(spark, 150), target, num_buckets=4, vacuum=False
+    )
+    refresh_distinct_view(spark, target, mv, ["grp"], "item", k=8)
+    # deleting a whole group evicts sketch members -> recompute, and the
+    # group must VANISH from the view (a stale KMV row would linger)
+    keyed_delete_where(spark, target, "grp = 2")
+    compact_keyed_table(spark, target)
+    r = refresh_distinct_view(spark, target, mv, ["grp"], "item", k=8)
+    assert r["mode"] == "incremental" and r["groups_recomputed"] > 0
+    got = {
+        x.grp: (x.n_k, x.kth, x.est_distinct)
+        for x in read_distinct_view(spark, mv).collect()
+    }
+    assert 2 not in got
+    assert got == _direct_distinct(spark, target, 8)
+
+
+def test_quantile_view_lifecycle_bit_exact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.operators.sketch import (
+        bottomk_sample,
+        sample_quantiles,
+    )
+    from airflow_postgres_etl_spark.sink import keyed_append, keyed_delete_where
+    from airflow_postgres_etl_spark.views import (
+        read_quantile_view,
+        refresh_quantile_view,
+    )
+
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark, _sketch_rows(spark, 100), target, num_buckets=4, vacuum=False
+    )
+    args = (spark, target, mv, ["grp"], "val", "oid__id")
+    assert refresh_quantile_view(*args, k=16)["mode"] == "full"
+
+    keyed_append(spark, _sketch_rows(spark, 100, start=100), target)
+    r = refresh_quantile_view(*args, k=16)
+    assert r["mode"] == "incremental" and r["groups_recomputed"] == 0
+
+    keyed_delete_where(spark, target, "val > 90")
+    compact_keyed_table(spark, target)
+    r = refresh_quantile_view(*args, k=16)
+    assert r["mode"] == "incremental" and r["groups_recomputed"] > 0
+
+    qs = [("p50", 0.5), ("p90", 0.9)]
+    final = read_keyed_table(spark, target)
+    ds = bottomk_sample(
+        final.filter(F.col("val").isNotNull()).select(
+            "grp",
+            F.col("val").cast("double").alias("__v"),
+            F.col("oid__id").cast("string").alias("__rk"),
+        ),
+        ["grp"],
+        F.col("__rk"),
+        k=16,
+    )
+    want = {
+        r.grp: (r.n_sample, r.p50, r.p90)
+        for r in sample_quantiles(ds, ["grp"], "__v", qs, "__h").collect()
+    }
+    got = {
+        r.grp: (r.n_sample, r.p50, r.p90)
+        for r in read_quantile_view(spark, mv, qs).collect()
+    }
+    assert got == want
+
+
+def test_sketch_view_shape_and_kind_fencing(spark, tmp_path):
+    from airflow_postgres_etl_spark.views import (
+        read_distinct_view,
+        read_quantile_view,
+        refresh_distinct_view,
+        refresh_quantile_view,
+    )
+
+    target = str(tmp_path / "t")
+    mvd, mvq = str(tmp_path / "mvd"), str(tmp_path / "mvq")
+    keyed_overwrite_parquet(
+        spark, _sketch_rows(spark, 30), target, vacuum=False
+    )
+    refresh_distinct_view(spark, target, mvd, ["grp"], "item", k=8)
+    refresh_quantile_view(spark, target, mvq, ["grp"], "val", "oid__id", k=8)
+    # different k / item / kind on an existing mv_path must refuse
+    with pytest.raises(ValueError):
+        refresh_distinct_view(spark, target, mvd, ["grp"], "item", k=16)
+    with pytest.raises(ValueError):
+        refresh_distinct_view(spark, target, mvd, ["grp"], "val", k=8)
+    with pytest.raises(ValueError):
+        refresh_quantile_view(spark, target, mvd, ["grp"], "val", "oid__id", k=8)
+    with pytest.raises(FileNotFoundError):
+        read_distinct_view(spark, mvq)
+    with pytest.raises(FileNotFoundError):
+        read_quantile_view(spark, mvd, [("p50", 0.5)])
+
+
+def test_sketch_view_unclean_endpoint_falls_back_full(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.views import (
+        read_distinct_view,
+        refresh_distinct_view,
+    )
+
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark, _sketch_rows(spark, 60), target, num_buckets=2, vacuum=False
+    )
+    refresh_distinct_view(spark, target, mv, ["grp"], "item", k=8)
+    # MOR merge leaves pending deltas -> the file-multiset shortcut is
+    # unsound; refresh must go FULL (correctness over incrementality)
+    keyed_merge_mor(
+        spark,
+        _sketch_rows(spark, 10).withColumn("item", F.lit("novel")),
+        target,
+    )
+    r = refresh_distinct_view(spark, target, mv, ["grp"], "item", k=8)
+    assert r["mode"] == "full"
+    got = {
+        x.grp: (x.n_k, x.kth, x.est_distinct)
+        for x in read_distinct_view(spark, mv).collect()
+    }
+    assert got == _direct_distinct(spark, target, 8)
+
+
+def test_stream_ingest_maintains_sketch_views_in_band(spark, tmp_path, monkeypatch):
+    """Sketch-backed views (KMV distinct / bottom-k quantile) maintained
+    in-band by stream_ingest: after every trigger each view equals the
+    sketch built over the final table directly, and a crash between
+    refresh and checkpoint commit converges on replay — the replayed
+    CoW merge re-commits content-identical rows, so the touched-group
+    recompute rebuilds identical sketches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import airflow_postgres_etl_spark.views as views_mod
+    from airflow_postgres_etl_spark.operators.sketch import (
+        bottomk_sample,
+        kmv_sketch,
+        sample_quantiles,
+    )
+    from airflow_postgres_etl_spark.streaming import stream_ingest
+
+    from .fixtures.gen_raw import generate
+
+    csv_dir = str(tmp_path / "csv")
+    generate(csv_dir)
+    files = sorted(os.listdir(csv_dir))
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for f in files[:3]:
+        os.link(os.path.join(csv_dir, f), os.path.join(feed, f))
+
+    tr, ev, ck = (str(tmp_path / d) for d in ("tr", "ev", "ck"))
+    mvd, mvq = str(tmp_path / "mvd"), str(tmp_path / "mvq")
+    spec = [
+        {"target": "events", "mv_path": mvd, "kind": "distinct",
+         "group_cols": ["status"], "item_col": "trackingCode", "k": 16},
+        {"target": "tracking", "mv_path": mvq, "kind": "quantile",
+         "group_cols": ["Op"], "value_col": "updatedAt",
+         "key_col": "oid__id", "k": 16},
+    ]
+
+    def check():
+        final_ev = read_keyed_table(spark, ev)
+        want = {
+            (r.status, r.n_k, r.kth)
+            for r in kmv_sketch(
+                final_ev.filter(F.col("trackingCode").isNotNull()),
+                ["status"], F.col("trackingCode").cast("string"), k=16
+            ).collect()
+        }
+        got = {
+            (r.status, r.n_k, r.kth)
+            for r in views_mod.read_distinct_view(spark, mvd).collect()
+        }
+        assert got == want and len(got) > 0
+
+        final_tr = read_keyed_table(spark, tr)
+        smp = bottomk_sample(
+            final_tr.filter(F.col("updatedAt").isNotNull()).select(
+                "Op",
+                F.col("updatedAt").cast("double").alias("__v"),
+                F.col("oid__id").cast("string").alias("__rk"),
+            ),
+            ["Op"], F.col("__rk"), k=16,
+        )
+        wq = {
+            (r.Op, r.n_sample, r.p50)
+            for r in sample_quantiles(
+                smp, ["Op"], "__v", [("p50", 0.5)], "__h"
+            ).collect()
+        }
+        gq = {
+            (r.Op, r.n_sample, r.p50)
+            for r in views_mod.read_quantile_view(
+                spark, mvq, [("p50", 0.5)]
+            ).collect()
+        }
+        assert gq == wq and len(gq) > 0
+
+    q = stream_ingest(spark, feed, tr, ev, ck, maintain_views=spec)
+    q.awaitTermination(180)
+    assert q.exception() is None
+    check()
+
+    # wave 2 with an injected crash AFTER the distinct refresh, BEFORE
+    # the checkpoint commit — replay must converge
+    for f in files[3:]:
+        os.link(os.path.join(csv_dir, f), os.path.join(feed, f))
+    real_refresh = views_mod.refresh_distinct_view
+    state = {"fired": False}
+
+    def refresh_then_crash(*a, **kw):
+        r = real_refresh(*a, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("injected crash after sketch-view refresh")
+        return r
+
+    monkeypatch.setattr(views_mod, "refresh_distinct_view", refresh_then_crash)
+    q2 = stream_ingest(spark, feed, tr, ev, ck, maintain_views=spec,
+                       max_files_per_trigger=10)
+    with pytest.raises(Exception, match="injected crash"):
+        q2.awaitTermination(180)
+    assert q2.exception() is not None
+
+    monkeypatch.setattr(views_mod, "refresh_distinct_view", real_refresh)
+    q3 = stream_ingest(spark, feed, tr, ev, ck, maintain_views=spec)
+    q3.awaitTermination(180)
+    assert q3.exception() is None
+    check()
+
+    # unknown kind is rejected loudly inside the batch fn
+    bad = [{"target": "events", "mv_path": mvd, "kind": "nope",
+            "group_cols": ["status"]}]
+    q4 = stream_ingest(spark, feed, tr, ev, str(tmp_path / "ck4"),
+                       maintain_views=bad)
+    with pytest.raises(Exception, match="maintain_views kind"):
+        q4.awaitTermination(180)
