@@ -31,7 +31,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["ordered_prefix_by_budget", "budget_scalar"]
+__all__ = [
+    "ordered_prefix_by_budget",
+    "budget_scalar",
+    "dsir_bucket_expr",
+    "dsir_select",
+]
 
 
 def budget_scalar(df: DataFrame, cost: str, frac: float) -> DataFrame:
@@ -102,3 +107,127 @@ def ordered_prefix_by_budget(
         ["budget"] if isinstance(budget, DataFrame) else []
     )
     return out.drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# NeurIPS).  Select raw-pool documents that look like a small target
+# corpus: fit bag-of-hashed-ngram distributions p (target) and q (pool),
+# score each pool doc by its log importance weight
+# log w_d = Σ_b c_db · (ln p_b − ln q_b), then draw k docs WITHOUT
+# replacement with probability ∝ w_d via the Efraimidis–Spirakis
+# exponential race — in log space, rank key ln(−ln u_d) − log w_d with
+# u_d a DETERMINISTIC uniform from the doc id's md5 (the same 60-bit
+# hash idiom as the KMV sketches), take the k smallest.  Determinism
+# makes the whole pipeline SQL-twinnable: the DuckDB oracle reproduces
+# every bucket count, both smoothed distributions, every weight and
+# every race key (rounded to 9 decimals before ranking — ln/exp agree
+# across engines to ~1 ulp, far inside the grid).
+#
+# Plan shape at 100 TB: two corpus-bucket hash aggregates (map-side
+# combinable, output ≤ n_buckets rows each), the ratio table is
+# n_buckets rows → BROADCAST into the per-doc bucket counts (one
+# (doc, bucket) shuffle, one doc shuffle), and the selection is a
+# global top-k (TakeOrdered — no full sort).  Nothing driver-side,
+# nothing quadratic; the pool is read exactly twice (corpus counts +
+# per-doc counts), the target once.
+# ---------------------------------------------------------------------------
+
+#: 60-bit md5 hash domain (matches operators/sketch.KMV_DOMAIN)
+_DSIR_DOMAIN = float(2**60)
+
+
+def dsir_bucket_expr(gram: Column, n_buckets: int) -> Column:
+    """Feature bucket of an n-gram: 60-bit md5 hash mod ``n_buckets`` —
+    deterministic and engine-portable (same idiom as sketch.py)."""
+    h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def dsir_select(
+    df: DataFrame,
+    *,
+    is_target: Column,
+    grams: Column,
+    id_col: str = "doc_id",
+    k: int = 100,
+    n_buckets: int = 1024,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Importance-resample ``k`` documents from the pool (rows where
+    ``~is_target``) toward the target distribution (rows where
+    ``is_target``).
+
+    ``grams`` is the feature array per row (e.g. unigrams+bigrams).
+    Returns ``(id_col, logw, sel_key)`` — the k selected pool docs,
+    ordered by the race key — with both doubles rounded to 9 decimals
+    (the ranking happens ON the rounded key, so the order is
+    reproducible bit-for-bit across engines).  A pool doc with an empty
+    gram array carries no evidence and is never selected.  Add-λ
+    smoothing (``smoothing``) keeps unseen buckets finite on both
+    sides.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        is_target.alias("__t"),
+        grams.alias("__g"),
+    )
+    ex = base.select(
+        "__id", "__t", F.explode("__g").alias("__gram")
+    ).withColumn("__b", dsir_bucket_expr(F.col("__gram"), n_buckets))
+
+    tgt = ex.filter(F.col("__t")).groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__ct")
+    )
+    pool = ex.filter(~F.col("__t"))
+    src = pool.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__cs")
+    )
+    tot_t = tgt.agg(F.sum("__ct").alias("__T"))
+    tot_s = src.agg(F.sum("__cs").alias("__S"))
+    lam = float(smoothing)
+    denom = F.lit(lam * n_buckets)
+    ratio = (
+        tgt.join(src, "__b", "full_outer")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_s))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(lam))
+                    / (F.col("__T") + denom)
+                )
+                - F.log(
+                    (F.coalesce(F.col("__cs"), F.lit(0)) + F.lit(lam))
+                    / (F.col("__S") + denom)
+                )
+            ).alias("__r"),
+        )
+    )
+
+    docb = pool.groupBy("__id", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    scored = (
+        docb.join(F.broadcast(ratio), "__b")
+        .groupBy("__id")
+        .agg(F.sum(F.col("__c") * F.col("__r")).alias("__logw"))
+    )
+    # deterministic uniform in (0,1) from the id's md5: (h + 0.5) / 2^60
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("__id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(_DSIR_DOMAIN)
+    key = F.log(-F.log(u)) - F.col("__logw")
+    return (
+        scored.select(
+            F.col("__id").alias(id_col),
+            F.round(F.col("__logw"), 9).alias("logw"),
+            F.round(key, 9).alias("sel_key"),
+        )
+        .orderBy("sel_key", id_col)
+        .limit(k)
+    )

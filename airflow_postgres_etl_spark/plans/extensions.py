@@ -5455,6 +5455,91 @@ def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR (Xie et al. 2023): importance-resample pool docs toward a target
+# distribution over hashed unigram+bigram buckets.  Deterministic end to
+# end — md5 buckets, md5 race uniforms — so the oracle reproduces every
+# smoothed log-ratio, every doc weight and the exact k-selection.
+# ---------------------------------------------------------------------------
+_DSIR_M = 512  # feature buckets
+_DSIR_K = 40   # docs to select
+_DSIR_SQL_B = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512"
+
+
+@query(
+    "pipeline_dsir_select",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {SQL_TOKS} AS w FROM documents),
+    g AS (
+        SELECT doc_id, lang, w[i] AS g
+        FROM d, unnest(generate_series(1, len(w))) AS t(i)
+        UNION ALL
+        SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g
+        FROM d, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    bk AS (SELECT doc_id, lang, {_DSIR_SQL_B} AS b FROM g),
+    tc AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
+    sc AS (SELECT b, count(*) AS cs FROM bk WHERE lang <> 'en' GROUP BY b),
+    tt AS (SELECT sum(ct) AS tot_t FROM tc),
+    ss AS (SELECT sum(cs) AS tot_s FROM sc),
+    r AS (
+        SELECT coalesce(tc.b, sc.b) AS b,
+               ln((coalesce(ct, 0) + 0.5) / (tot_t + 0.5 * {_DSIR_M}))
+             - ln((coalesce(cs, 0) + 0.5) / (tot_s + 0.5 * {_DSIR_M})) AS r
+        FROM tc FULL OUTER JOIN sc ON tc.b = sc.b
+        CROSS JOIN tt CROSS JOIN ss
+    ),
+    db AS (SELECT doc_id, b, count(*) AS c FROM bk
+           WHERE lang <> 'en' GROUP BY doc_id, b),
+    sw AS (SELECT doc_id, sum(c * r) AS logw_raw
+           FROM db JOIN r USING (b) GROUP BY doc_id),
+    keyed AS (
+        SELECT doc_id, logw_raw,
+               ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                            1, 15) AS BIGINT) + 0.5)
+                      / 1152921504606846976.0)) - logw_raw AS key_raw
+        FROM sw
+    )
+    SELECT doc_id,
+           round(logw_raw, 9) AS logw,
+           round(key_raw, 9) AS sel_key
+    FROM keyed
+    ORDER BY sel_key, doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): pick the {k} pool docs
+    (non-English here, standing in for "raw web") whose hashed
+    unigram+bigram distribution best matches the English target slice,
+    via an Efraimidis–Spirakis race on the importance weights.  Two
+    corpus hash-aggregates bound by the bucket count, the 512-row
+    log-ratio table broadcasts, selection is a global top-k — the plan
+    reads the pool twice and the target once at any corpus size."""
+    from ..operators.selection import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", X.tokens_expr().alias("w"))
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.array_join(F.slice("w", i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(F.col("w"), bigrams)
+    return dsir_select(
+        d,
+        is_target=F.col("lang") == "en",
+        grams=grams,
+        id_col="doc_id",
+        k=_DSIR_K,
+        n_buckets=_DSIR_M,
+        smoothing=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, Abbas et al. 2023): embedding-space
 # near-duplicate removal — quantizer cells bound the pair space, exact
 # cosine ≥ threshold verifies, connected components pick one

@@ -249,6 +249,9 @@ HEADLINE = [
     # (bottom-k sample), whose append refresh reads ONLY the added files
     "view_distinct_ivm",
     "view_quantile_ivm",
+    # round-8: DSIR importance resampling (hashed-ngram ratio broadcast,
+    # deterministic exponential race, TakeOrdered selection)
+    "pipeline_dsir_select",
 ]
 
 

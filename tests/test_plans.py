@@ -624,3 +624,15 @@ def test_unigram_em_curve_stays_jvm_side(spark):
     plan = curve._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_ratio_broadcasts_and_topk(spark):
+    """DSIR's 512-row log-ratio table must broadcast into the per-doc
+    bucket counts (the corpus never moves for scoring), the k-selection
+    must plan as TakeOrdered (no global sort), and the corpus
+    aggregates must combine map-side."""
+    plan = plan_of(spark, "pipeline_dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_" in plan

@@ -332,3 +332,76 @@ def test_psi_degenerate_range_matches_oracle(spark, tmp_path):
     out = spark_df.collect()
     assert len(out) == 1
     assert out[0].psi_nano == 0 and out[0].is_drift is False
+
+
+class TestDsirSelect:
+    def _frame(self, spark):
+        # target speaks {alpha..delta}; pool doc 1 speaks target words,
+        # pool doc 2 an unrelated vocabulary, pool doc 3 is empty
+        rows = [
+            (100, True, "alpha beta gamma delta alpha beta"),
+            (101, True, "beta gamma delta alpha gamma"),
+            (1, False, "alpha beta gamma delta"),
+            (2, False, "zulu yankee xray whiskey victor uniform"),
+            (3, False, ""),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "tgt", "text"])
+
+    def _grams(self):
+        from pyspark.sql import functions as F
+
+        from airflow_postgres_etl_spark.operators.text import tokens_expr
+
+        w = tokens_expr()
+        return w  # unigrams suffice for the unit tests
+
+    def test_targetlike_doc_outranks_unrelated(self, spark):
+        from pyspark.sql import functions as F
+
+        from airflow_postgres_etl_spark.operators.selection import dsir_select
+
+        out = dsir_select(
+            self._frame(spark),
+            is_target=F.col("tgt"),
+            grams=self._grams(),
+            k=2,
+            n_buckets=64,
+        ).collect()
+        got = {r.doc_id: r.logw for r in out}
+        # empty doc carries no evidence -> never selected
+        assert 3 not in got
+        # the doc sharing the target vocabulary scores strictly higher
+        assert got[1] > got[2]
+
+    def test_deterministic_across_runs(self, spark):
+        from pyspark.sql import functions as F
+
+        from airflow_postgres_etl_spark.operators.selection import dsir_select
+
+        def run():
+            return [
+                (r.doc_id, r.logw, r.sel_key)
+                for r in dsir_select(
+                    self._frame(spark),
+                    is_target=F.col("tgt"),
+                    grams=self._grams(),
+                    k=2,
+                    n_buckets=64,
+                ).collect()
+            ]
+
+        assert run() == run()
+
+    def test_k_caps_selection(self, spark):
+        from pyspark.sql import functions as F
+
+        from airflow_postgres_etl_spark.operators.selection import dsir_select
+
+        out = dsir_select(
+            self._frame(spark),
+            is_target=F.col("tgt"),
+            grams=self._grams(),
+            k=1,
+            n_buckets=64,
+        ).collect()
+        assert len(out) == 1
