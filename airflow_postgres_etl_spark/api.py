@@ -466,6 +466,27 @@ class Table:
 
         sink.widen_keyed_table(self.spark, self.path, types, self.store)
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only ``RENAME COLUMN`` — one manifest commit, zero
+        data moves (see ``sink.rename_column``)."""
+        from . import sink
+
+        return sink.rename_column(self.spark, self.path, old, new, self.store)
+
+    def drop_column(self, col: str) -> int:
+        """Metadata-only ``DROP COLUMN`` — bytes remain until
+        :meth:`purge_column_mapping` (see ``sink.drop_column``)."""
+        from . import sink
+
+        return sink.drop_column(self.spark, self.path, col, self.store)
+
+    def purge_column_mapping(self) -> int:
+        """One rewrite that physicalizes renames and deletes dropped
+        columns' bytes (see ``sink.purge_column_mapping``)."""
+        from . import sink
+
+        return sink.purge_column_mapping(self.spark, self.path, self.store)
+
     def cluster(self, by_col: str, files_per_bucket: int = 4) -> None:
         from . import sink
 

@@ -89,6 +89,12 @@ def add_bloom_index(
     manifest = _load_manifest(target, store)
     if manifest is None:
         raise FileNotFoundError(f"no committed keyed table at {target}")
+    # blooms are keyed by PHYSICAL file+column; the caller names a
+    # logical column — translate once (read_keyed_table's where_eq does
+    # the same translation when consulting the index)
+    from .sink import _mapping_of, _phys_name
+
+    col = _phys_name(col, _mapping_of(manifest)[0])
     rels = [f for files in manifest["buckets"].values() for f in files]
     rels += [
         e["path"]

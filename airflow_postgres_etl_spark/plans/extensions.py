@@ -9882,6 +9882,123 @@ def view_quantile_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@query(
+    "table_rename_drop",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice AS price
+        FROM orders
+    ),
+    surv AS (SELECT * FROM base WHERE NOT (price < 50000)),
+    upd AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_custkey % 10 = 0 THEN price * 2
+                    ELSE price END AS price
+        FROM surv
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(price) AS BIGINT)) AS BIGINT) AS sum_price
+    FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def table_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution end-to-end: RENAME COLUMN and
+    DROP COLUMN as single manifest commits (``sink.rename_column`` /
+    ``drop_column`` — files keep their physical names; the mapping
+    relabels at the read/write boundary), then every write surface
+    speaks the NEW names: a CoW merge inserts the second half of orders
+    with a ``price`` column, DELETE and UPDATE predicates bind
+    logically, compaction folds the deltas, and the final readout
+    aggregates the renamed column.  Time-travel name exactness and the
+    fail-closed gate on non-mapping-aware ops are asserted in-query;
+    the oracle reproduces the final state closed-form from orders.
+
+    100 TB shape: the rename/drop are one manifest CAS each — zero
+    data moves on a table of any size (a rewrite-rename of a wide fact
+    table is a full-table job; this is the Delta column-mapping /
+    Iceberg field-id answer re-expressed on this format)."""
+    import shutil
+    import tempfile
+
+    from ..sink import (
+        compact_keyed_table,
+        drop_column,
+        keyed_delete_where,
+        keyed_overwrite_parquet,
+        keyed_update_where,
+        merge_into,
+        read_keyed_table,
+        rename_column,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    tmp = tempfile.mkdtemp(prefix="renamedrop_")
+    try:
+        t = f"{tmp}/t"
+        keyed_overwrite_parquet(
+            spark, o.filter(F.col("o_orderkey") % 2 == 0), t,
+            key="o_orderkey", num_buckets=8,
+            stats_cols=["o_totalprice"], vacuum=False,
+        )
+        rename_column(spark, t, "o_totalprice", "price")
+        drop_column(spark, t, "o_orderpriority")
+        keyed_overwrite_parquet(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .withColumnRenamed("o_totalprice", "price")
+            .drop("o_orderpriority"),
+            t, key="o_orderkey", vacuum=False,
+        )
+        keyed_delete_where(spark, t, "price < 50000")
+        keyed_update_where(
+            spark, t, {"price": "price * 2"}, "o_custkey % 10 = 0"
+        )
+        compact_keyed_table(spark, t)
+        cur = read_keyed_table(spark, t)
+        v1 = read_keyed_table(spark, t, version=1)
+        gate_ok = False
+        try:
+            merge_into(
+                spark, t,
+                cur.limit(1).select("o_orderkey", "price"),
+                when_matched_update={"price": "price"},
+            )
+        except ValueError:
+            gate_ok = True
+        if not (
+            "price" in cur.columns
+            and "o_totalprice" not in cur.columns
+            and "o_orderpriority" not in cur.columns
+            and "o_totalprice" in v1.columns
+            and gate_ok
+        ):
+            raise RuntimeError(
+                "column-mapping contract regressed: "
+                f"cur={cur.columns} v1={v1.columns} gate={gate_ok}"
+            )
+        rows = [
+            (x.o_orderstatus, x.n, x.sum_price)
+            for x in cur.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.floor("price").cast("long"))
+                .cast("long")
+                .alias("sum_price"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n long, sum_price long"
+    ).orderBy("o_orderstatus")
+
+
 # ---------------------------------------------------------------------------
 # Line-level boilerplate removal (CCNet / RefinedWeb pass) — the corpus
 # has no newlines, so the query derives a deterministic multi-line form

@@ -252,6 +252,9 @@ HEADLINE = [
     # round-8: DSIR importance resampling (hashed-ngram ratio broadcast,
     # deterministic exponential race, TakeOrdered selection)
     "pipeline_dsir_select",
+    # round-8: metadata-only rename/drop column lifecycle (mapping
+    # commits + logical-name merges/DML + gated-op assertion)
+    "table_rename_drop",
 ]
 
 

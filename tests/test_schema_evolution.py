@@ -205,3 +205,260 @@ def test_nullability_only_difference_is_not_a_type_conflict(spark, tmp_path):
     keyed_overwrite_parquet(spark, batch, target, num_buckets=2)
     got = {(r.oid__id, tuple(r.xs)) for r in read_keyed_table(spark, target).collect()}
     assert got == {("a", (8, 9)), ("b", (3,))}
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: metadata-only RENAME/DROP COLUMN.  Files keep physical
+# names forever; the manifest mapping relabels at the read/write
+# boundary.  The invariants: renames are one commit with zero data
+# moves, every write surface speaks logical names afterwards, time
+# travel / restore are version-exact about names, dropped names cannot
+# resurrect, non-mapping-aware ops fail closed until a purge, and the
+# purge physicalizes bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def _cm_table(spark, tmp_path, n=40):
+    from airflow_postgres_etl_spark.sink import keyed_overwrite_parquet
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(f"k{i}", i, float(i * 2), f"s{i % 3}") for i in range(n)],
+        ["oid__id", "amt", "score", "cat"],
+    )
+    keyed_overwrite_parquet(
+        spark, df, t, num_buckets=4, stats_cols=["amt"], vacuum=False
+    )
+    return t
+
+
+def test_rename_is_metadata_only(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import (
+        _load_manifest,
+        rename_column,
+    )
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    t = _cm_table(spark, tmp_path)
+    before = _load_manifest(t, LOCAL_STORE)
+    v = rename_column(spark, t, "amt", "amount")
+    after = _load_manifest(t, LOCAL_STORE)
+    assert v == before["version"] + 1
+    # zero data moves: the exact same file multiset
+    assert after["buckets"] == before["buckets"]
+    cols = read_keyed_table(spark, t).columns
+    assert "amount" in cols and "amt" not in cols
+    # the key and internal names are fenced
+    with pytest.raises(ValueError, match="key column"):
+        rename_column(spark, t, "oid__id", "id")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(spark, t, "score", "amount")
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(spark, t, "amt", "x")  # old name is gone
+
+
+def test_renamed_column_still_prunes_and_blooms(spark, tmp_path):
+    from airflow_postgres_etl_spark.bloom import add_bloom_index
+    from airflow_postgres_etl_spark.sink import rename_column
+
+    t = _cm_table(spark, tmp_path)
+    rename_column(spark, t, "amt", "amount")
+    total = len(read_keyed_table(spark, t).inputFiles())
+    pruned = read_keyed_table(spark, t, where=("amount", 35, None))
+    assert {r.amount for r in pruned.collect()} == {35, 36, 37, 38, 39}
+    assert 0 < len(pruned.inputFiles()) < total  # stats skipped files
+    add_bloom_index(spark, t, "amount")
+    got = read_keyed_table(spark, t, where_eq=("amount", 7)).collect()
+    assert len(got) == 1 and got[0].oid__id == "k7"
+
+
+def test_all_write_surfaces_speak_logical_after_rename(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import (
+        compact_keyed_table,
+        keyed_append,
+        keyed_delete_where,
+        keyed_update_where,
+        rename_column,
+    )
+
+    t = _cm_table(spark, tmp_path)
+    rename_column(spark, t, "amt", "amount")
+    cols = ["oid__id", "amount", "score", "cat"]
+    keyed_overwrite_parquet(  # CoW
+        spark, spark.createDataFrame([("k1", 100, 1.0, "s0")], cols), t,
+        vacuum=False,
+    )
+    keyed_merge_mor(  # MOR
+        spark, spark.createDataFrame([("k2", 200, 2.0, "s1")], cols), t
+    )
+    keyed_append(  # blind append
+        spark, spark.createDataFrame([("kx", 999, 9.0, "s2")], cols), t
+    )
+    compact_keyed_table(spark, t)
+    assert keyed_delete_where(spark, t, "amount = 999") == 1
+    assert keyed_update_where(
+        spark, t, {"score": "amount * 1.0"}, "amount = 200"
+    ) == 1
+    compact_keyed_table(spark, t)
+    got = {r.oid__id: (r.amount, r.score) for r in read_keyed_table(spark, t).collect()}
+    assert got["k1"] == (100, 1.0)
+    assert got["k2"] == (200, 200.0)
+    assert "kx" not in got
+    assert len(got) == 40
+
+
+def test_time_travel_and_restore_are_name_version_exact(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import (
+        rename_column,
+        restore_keyed_table,
+    )
+
+    t = _cm_table(spark, tmp_path)
+    rename_column(spark, t, "amt", "amount")
+    old = read_keyed_table(spark, t, version=1)
+    assert "amt" in old.columns and "amount" not in old.columns
+    # restore to the pre-rename snapshot restores the OLD names
+    restore_keyed_table(spark, t, 1)
+    cur = read_keyed_table(spark, t)
+    assert "amt" in cur.columns and "amount" not in cur.columns
+
+
+def test_freed_name_reuse_round_trips(spark, tmp_path):
+    """rename amt->amount then cat->amt: logical 'amt' now labels
+    physical 'cat' — the one-shot select translation must not collide."""
+    from airflow_postgres_etl_spark.sink import rename_column
+
+    t = _cm_table(spark, tmp_path, n=10)
+    rename_column(spark, t, "amt", "amount")
+    rename_column(spark, t, "cat", "amt")
+    got = {r.oid__id: (r.amount, r.amt) for r in read_keyed_table(spark, t).collect()}
+    assert got["k3"] == (3, "s0")
+    # and writes translate the swapped names back correctly
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame(
+            [("k3", 33, 6.0, "zz")], ["oid__id", "amount", "score", "amt"]
+        ),
+        t,
+        vacuum=False,
+    )
+    got = {r.oid__id: (r.amount, r.amt) for r in read_keyed_table(spark, t).collect()}
+    assert got["k3"] == (33, "zz")
+
+
+def test_drop_hides_blocks_resurrection_and_purge_physicalizes(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from airflow_postgres_etl_spark.sink import (
+        _load_manifest,
+        drop_column,
+        purge_column_mapping,
+        rename_column,
+    )
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    t = _cm_table(spark, tmp_path)
+    rename_column(spark, t, "amt", "amount")
+    drop_column(spark, t, "cat")
+    cols = read_keyed_table(spark, t).columns
+    assert "cat" not in cols
+    with pytest.raises(ValueError, match="key column"):
+        drop_column(spark, t, "oid__id")
+    with pytest.raises(ValueError, match="dropped from this table"):
+        keyed_overwrite_parquet(
+            spark,
+            spark.createDataFrame(
+                [("k9", 1, 1.0, "zz")], ["oid__id", "amount", "score", "cat"]
+            ),
+            t,
+            vacuum=False,
+        )
+    expect = {
+        (r.oid__id, r.amount, r.score)
+        for r in read_keyed_table(spark, t).collect()
+    }
+    purge_column_mapping(spark, t)
+    m = _load_manifest(t, LOCAL_STORE)
+    assert m["column_mapping"] == {} and m["dropped_columns"] == []
+    got = {
+        (r.oid__id, r.amount, r.score)
+        for r in read_keyed_table(spark, t).collect()
+    }
+    assert got == expect
+    # physical files now carry logical names; dropped bytes are GONE
+    rel = next(f for fs in m["buckets"].values() for f in fs)
+    names = pq.ParquetFile(os.path.join(t, rel)).schema_arrow.names
+    assert "amount" in names and "amt" not in names and "cat" not in names
+
+
+def test_gates_fail_closed_until_purge(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import (
+        add_table_constraint,
+        apply_changes,
+        drop_column,
+        merge_into,
+        purge_column_mapping,
+        rename_column,
+        table_changes,
+        wap_begin,
+    )
+
+    t = _cm_table(spark, tmp_path, n=10)
+    # constraint referencing a column blocks ITS drop, not others
+    add_table_constraint(spark, t, "pos", "amt >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        drop_column(spark, t, "amt")
+    drop_column(spark, t, "cat")
+    src = spark.createDataFrame([("k1", 5)], ["oid__id", "amt"])
+    with pytest.raises(ValueError, match="merge_into is not supported"):
+        merge_into(spark, t, src, when_matched_update={"amt": "5"})
+    with pytest.raises(ValueError, match="apply_changes is not supported"):
+        apply_changes(
+            spark,
+            t,
+            spark.createDataFrame(
+                [("k1", 1, "upsert", 1, 1.0)],
+                ["oid__id", "seq", "op", "amt", "score"],
+            ),
+            seq_col="seq", op_col="op",
+        )
+    with pytest.raises(ValueError, match="add_table_constraint is not"):
+        add_table_constraint(spark, t, "pos2", "amt >= -1")
+    with pytest.raises(ValueError, match="wap_begin is not supported"):
+        wap_begin(t, "audit")
+    # CDF across the mapping change is gated; within a span it works
+    with pytest.raises(ValueError, match="column mapping changed"):
+        table_changes(spark, t, 1)
+    purge_column_mapping(spark, t)
+    add_table_constraint(spark, t, "pos2", "amt >= -1")  # re-enabled
+
+
+def test_clone_carries_mapping(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import (
+        clone_keyed_table,
+        drop_column,
+        rename_column,
+    )
+
+    t = _cm_table(spark, tmp_path, n=10)
+    rename_column(spark, t, "amt", "amount")
+    drop_column(spark, t, "cat")
+    c = str(tmp_path / "c")
+    clone_keyed_table(t, c)
+    cols = read_keyed_table(spark, c).columns
+    assert "amount" in cols and "amt" not in cols and "cat" not in cols
+
+
+def test_table_facade_rename_drop_purge(spark, tmp_path):
+    from airflow_postgres_etl_spark.api import Engine
+
+    t = _cm_table(spark, tmp_path, n=10)
+    table = Engine(spark).table(t)
+    table.rename_column("amt", "amount")
+    table.drop_column("cat")
+    cols = table.read().columns
+    assert "amount" in cols and "cat" not in cols
+    table.purge_column_mapping()
+    assert "amount" in table.read().columns
