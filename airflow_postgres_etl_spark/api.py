@@ -720,3 +720,25 @@ class Table:
         from . import views
 
         return views.read_quantile_view(self.spark, mv_path, qs, self.store)
+
+    def refresh_cms_view(
+        self,
+        mv_path: str,
+        group_cols: list[str],
+        item_col: str,
+        depth: int = 4,
+        width: int = 128,
+    ) -> dict:
+        """Per-group Count-Min frequency view — a linear sketch, so
+        deletes stay incremental too (see ``views.refresh_cms_view``)."""
+        from . import views
+
+        return views.refresh_cms_view(
+            self.spark, self.path, mv_path, group_cols, item_col, depth,
+            width, self.store,
+        )
+
+    def read_cms_view(self, mv_path: str, probes: DataFrame) -> DataFrame:
+        from . import views
+
+        return views.read_cms_view(self.spark, mv_path, probes, store=self.store)

@@ -9882,6 +9882,118 @@ def view_quantile_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+_CMV_D, _CMV_W = 4, 128
+_CMV_SQL_C = (
+    "CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || event_type), 1, 15) "
+    f"AS BIGINT) % {_CMV_W}"
+)
+
+
+@query(
+    "view_cms_ivm",
+    f"""
+    WITH t AS (
+        SELECT event_type FROM events
+        WHERE ((event_id % 3 = 0 OR event_id % 3 = 1)
+               AND event_id % 7 <> 0)
+          AND event_type IS NOT NULL
+    ),
+    rows_(r) AS (SELECT unnest(range(0, {_CMV_D}))),
+    ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_cnt
+           FROM t GROUP BY event_type),
+    cells AS (SELECT r, {_CMV_SQL_C} AS c, CAST(count(*) AS BIGINT) AS cnt
+              FROM t CROSS JOIN rows_ GROUP BY 1, 2),
+    pc AS (SELECT event_type, exact_cnt, r, {_CMV_SQL_C} AS c
+           FROM ex CROSS JOIN rows_)
+    SELECT event_type, exact_cnt,
+           CAST(min(cnt) AS BIGINT) AS est_cnt,
+           min(cnt) >= max(exact_cnt) AS never_under
+    FROM pc JOIN cells USING (r, c)
+    GROUP BY event_type, exact_cnt
+    ORDER BY event_type
+    """,
+)
+def view_cms_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min FREQUENCY view maintained by pure signed deltas
+    (``views.refresh_cms_view``) — the one sketch family that is a
+    LINEAR sketch, so unlike the KMV/bottom-k views even DELETES stay
+    incremental: the refresh subtracts the removed files' cells through
+    the same delta the append adds, no touched-group recompute
+    anywhere.  Lifecycle: build → APPEND (cells add) → DELETE +
+    compaction (cells subtract; unchanged rewritten rows cancel) — both
+    refreshes asserted ``incremental`` in-query; the oracle rebuilds
+    every surviving cell closed-form and pins the one-sided CMS error
+    bound (``never_under``) inside the differential.
+
+    100 TB shape: view state is ≤ depth·width cells per group whatever
+    the data size; a refresh reads only commit-touched files, and the
+    hot path (streaming event counts with retention deletes) never
+    rescans history."""
+    import shutil
+    import tempfile
+
+    from ..sink import (
+        compact_keyed_table,
+        keyed_append,
+        keyed_delete_where,
+        keyed_overwrite_parquet,
+        read_keyed_table,
+    )
+    from ..views import read_cms_view, refresh_cms_view
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="cmsivm_")
+    try:
+        target, mv = f"{tmp}/t", f"{tmp}/mv"
+        keyed_overwrite_parquet(
+            spark, ev.filter(F.col("event_id") % 3 == 0), target,
+            key="event_id", num_buckets=8, vacuum=False,
+        )
+        args = (spark, target, mv, [], "event_type")
+        r1 = refresh_cms_view(*args, depth=_CMV_D, width=_CMV_W)
+        keyed_append(
+            spark, ev.filter(F.col("event_id") % 3 == 1), target,
+            key="event_id",
+        )
+        r2 = refresh_cms_view(*args, depth=_CMV_D, width=_CMV_W)
+        keyed_delete_where(spark, target, "event_id % 7 = 0")
+        compact_keyed_table(spark, target)
+        r3 = refresh_cms_view(*args, depth=_CMV_D, width=_CMV_W)
+        if not (
+            r1["mode"] == "full"
+            and r2["mode"] == "incremental"
+            and r3["mode"] == "incremental"
+        ):
+            raise RuntimeError(
+                "cms-view refresh modes regressed: "
+                f"{r1['mode']}, {r2['mode']}, {r3['mode']}"
+            )
+        final = read_keyed_table(spark, target).filter(
+            F.col("event_type").isNotNull()
+        )
+        exact = final.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("exact_cnt")
+        )
+        est = read_cms_view(spark, mv, exact.select("event_type"))
+        rows = [
+            (x.event_type, x.exact_cnt, x.est_cnt, x.never_under)
+            for x in exact.join(est, "event_type")
+            .select(
+                "event_type",
+                "exact_cnt",
+                "est_cnt",
+                (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_under"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, exact_cnt long, est_cnt long, never_under boolean",
+    ).orderBy("event_type")
+
+
 @query(
     "table_rename_drop",
     """

@@ -87,8 +87,9 @@ def stream_ingest(
     checkpoint hasn't advanced, so the restart retries merge+refresh.
 
     A spec may also carry ``"kind": "distinct"`` (``item_col``,
-    optional ``k``) or ``"kind": "quantile"`` (``value_col``,
-    ``key_col``, optional ``k``) to maintain the sketch-backed views
+    optional ``k``), ``"kind": "quantile"`` (``value_col``,
+    ``key_col``, optional ``k``) or ``"kind": "cms"`` (``item_col``,
+    optional ``depth``/``width``) to maintain the sketch-backed views
     in-band.  Their replay story is recompute-exactness rather than
     delta cancellation: a CoW merge's bucket rewrites put files on the
     REMOVED side, so the refresh partially recomputes touched groups
@@ -186,6 +187,12 @@ def stream_ingest(
                         spark_b, tgt, spec["mv_path"], spec["group_cols"],
                         spec["value_col"], spec["key_col"],
                         spec.get("k", 256),
+                    )
+                elif kind == "cms":
+                    _views.refresh_cms_view(
+                        spark_b, tgt, spec["mv_path"], spec["group_cols"],
+                        spec["item_col"], spec.get("depth", 4),
+                        spec.get("width", 128),
                     )
                 else:
                     raise ValueError(

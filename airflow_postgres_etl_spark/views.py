@@ -1061,3 +1061,166 @@ def read_quantile_view(
         )
     )
     return sample_quantiles(ex, group_cols, "__v", qs, tie_break="__h")
+
+
+# ---------------------------------------------------------------------------
+# CMS frequency view — the third sketch family, and the only one that is
+# a LINEAR sketch: Count-Min cells are sums of per-row contributions, so
+# the SIGNED-delta identity that maintains count/sum views maintains the
+# whole sketch under EVERY commit kind — appends add cell counts,
+# removals subtract them exactly, no touched-group recompute, no
+# extremum problem.  (KMV and bottom-k samples are order statistics:
+# they merge under appends but cannot unsee a removed member; CMS never
+# needs to.)  State is the sparse cell table (group…, r, c, cnt) —
+# ≤ depth·width rows per group whatever the data size — and a refresh
+# reads ONLY the files the commits since the last refresh touched.
+# ---------------------------------------------------------------------------
+
+
+def refresh_cms_view(
+    spark: SparkSession,
+    target: str,
+    mv_path: str,
+    group_cols: list[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 128,
+    store=LOCAL_STORE,
+) -> dict:
+    """Create or refresh a per-group Count-Min frequency view of
+    ``target.item_col`` (sparse cells ``group_cols…, r, c, cnt``;
+    :mod:`operators.sketch` hashing, md5-deterministic so the SQL
+    oracle reproduces every cell).  NULL items are ignored.  Point
+    estimates via :func:`read_cms_view`.  Same endpoint rules as
+    :func:`refresh_aggregate_view` (unclean/vacuumed → full recompute);
+    counts are integers, so incremental equals full BIT-exactly."""
+    from .operators.sketch import cms_sketch
+
+    group_cols = list(group_cols)
+    kind = "cms_freq"
+    shape = {"item_col": item_col, "depth": depth, "width": width}
+    manifest = _load_manifest(target, store)
+    if manifest is None:
+        raise FileNotFoundError(f"no keyed table committed at {target}")
+    cur_v = manifest["version"]
+    meta = store.read_json(_meta_path(mv_path))
+    if meta is not None and (
+        meta.get("kind") != kind
+        or meta.get("group_cols") != list(group_cols)
+        or any(meta.get(f) != v for f, v in shape.items())
+    ):
+        raise ValueError(
+            "existing view was built with a different shape (kind, group "
+            "columns or sketch parameters); use a new mv_path"
+        )
+    meta_extra = {"kind": kind, **shape}
+    if meta is not None and meta["source_version"] == cur_v:
+        return {"mode": "noop", "files_read": 0, "source_version": cur_v}
+
+    def _build(rows, weight=None):
+        return cms_sketch(
+            rows.filter(F.col(item_col).isNotNull()),
+            group_cols,
+            F.col(item_col).cast("string"),
+            depth=depth,
+            width=width,
+            weight=weight,
+        )
+
+    def _full():
+        rows = _read_pinned(spark, target, cur_v, store)
+        _write_view(
+            spark, mv_path, _build(rows), group_cols, [], cur_v, store,
+            meta_extra=meta_extra,
+        )
+        return {
+            "mode": "full", "files_read": len(rows.inputFiles()),
+            "source_version": cur_v,
+        }
+
+    new_files = _base_files(manifest)
+    old_manifest = (
+        store.read_json(_version_manifest_path(target, meta["source_version"]))
+        if meta is not None
+        else None
+    )
+    old_files = _base_files(old_manifest) if old_manifest else None
+    if meta is None or new_files is None or old_files is None:
+        return _full()
+    added = sorted(new_files - old_files)
+    removed = sorted(old_files - new_files)
+    if any(not store.exists(os.path.join(target, f)) for f in removed):
+        return _full()
+    mv = _read_view_frame(spark, mv_path, store)
+    if not added and not removed:
+        _write_view(
+            spark, mv_path, mv, group_cols, [], cur_v, store,
+            meta_extra=meta_extra,
+        )
+        return {"mode": "incremental", "files_read": 0, "source_version": cur_v}
+
+    # the linear-sketch delta: cells of added files minus cells of
+    # removed files, summed into the stored cell table; cells reaching
+    # zero drop out (sparse representation stays minimal)
+    parts = []
+    if added:
+        parts.append(
+            _build(_read_files(spark, target, added), weight=F.lit(1))
+        )
+    if removed:
+        parts.append(
+            _build(_read_files(spark, target, removed), weight=F.lit(-1))
+        )
+    delta = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy(*group_cols, "r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    keys = [*group_cols, "r", "c"]
+    cond = reduce(lambda a, b: a & b, [mv[k].eqNullSafe(delta[k]) for k in keys])
+    merged = (
+        mv.join(delta, cond, "full_outer")
+        .select(
+            *[F.coalesce(mv[k], delta[k]).alias(k) for k in keys],
+            (
+                F.coalesce(mv["cnt"], F.lit(0))
+                + F.coalesce(delta["cnt"], F.lit(0))
+            ).cast("long").alias("cnt"),
+        )
+        .filter(F.col("cnt") != 0)
+    )
+    _write_view(
+        spark, mv_path, merged, group_cols, [], cur_v, store,
+        meta_extra=meta_extra,
+    )
+    return {
+        "mode": "incremental",
+        "files_read": len(added) + len(removed),
+        "source_version": cur_v,
+    }
+
+
+def read_cms_view(
+    spark: SparkSession,
+    mv_path: str,
+    probes: DataFrame,
+    item_col: str | None = None,
+    store=LOCAL_STORE,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes`` against the stored
+    cells (min over the depth cells each probe hashes to — over-
+    estimates only, the CMS guarantee).  ``item_col`` defaults to the
+    view's own item column name."""
+    from .operators.sketch import cms_lookup
+
+    meta = store.read_json(_meta_path(mv_path))
+    if meta is None or meta.get("kind") != "cms_freq":
+        raise FileNotFoundError(f"no CMS view at {mv_path}")
+    return cms_lookup(
+        _read_view_frame(spark, mv_path, store),
+        probes,
+        item_col or meta["item_col"],
+        depth=meta["depth"],
+        width=meta["width"],
+        group_cols=meta["group_cols"],
+    )

@@ -255,6 +255,8 @@ HEADLINE = [
     # round-8: metadata-only rename/drop column lifecycle (mapping
     # commits + logical-name merges/DML + gated-op assertion)
     "table_rename_drop",
+    # round-8: linear-sketch CMS view (deletes stay incremental)
+    "view_cms_ivm",
 ]
 
 

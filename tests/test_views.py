@@ -1341,12 +1341,16 @@ def test_stream_ingest_maintains_sketch_views_in_band(spark, tmp_path, monkeypat
 
     tr, ev, ck = (str(tmp_path / d) for d in ("tr", "ev", "ck"))
     mvd, mvq = str(tmp_path / "mvd"), str(tmp_path / "mvq")
+    mvc = str(tmp_path / "mvc")
     spec = [
         {"target": "events", "mv_path": mvd, "kind": "distinct",
          "group_cols": ["status"], "item_col": "trackingCode", "k": 16},
         {"target": "tracking", "mv_path": mvq, "kind": "quantile",
          "group_cols": ["Op"], "value_col": "updatedAt",
          "key_col": "oid__id", "k": 16},
+        {"target": "events", "mv_path": mvc, "kind": "cms",
+         "group_cols": ["status"], "item_col": "trackingCode",
+         "depth": 3, "width": 32},
     ]
 
     def check():
@@ -1363,6 +1367,24 @@ def test_stream_ingest_maintains_sketch_views_in_band(spark, tmp_path, monkeypat
             for r in views_mod.read_distinct_view(spark, mvd).collect()
         }
         assert got == want and len(got) > 0
+
+        from airflow_postgres_etl_spark.operators.sketch import cms_sketch
+
+        want_c = {
+            (r.status, r.r, r.c, r.cnt)
+            for r in cms_sketch(
+                final_ev.filter(F.col("trackingCode").isNotNull()),
+                ["status"], F.col("trackingCode").cast("string"),
+                depth=3, width=32,
+            ).collect()
+        }
+        got_c = {
+            (r.status, r.r, r.c, r.cnt)
+            for r in views_mod._read_view_frame(
+                spark, mvc, views_mod.LOCAL_STORE
+            ).collect()
+        }
+        assert got_c == want_c and len(got_c) > 0
 
         final_tr = read_keyed_table(spark, tr)
         smp = bottomk_sample(
@@ -1426,3 +1448,89 @@ def test_stream_ingest_maintains_sketch_views_in_band(spark, tmp_path, monkeypat
                        maintain_views=bad)
     with pytest.raises(Exception, match="maintain_views kind"):
         q4.awaitTermination(180)
+
+
+def test_cms_view_linear_delta_under_append_and_delete(spark, tmp_path):
+    """The CMS view is a LINEAR sketch: appends add cell counts and a
+    delete+compact SUBTRACTS them through the same signed delta — both
+    refreshes incremental, final cells bit-equal to the direct sketch
+    over the final table."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_etl_spark.operators.sketch import cms_lookup, cms_sketch
+    from airflow_postgres_etl_spark.sink import (
+        keyed_append,
+        keyed_delete_where,
+    )
+    from airflow_postgres_etl_spark.views import read_cms_view, refresh_cms_view
+
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark, _sketch_rows(spark, 100), target, num_buckets=4, vacuum=False
+    )
+    args = (spark, target, mv, ["grp"], "item")
+    assert refresh_cms_view(*args, depth=3, width=32)["mode"] == "full"
+
+    keyed_append(spark, _sketch_rows(spark, 80, start=100), target)
+    r = refresh_cms_view(*args, depth=3, width=32)
+    assert r["mode"] == "incremental"
+
+    keyed_delete_where(spark, target, "grp = 1")
+    compact_keyed_table(spark, target)
+    r = refresh_cms_view(*args, depth=3, width=32)
+    assert r["mode"] == "incremental"  # removals subtract — no recompute
+
+    final = read_keyed_table(spark, target)
+    want = {
+        (x.grp, x.r, x.c, x.cnt)
+        for x in cms_sketch(
+            final.filter(F.col("item").isNotNull()), ["grp"],
+            F.col("item").cast("string"), depth=3, width=32,
+        ).collect()
+    }
+    from airflow_postgres_etl_spark.views import _read_view_frame
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    got = {
+        (x.grp, x.r, x.c, x.cnt)
+        for x in _read_view_frame(spark, mv, LOCAL_STORE).collect()
+    }
+    assert got == want
+    assert not any(g == 1 for g, _r, _c, _n in got)  # deleted group's cells gone
+
+    probes = final.select("grp", "item").distinct()
+    want_est = {
+        (x.grp, x.item, x.est_cnt)
+        for x in cms_lookup(
+            cms_sketch(final, ["grp"], F.col("item").cast("string"), 3, 32),
+            probes, "item", 3, 32, ["grp"],
+        ).collect()
+    }
+    got_est = {
+        (x.grp, x.item, x.est_cnt)
+        for x in read_cms_view(spark, mv, probes).collect()
+    }
+    assert got_est == want_est
+
+
+def test_cms_view_unclean_endpoint_and_fencing(spark, tmp_path):
+    from airflow_postgres_etl_spark.views import (
+        read_cms_view,
+        read_distinct_view,
+        refresh_cms_view,
+    )
+
+    target, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    keyed_overwrite_parquet(
+        spark, _sketch_rows(spark, 40), target, num_buckets=2, vacuum=False
+    )
+    refresh_cms_view(spark, target, mv, ["grp"], "item", depth=3, width=32)
+    keyed_merge_mor(spark, _sketch_rows(spark, 5, start=40), target)
+    r = refresh_cms_view(spark, target, mv, ["grp"], "item", depth=3, width=32)
+    assert r["mode"] == "full"  # pending deltas: file multiset unsound
+    with pytest.raises(ValueError):
+        refresh_cms_view(spark, target, mv, ["grp"], "item", depth=4, width=32)
+    with pytest.raises(FileNotFoundError):
+        read_distinct_view(spark, mv)
+    probes = _sketch_rows(spark, 3).select("grp", "item")
+    assert read_cms_view(spark, mv, probes).count() > 0
