@@ -152,11 +152,6 @@ SHOWCASE = {
         "A/B moments: ONE map-side-combinable hash aggregate over the"
         " filtered fact, two reduce groups"
     ),
-    "pipeline_line_dedup": (
-        "line-level boilerplate removal: one line-hash count shuffle"
-        " (map-side partial agg), heavy dictionary BROADCAST into the"
-        " anti-join, reassembly grouped on doc id"
-    ),
     "q_geo_radius_join": (
         "grid-bucketed radius join: cell equi-join + 3x3 neighbor"
         " explode on the 100x-smaller side; no cartesian product"
@@ -180,6 +175,12 @@ SHOWCASE = {
         " materialized once (count + join share it), broadcast below"
         " the threshold, sort-merge above — never an unbounded"
         " corpus-derived broadcast"
+    ),
+    "pipeline_dsir_select": (
+        "DSIR selection: two bucket-bounded corpus aggregates, the"
+        " 512-row log-ratio table BROADCAST into per-doc counts, the"
+        " k-selection as TakeOrdered — pool read twice, target once,"
+        " nothing quadratic"
     ),
 }
 
