@@ -50,11 +50,27 @@ from pyspark.sql import functions as F
 
 from .sink import (
     _load_manifest,
+    _mapping_of,
     _read_files,
+    _to_logical_df,
     _version_manifest_path,
     read_keyed_table,
 )
 from .storage import LOCAL_STORE
+
+
+def _read_files_logical(spark, target, rel_files, manifest) -> DataFrame:
+    """File-level read in the table's CURRENT logical namespace.  View
+    definitions (group/sum/item columns) speak logical names; raw files
+    store physical ones.  Physical names are era-independent, so files
+    on BOTH sides of a manifest diff translate consistently under the
+    current snapshot's mapping — a rename of an unrelated column never
+    breaks a refresh, while a rename of one of the view's OWN columns
+    surfaces as an unresolved-column error (recreate the view), never a
+    silently re-labeled aggregate (the freed-name-reuse hazard)."""
+    return _to_logical_df(
+        _read_files(spark, target, rel_files), *_mapping_of(manifest)
+    )
 
 MV_META_NAME = "_mv_meta.json"
 
@@ -144,11 +160,13 @@ def refresh_aggregate_view(
         parts = []
         if added:
             parts.append(
-                _read_files(spark, target, added).withColumn("__w", F.lit(1))
+                _read_files_logical(spark, target, added, manifest)
+                .withColumn("__w", F.lit(1))
             )
         if removed:
             parts.append(
-                _read_files(spark, target, removed).withColumn("__w", F.lit(-1))
+                _read_files_logical(spark, target, removed, manifest)
+                .withColumn("__w", F.lit(-1))
             )
         if not parts:  # version bumped with no base-file change
             _write_view(
@@ -319,7 +337,7 @@ def refresh_minmax_view(
     mv = _read_view_frame(spark, mv_path, store)
     res = _touched_partial_recompute(
         spark, target, cur_v, store, group_cols, added, removed,
-        _minmax_aggregate, mv,
+        _minmax_aggregate, mv, manifest=manifest,
     )
     if res is None:
         return _full()
@@ -338,6 +356,7 @@ def refresh_minmax_view(
 
 def _touched_partial_recompute(
     spark, target, cur_v, store, group_cols, added, removed, build, mv,
+    manifest=None,
     cap: int | None = None,
 ):
     """The partial-recompute step shared by every view kind whose
@@ -355,7 +374,9 @@ def _touched_partial_recompute(
     tests can lower it."""
     if cap is None:
         cap = MINMAX_TOUCHED_GROUP_CAP
-    touched_src = _read_files(spark, target, added + removed).select(*group_cols)
+    touched_src = _read_files_logical(
+        spark, target, added + removed, manifest
+    ).select(*group_cols)
     touched_rows = touched_src.distinct().limit(cap + 1).collect()
     if len(touched_rows) > cap:
         return None
@@ -537,11 +558,13 @@ def refresh_star_view(
         parts = []
         if added:
             parts.append(
-                _read_files(spark, paths[i], added).withColumn("__w", F.lit(1))
+                _read_files_logical(spark, paths[i], added, manifests[i])
+                .withColumn("__w", F.lit(1))
             )
         if removed:
             parts.append(
-                _read_files(spark, paths[i], removed).withColumn("__w", F.lit(-1))
+                _read_files_logical(spark, paths[i], removed, manifests[i])
+                .withColumn("__w", F.lit(-1))
             )
         if not parts:
             return None
@@ -848,7 +871,7 @@ def _refresh_sketch_view(
     if not removed:
         # append fast path: sketch ONLY the added files, merge into the
         # stored view — O(batch + view) whatever the table size
-        part = build(_read_files(spark, target, added))
+        part = build(_read_files_logical(spark, target, added, manifest))
         _write_view(
             spark, mv_path, merge_append(mv, part), group_cols, [], cur_v,
             store, meta_extra=meta_extra,
@@ -858,7 +881,8 @@ def _refresh_sketch_view(
             "groups_recomputed": 0, "source_version": cur_v,
         }
     res = _touched_partial_recompute(
-        spark, target, cur_v, store, group_cols, added, removed, build, mv
+        spark, target, cur_v, store, group_cols, added, removed, build, mv,
+        manifest=manifest,
     )
     if res is None:
         return _full()
@@ -1165,11 +1189,17 @@ def refresh_cms_view(
     parts = []
     if added:
         parts.append(
-            _build(_read_files(spark, target, added), weight=F.lit(1))
+            _build(
+                _read_files_logical(spark, target, added, manifest),
+                weight=F.lit(1),
+            )
         )
     if removed:
         parts.append(
-            _build(_read_files(spark, target, removed), weight=F.lit(-1))
+            _build(
+                _read_files_logical(spark, target, removed, manifest),
+                weight=F.lit(-1),
+            )
         )
     delta = (
         reduce(lambda a, b: a.unionByName(b), parts)

@@ -1534,3 +1534,67 @@ def test_cms_view_unclean_endpoint_and_fencing(spark, tmp_path):
         read_distinct_view(spark, mv)
     probes = _sketch_rows(spark, 3).select("grp", "item")
     assert read_cms_view(spark, mv, probes).count() > 0
+
+
+def test_views_survive_unrelated_column_rename(spark, tmp_path):
+    """Column mapping × IVM: a metadata-only rename of a column the
+    view does NOT use must leave every refresh family on its
+    incremental path (files store physical names; the views translate
+    through the table's current mapping).  Renaming a column the view
+    DOES use fails loudly at the next refresh — never a silently
+    re-labeled aggregate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from airflow_postgres_etl_spark.sink import rename_column
+    from airflow_postgres_etl_spark.views import (
+        read_aggregate_view,
+        read_distinct_view,
+        refresh_aggregate_view,
+        refresh_distinct_view,
+    )
+
+    target = str(tmp_path / "t")
+    mva, mvd = str(tmp_path / "mva"), str(tmp_path / "mvd")
+    rows = spark.createDataFrame(
+        [(f"k{i}", f"g{i % 3}", float(i), f"it{i % 7}") for i in range(40)],
+        ["oid__id", "grp", "v", "item"],
+    )
+    keyed_overwrite_parquet(spark, rows, target, num_buckets=4, vacuum=False)
+    refresh_aggregate_view(spark, target, mva, ["grp"], ["v"])
+    refresh_distinct_view(spark, target, mvd, ["grp"], "item", k=8)
+
+    # rename a column NEITHER view uses (the key is fenced; 'item' is
+    # the distinct view's item -> rename 'v'?? the aggregate uses v) —
+    # so add an unused column scenario: rename 'item' breaks mvd only.
+    rename_column(spark, target, "item", "token")
+
+    # the aggregate view (grp, v) keeps refreshing incrementally
+    up = spark.createDataFrame(
+        [("k1", "g0", 100.0, "it1")], ["oid__id", "grp", "v", "token"]
+    )
+    keyed_overwrite_parquet(spark, up, target, vacuum=False)
+    r = refresh_aggregate_view(spark, target, mva, ["grp"], ["v"])
+    assert r["mode"] == "incremental"
+    got = {x.grp: x.sum_v for x in read_aggregate_view(spark, mva).collect()}
+    exp = {
+        x.grp: x.s
+        for x in read_keyed_table(spark, target)
+        .groupBy("grp")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for g in got:
+        assert abs(got[g] - exp[g]) < 1e-6
+
+    # the distinct view's own item column was renamed: the next refresh
+    # must fail LOUDLY, not silently aggregate a re-labeled column
+    with pytest.raises(Exception) as ei:
+        refresh_distinct_view(spark, target, mvd, ["grp"], "item", k=8)
+    assert "item" in str(ei.value)
+    # recreate under the new name: clean slate works
+    mvd2 = str(tmp_path / "mvd2")
+    r = refresh_distinct_view(spark, target, mvd2, ["grp"], "token", k=8)
+    assert r["mode"] == "full"
+    assert len(read_distinct_view(spark, mvd2).collect()) == 3
