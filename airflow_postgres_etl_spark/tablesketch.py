@@ -145,6 +145,20 @@ def _resolved_dirty_rows(
     return sink._resolve_dirty(spark, target, manifest, key, dirty)
 
 
+
+def _phys(col: str, manifest: dict) -> str:
+    """User-facing facades name LOGICAL columns; files and sidecars are
+    keyed by PHYSICAL names (era-independent — renames keep the cached
+    per-file sketches valid).  A dropped column refuses loudly."""
+    from . import sink
+
+    mapping, dropped = sink._mapping_of(manifest)
+    phys = sink._phys_name(col, mapping)
+    if phys in set(dropped):
+        raise ValueError(f"column {col!r} was dropped from this table")
+    return phys
+
+
 def table_kmv_distinct(
     spark: SparkSession,
     target: str,
@@ -159,7 +173,8 @@ def table_kmv_distinct(
     buckets."""
     clean_files, dirty, manifest = _live_split(target, store)
     per_col = []
-    for col in cols:
+    for label in cols:
+        col = _phys(label, manifest)
         side = _sidecar_dir(target, f"kmv{k}", col)
 
         def build(files, col=col):
@@ -197,7 +212,7 @@ def table_kmv_distinct(
         )
         per_col.append(
             merged.select(
-                F.lit(col).alias("column"),
+                F.lit(label).alias("column"),
                 SK.kmv_estimate_expr(k).alias("distinct_est"),
             )
         )
@@ -220,6 +235,7 @@ def table_frequencies(
     ``col``: ``(item, est_cnt)``.  Cells sum across per-file sketches —
     identical to a whole-table CMS."""
     clean_files, dirty, manifest = _live_split(target, store)
+    col = _phys(col, manifest)
     side = _sidecar_dir(target, f"cms{depth}x{width}", col)
 
     def build(files):
@@ -277,6 +293,7 @@ def table_quantiles(
     from . import sink
 
     clean_files, dirty, manifest = _live_split(target, store)
+    col = _phys(col, manifest)
     spec = store.read_json(sink._spec_path(target))
     key = spec["key"]
     side = _sidecar_dir(target, f"bk{k}", col)

@@ -152,3 +152,41 @@ def test_vacuum_spares_sketch_sidecar(spark, tmp_path):
     assert t.vacuum(retention_s=0) >= 0
     side = os.path.join(t.path, SKETCH_SUBDIR, f"kmv{SK.DEFAULT_K}_v")
     assert spark.read.parquet(side).count() > 0
+
+
+def test_table_sketches_follow_column_rename(spark, tmp_path):
+    """Facades name LOGICAL columns; sidecars are keyed by physical
+    names, so a metadata-only rename keeps the cached per-file sketches
+    valid — same estimates before and after, under the new name; a
+    dropped column refuses loudly."""
+    import pytest as _pytest
+
+    from airflow_postgres_etl_spark.sink import (
+        drop_column,
+        keyed_overwrite_parquet,
+        rename_column,
+    )
+    from airflow_postgres_etl_spark.tablesketch import (
+        table_frequencies,
+        table_kmv_distinct,
+    )
+
+    t = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(f"k{i}", f"v{i % 11}", f"w{i % 5}") for i in range(60)],
+        ["oid__id", "val", "aux"],
+    )
+    keyed_overwrite_parquet(spark, rows, t, num_buckets=2, vacuum=False)
+    before = table_kmv_distinct(spark, t, ["val"]).collect()[0]
+    rename_column(spark, t, "val", "value")
+    after = table_kmv_distinct(spark, t, ["value"]).collect()[0]
+    assert after.distinct_est == before.distinct_est
+    assert after.column == "value"
+    est = {
+        r.item: r.est_cnt
+        for r in table_frequencies(spark, t, "value", ["v1", "v9"]).collect()
+    }
+    assert est["v1"] > 0 and est["v9"] > 0
+    drop_column(spark, t, "aux")
+    with _pytest.raises(ValueError, match="dropped"):
+        table_kmv_distinct(spark, t, ["aux"])
