@@ -460,5 +460,12 @@ def test_table_facade_rename_drop_purge(spark, tmp_path):
     table.drop_column("cat")
     cols = table.read().columns
     assert "amount" in cols and "cat" not in cols
+    from airflow_postgres_etl_spark.sink import describe_keyed_table
+
+    d = describe_keyed_table(t)
+    assert d["column_mapping"] == {"amount": "amt"}
+    assert d["dropped_columns"] == ["cat"]
     table.purge_column_mapping()
     assert "amount" in table.read().columns
+    d = describe_keyed_table(t)
+    assert d["column_mapping"] == {} and d["dropped_columns"] == []
