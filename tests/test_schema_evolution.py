@@ -469,3 +469,35 @@ def test_table_facade_rename_drop_purge(spark, tmp_path):
     assert "amount" in table.read().columns
     d = describe_keyed_table(t)
     assert d["column_mapping"] == {} and d["dropped_columns"] == []
+
+
+def test_stale_prerename_writer_rejected(spark, tmp_path):
+    """A batch still using the PRE-rename column name must be rejected:
+    the physical column exists in the files, so without this guard the
+    alignment check passes and the stale writer's data silently lands
+    under the renamed column."""
+    from airflow_postgres_etl_spark.sink import rename_column
+
+    t = _cm_table(spark, tmp_path, n=10)
+    rename_column(spark, t, "amt", "amount")
+    with pytest.raises(ValueError, match="pre-rename"):
+        keyed_overwrite_parquet(
+            spark,
+            spark.createDataFrame(
+                [("k1", 5, 1.0, "s0")], ["oid__id", "amt", "score", "cat"]
+            ),
+            t,
+            vacuum=False,
+        )
+    # freed-name reuse: 'amt' becomes a legitimate logical again
+    rename_column(spark, t, "cat", "amt")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame(
+            [("k1", 5, 1.0, "zz")], ["oid__id", "amount", "score", "amt"]
+        ),
+        t,
+        vacuum=False,
+    )
+    got = read_keyed_table(spark, t).filter("oid__id='k1'").collect()[0]
+    assert got.amount == 5 and got.amt == "zz"
