@@ -37,13 +37,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 @dataclass(frozen=True)
 class Rule:
     name: str
-    kind: str  # predicate | unique | foreign_key | fresh
+    kind: str  # predicate | unique | foreign_key | fresh | distribution
     predicate: str | None = None
     cols: tuple[str, ...] = ()
     parent: DataFrame | None = field(default=None, compare=False)
     parent_col: str | None = None
     ts_col: str | None = None
     max_lag_s: int | None = None
+    #: distribution rules: ((bucket label, expected probability), ...)
+    ref: tuple[tuple[str, float], ...] = ()
+    #: numeric flavor: ascending cut points; bucket i = # edges below
+    edges: tuple[float, ...] | None = None
 
 
 def expect(name: str, predicate: str) -> Rule:
@@ -65,6 +69,137 @@ def expect_foreign_key(
 
 def expect_fresh(name: str, ts_col: str, max_lag_s: int) -> Rule:
     return Rule(name=name, kind="fresh", ts_col=ts_col, max_lag_s=max_lag_s)
+
+
+#: smoothing for the batch-side proportions and the log's reference
+#: clamp — keeps every PSI term finite on empty buckets
+PSI_LAMBDA = 0.5
+OTHER_BUCKET = "__OTHER__"
+
+
+def expect_distribution(
+    name: str,
+    col: str,
+    reference: dict[str, float] | None = None,
+    *,
+    edges: list[float] | None = None,
+    probs: list[float] | None = None,
+) -> Rule:
+    """Drift gate: Population Stability Index of ``col``'s batch
+    distribution against a fixed REFERENCE distribution — the circuit
+    breaker that stops an upstream schema/semantics change (all rows
+    suddenly one category, a price column silently re-scaled) from
+    merging, which no row-local predicate can see.
+
+    Two flavors: categorical (``reference={value: prob, ...}``; values
+    outside the dictionary — including NULL — pool into ``__OTHER__``)
+    and numeric (``edges=[c1 < c2 < ...]`` with ``probs`` of length
+    ``len(edges)+1``; NULLs pool into ``__OTHER__``).  Capture a
+    reference from data with :func:`reference_distribution` /
+    :func:`reference_bins`.
+
+    The REPORT row carries the drift measure itself: ``n_violations``
+    is the PSI in integer MICRO-units (``round(psi * 1e6)``), so the
+    existing ``fail_thresholds`` gate thresholds it directly —
+    ``{name: 100_000}`` rejects a batch whose PSI exceeds 0.1 (the
+    conventional "significant shift" line; 0.25 = severe).  Like
+    unique/FK rules it is a GLOBAL statement: it never diverts rows to
+    quarantine, it gates the batch.
+
+    Cost: ONE hash aggregate over the batch bounded by the bucket
+    count, then arithmetic over ≤ |buckets| rows — batch-size
+    independent state, 100 TB-safe by construction."""
+    if (reference is None) == (edges is None):
+        raise ValueError("pass exactly one of reference= or edges=/probs=")
+    if edges is not None:
+        if probs is None or len(probs) != len(edges) + 1:
+            raise ValueError("numeric flavor needs probs of len(edges)+1")
+        if sorted(edges) != list(edges):
+            raise ValueError("edges must be ascending")
+        ref = [(str(i), float(q)) for i, q in enumerate(probs)]
+        ref.append((OTHER_BUCKET, 0.0))
+        return Rule(
+            name=name, kind="distribution", cols=(col,),
+            ref=tuple(ref), edges=tuple(float(e) for e in edges),
+        )
+    ref_d = dict(reference)
+    ref_d.setdefault(OTHER_BUCKET, 0.0)
+    total = sum(ref_d.values())
+    if not total > 0:
+        raise ValueError("reference probabilities must sum > 0")
+    return Rule(
+        name=name, kind="distribution", cols=(col,),
+        ref=tuple(sorted((k, v / total) for k, v in ref_d.items())),
+    )
+
+
+def reference_distribution(
+    df: DataFrame, col: str, top_k: int = 32
+) -> dict[str, float]:
+    """Capture a categorical reference from data: the ``top_k`` most
+    frequent values' observed proportions (ties broken by value), the
+    rest pooled into ``__OTHER__``.  One aggregate; the collect is
+    bounded by ``top_k``."""
+    rows = (
+        df.select(F.col(col).cast("string").alias("__v"))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), "__v")
+        .limit(top_k + 1)
+        .collect()
+    )
+    n = df.count()
+    top = [(r["__v"], r["__c"]) for r in rows if r["__v"] is not None][:top_k]
+    covered = sum(c for _v, c in top)
+    out = {v: c / n for v, c in top}
+    out[OTHER_BUCKET] = max(0.0, (n - covered) / n)
+    return out
+
+
+def reference_bins(
+    df: DataFrame, col: str, n_bins: int = 10
+) -> tuple[list[float], list[float]]:
+    """Capture a numeric reference: exact-percentile bin edges at
+    ``i/n_bins`` plus the observed per-bin proportions (NULL share
+    lands in the trailing ``__OTHER__`` bucket of the rule)."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = [
+        float(x)
+        for x in df.agg(
+            F.expr(
+                f"percentile({col}, array({', '.join(map(str, qs))}))"
+            ).alias("__e")
+        ).collect()[0]["__e"]
+    ]
+    # dedupe equal edges (constant stretches) while keeping order
+    edges = sorted(set(edges))
+    bucket = _distribution_bucket(F.col(col), tuple(edges))
+    counts = {
+        r["__b"]: r["__c"]
+        for r in df.select(bucket.alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    n = sum(counts.values()) or 1
+    probs = [counts.get(str(i), 0) / n for i in range(len(edges) + 1)]
+    return edges, probs
+
+
+def _distribution_bucket(c: Column, edges: tuple[float, ...] | None,
+                         labels: tuple[str, ...] = ()) -> Column:
+    """The bucket label of a value — emits ONLY labels the rule's
+    reference covers, so the PSI join is total by construction."""
+    if edges is not None:
+        idx = F.lit(0)
+        for e in edges:
+            idx = idx + (c > F.lit(e)).cast("int")
+        return F.when(c.isNull(), F.lit(OTHER_BUCKET)).otherwise(
+            idx.cast("string")
+        )
+    known = [l for l in labels if l != OTHER_BUCKET]
+    cs = c.cast("string")
+    return F.when(cs.isin(known), cs).otherwise(F.lit(OTHER_BUCKET))
 
 
 def _violation_flag(pred: str) -> Column:
@@ -184,6 +319,54 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
                     "n_rows",
                 )
             )
+
+    for r in rules:
+        if r.kind != "distribution":
+            continue
+        bucket = _distribution_bucket(
+            F.col(r.cols[0]), r.edges, tuple(l for l, _q in r.ref)
+        )
+        counts = (
+            df.select(bucket.alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        ref_df = spark.createDataFrame(
+            list(r.ref), "__b string, __q double"
+        )
+        nb = len(r.ref)
+        tot = counts.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__nn"))
+        # bucket expr emits only reference labels -> LEFT join is total
+        # SYMMETRIC smoothing: both sides pass through the same
+        # (count + lambda)/(N + lambda*B) transform, the reference via
+        # its implied count N*q — a batch matching the reference
+        # EXACTLY scores PSI = 0 (not a spurious floor-clamp penalty
+        # on zero-probability buckets), and every term stays finite
+        # because both smoothed sides are >= lambda/(N + lambda*B)
+        denom = F.col("__nn") + F.lit(PSI_LAMBDA * nb)
+        p = (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(PSI_LAMBDA)) / denom
+        q = (F.col("__nn") * F.col("__q") + F.lit(PSI_LAMBDA)) / denom
+        term = (p - q) * F.log(p / q)
+        psi = (
+            ref_df.join(counts, "__b", "left")
+            .crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum(term).alias("__psi"),
+                F.max("__nn").alias("__nn"),
+            )
+        )
+        reports.append(
+            psi.select(
+                F.lit(r.name).alias("rule"),
+                F.lit(r.kind).alias("kind"),
+                # the drift measure itself, in integer micro-PSI —
+                # fail_thresholds={name: 100_000} gates at PSI 0.1
+                F.round(F.col("__psi") * F.lit(1e6))
+                .cast("long")
+                .alias("n_violations"),
+                F.col("__nn").cast("long").alias("n_rows"),
+            )
+        )
 
     if not reports:
         return spark.createDataFrame(

@@ -9882,6 +9882,159 @@ def view_quantile_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# PSI fragments shared by both drift rules: p/q smoothed through the
+# SAME (count + 0.5)/(N + 0.5*B) transform (operators/expectations.py),
+# so a batch matching the reference exactly scores 0.
+_PSI_TERM = (
+    "((coalesce(c, 0) + 0.5) / (n + 0.5 * {b})"
+    " - (n * q + 0.5) / (n + 0.5 * {b}))"
+    " * ln(((coalesce(c, 0) + 0.5) / (n + 0.5 * {b}))"
+    "      / ((n * q + 0.5) / (n + 0.5 * {b})))"
+)
+_PRICE_BUCKET = (
+    "CAST(CAST(o_totalprice > 50000 AS INT) + CAST(o_totalprice > 100000 "
+    "AS INT) + CAST(o_totalprice > 150000 AS INT) AS VARCHAR)"
+)
+
+
+@query(
+    "dq_drift_gate",
+    f"""
+    WITH refh AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    simb AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+    skwb AS (SELECT * FROM orders
+             WHERE o_orderstatus = 'F' AND o_totalprice < 100000),
+    -- categorical reference: status proportions of the even half
+    sref AS (SELECT o_orderstatus AS lbl, CAST(count(*) AS DOUBLE) AS c
+             FROM refh GROUP BY 1),
+    sq AS (SELECT lbl, c / (SELECT sum(c) FROM sref) AS q FROM sref
+           UNION ALL SELECT '__OTHER__', 0.0),
+    -- numeric reference: fixed price edges, even-half proportions
+    pref AS (SELECT {_PRICE_BUCKET} AS lbl, CAST(count(*) AS DOUBLE) AS c
+             FROM refh GROUP BY 1),
+    pq AS (SELECT lbl, c / (SELECT sum(c) FROM pref) AS q FROM pref
+           UNION ALL SELECT '3', 0.0
+           UNION ALL SELECT '__OTHER__', 0.0),
+    pq2 AS (SELECT lbl, max(q) AS q FROM pq GROUP BY lbl),
+    -- per-batch bucket counts
+    s_sim AS (SELECT o_orderstatus AS lbl, count(*) AS c FROM simb GROUP BY 1),
+    s_skw AS (SELECT o_orderstatus AS lbl, count(*) AS c FROM skwb GROUP BY 1),
+    p_sim AS (SELECT {_PRICE_BUCKET} AS lbl, count(*) AS c FROM simb GROUP BY 1),
+    p_skw AS (SELECT {_PRICE_BUCKET} AS lbl, count(*) AS c FROM skwb GROUP BY 1),
+    n_sim AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM simb),
+    n_skw AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM skwb),
+    rows_ AS (
+        SELECT 'status_drift' AS rule, 'similar' AS batch,
+               sum({_PSI_TERM.format(b="(SELECT count(*) FROM sq)")}) AS psi
+        FROM sq LEFT JOIN s_sim USING (lbl) CROSS JOIN n_sim
+        UNION ALL
+        SELECT 'status_drift', 'skewed',
+               sum({_PSI_TERM.format(b="(SELECT count(*) FROM sq)")})
+        FROM sq LEFT JOIN s_skw USING (lbl) CROSS JOIN n_skw
+        UNION ALL
+        SELECT 'price_drift', 'similar',
+               sum({_PSI_TERM.format(b="(SELECT count(*) FROM pq2)")})
+        FROM pq2 LEFT JOIN p_sim USING (lbl) CROSS JOIN n_sim
+        UNION ALL
+        SELECT 'price_drift', 'skewed',
+               sum({_PSI_TERM.format(b="(SELECT count(*) FROM pq2)")})
+        FROM pq2 LEFT JOIN p_skw USING (lbl) CROSS JOIN n_skw
+    )
+    SELECT rule, batch,
+           CAST(round(psi * 1000000.0) AS BIGINT) AS micro_psi
+    FROM rows_ ORDER BY rule, batch
+    """,
+)
+def dq_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift expectations (PSI) end-to-end: references
+    captured from the even half of orders (categorical status
+    proportions via ``reference_distribution``; fixed price bin edges
+    with even-half proportions), then two probe batches — the odd half
+    (same generator: PSI ≈ 0) and a deliberately skewed slice (only
+    'F' orders under 100k: PSI far past the 0.1 action line).  The
+    gate behavior is asserted in-query through the SAME
+    ``gate_and_merge`` every load path uses: the similar batch merges
+    under ``fail_thresholds={rule: 100_000}`` (micro-PSI), the skewed
+    batch is rejected with zero side effects.  The oracle reproduces
+    every smoothed term closed-form — micro-PSI is the output, so the
+    differential checks the measure itself, not just the verdict.
+
+    100 TB shape: each rule is one batch hash-aggregate bounded by its
+    bucket count plus arithmetic over ≤ B rows — the drift check adds
+    batch-size-independent state to the DQ pass, and the circuit
+    breaker composes with the existing expect_or_fail machinery
+    unchanged."""
+    import shutil
+    import tempfile
+
+    from ..operators.expectations import (
+        ExpectationFailure,
+        check_expectations,
+        expect_distribution,
+        gate_and_merge,
+        reference_distribution,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    refh = o.filter(F.col("o_orderkey") % 2 == 0)
+    simb = o.filter(F.col("o_orderkey") % 2 == 1)
+    skwb = o.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 100000)
+    )
+
+    status_ref = reference_distribution(refh, "o_orderstatus", top_k=8)
+    edges = [50000.0, 100000.0, 150000.0]
+    bucket = sum(
+        (F.col("o_totalprice") > e).cast("int") for e in edges
+    ).cast("string")
+    counts = {
+        r["b"]: r["c"]
+        for r in refh.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_ref = sum(counts.values())
+    probs = [counts.get(str(i), 0) / n_ref for i in range(len(edges) + 1)]
+    rules = [
+        expect_distribution("status_drift", "o_orderstatus", status_ref),
+        expect_distribution(
+            "price_drift", "o_totalprice", edges=edges, probs=probs
+        ),
+    ]
+
+    rows = []
+    for label, batch in (("similar", simb), ("skewed", skwb)):
+        for r in check_expectations(batch, rules).collect():
+            rows.append((r.rule, label, r.n_violations))
+
+    # the gate itself, through the real load path
+    tmp = tempfile.mkdtemp(prefix="driftgate_")
+    try:
+        t = f"{tmp}/t"
+        thresholds = {"status_drift": 100_000, "price_drift": 100_000}
+        gate_and_merge(
+            spark, simb, t, rules, fail_thresholds=thresholds,
+            key="o_orderkey", num_buckets=4,
+        )
+        rejected = False
+        try:
+            gate_and_merge(
+                spark, skwb, t, rules, fail_thresholds=thresholds,
+                key="o_orderkey",
+            )
+        except ExpectationFailure:
+            rejected = True
+        if not rejected:
+            raise RuntimeError("skewed batch passed the drift gate")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.createDataFrame(
+        rows, "rule string, batch string, micro_psi long"
+    ).orderBy("rule", "batch")
+
+
 _CMV_D, _CMV_W = 4, 128
 _CMV_SQL_C = (
     "CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || event_type), 1, 15) "

@@ -257,6 +257,8 @@ HEADLINE = [
     "table_rename_drop",
     # round-8: linear-sketch CMS view (deletes stay incremental)
     "view_cms_ivm",
+    # round-8: PSI distribution-drift gate through the real load path
+    "dq_drift_gate",
 ]
 
 

@@ -403,3 +403,142 @@ def test_stream_gate_replay_after_crash_quarantines_once(spark, tmp_path, monkey
     got_tr = rows_of(eng.table(os.path.join(out, "tracking")).read())
     want_tr = rows_of(eng.table(os.path.join(out2, "tracking")).read())
     assert got_tr == want_tr and len(got_tr) > 0
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift expectations (PSI): the batch-level circuit breaker
+# no row-local predicate can express.
+# ---------------------------------------------------------------------------
+
+
+def _psi_hand(counts, ref, n):
+    import math
+
+    lam, nb = 0.5, len(ref)
+    psi = 0.0
+    for lbl, q in ref:
+        p = (counts.get(lbl, 0) + lam) / (n + lam * nb)
+        qs = (n * q + lam) / (n + lam * nb)
+        psi += (p - qs) * math.log(p / qs)
+    return round(psi * 1e6)
+
+
+def test_distribution_psi_matches_hand_computation(spark):
+    from airflow_postgres_etl_spark.operators.expectations import (
+        check_expectations,
+        expect_distribution,
+    )
+
+    rule = expect_distribution("drift", "v", {"a": 0.5, "b": 0.3, "c": 0.2})
+    batch = spark.createDataFrame(
+        [(f"x{i}", ["a", "b", "c"][i % 3]) for i in range(300)],
+        ["oid__id", "v"],
+    )
+    rep = {
+        r.rule: (r.n_violations, r.n_rows)
+        for r in check_expectations(batch, [rule]).collect()
+    }
+    want = _psi_hand({"a": 100, "b": 100, "c": 100}, rule.ref, 300)
+    assert rep["drift"] == (want, 300)
+
+
+def test_distribution_numeric_and_null_pooling(spark):
+    from airflow_postgres_etl_spark.operators.expectations import (
+        check_expectations,
+        expect_distribution,
+    )
+
+    rule = expect_distribution(
+        "drift", "x", edges=[10.0, 20.0], probs=[0.5, 0.3, 0.2]
+    )
+    rows = [(f"k{i}", float(v)) for i, v in enumerate([1] * 5 + [15] * 3 + [25] * 2)]
+    batch = spark.createDataFrame(rows, "oid__id string, x double").unionByName(
+        spark.createDataFrame([("kn", None)], "oid__id string, x double")
+    )
+    rep = check_expectations(batch, [rule]).collect()[0]
+    # buckets: "0":5 "1":3 "2":2 __OTHER__:1 (the NULL)
+    want = _psi_hand(
+        {"0": 5, "1": 3, "2": 2, "__OTHER__": 1}, rule.ref, 11
+    )
+    assert (rep.n_violations, rep.n_rows) == (want, 11)
+
+
+def test_distribution_gate_rejects_drifted_batch_only(spark, tmp_path):
+    from airflow_postgres_etl_spark.operators.expectations import (
+        ExpectationFailure,
+        expect_distribution,
+        gate_and_merge,
+    )
+    from airflow_postgres_etl_spark.sink import read_keyed_table, table_version
+
+    t = str(tmp_path / "t")
+    rule = expect_distribution(
+        "drift", "v", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    )
+    ok = spark.createDataFrame(
+        [(f"x{i}", ["a", "b", "c"][i % 3]) for i in range(90)],
+        ["oid__id", "v"],
+    )
+    gate_and_merge(
+        spark, ok, t, [rule], fail_thresholds={"drift": 100_000},
+        num_buckets=2,
+    )
+    assert read_keyed_table(spark, t).count() == 90
+    v = table_version(t)
+    bad = spark.createDataFrame(
+        [(f"y{i}", "zzz") for i in range(50)], ["oid__id", "v"]
+    )
+    with pytest.raises(ExpectationFailure, match="drift"):
+        gate_and_merge(
+            spark, bad, t, [rule], fail_thresholds={"drift": 100_000}
+        )
+    # fail-stop with ZERO side effects: no version bump, no quarantine
+    assert table_version(t) == v
+    assert read_keyed_table(spark, t).count() == 90
+    # without a threshold it is report-only: the batch merges, the
+    # micro-PSI lands in the persisted report
+    rep = gate_and_merge(spark, bad, t, [rule])
+    assert read_keyed_table(spark, t).count() == 140
+    assert rep[0]["n_violations"] > 1_000_000  # PSI >> 1
+
+
+def test_reference_capture_helpers(spark):
+    from airflow_postgres_etl_spark.operators.expectations import (
+        reference_bins,
+        reference_distribution,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", ["a"] * 6 + ["b"] * 3 + ["c"] * 1)[1][i % 10]
+         if False else (f"k{i}", (["a"] * 6 + ["b"] * 3 + ["c"])[i % 10])
+         for i in range(100)],
+        ["oid__id", "v"],
+    )
+    cap = reference_distribution(df, "v", top_k=2)
+    assert abs(cap["a"] - 0.6) < 1e-9 and abs(cap["b"] - 0.3) < 1e-9
+    assert abs(cap["__OTHER__"] - 0.1) < 1e-9
+
+    num = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(100)], "oid__id string, x double"
+    )
+    edges, probs = reference_bins(num, "x", n_bins=4)
+    assert len(probs) == len(edges) + 1
+    assert abs(sum(probs) - 1.0) < 1e-9
+    assert all(abs(p - 0.25) < 0.02 for p in probs)
+
+
+def test_distribution_builder_validation():
+    from airflow_postgres_etl_spark.operators.expectations import (
+        expect_distribution,
+    )
+
+    with pytest.raises(ValueError, match="exactly one"):
+        expect_distribution("d", "v")
+    with pytest.raises(ValueError, match="exactly one"):
+        expect_distribution("d", "v", {"a": 1.0}, edges=[1.0], probs=[0.5, 0.5])
+    with pytest.raises(ValueError, match="len"):
+        expect_distribution("d", "v", edges=[1.0, 2.0], probs=[0.5, 0.5])
+    with pytest.raises(ValueError, match="ascending"):
+        expect_distribution("d", "v", edges=[2.0, 1.0], probs=[0.3, 0.3, 0.4])
+    with pytest.raises(ValueError, match="sum"):
+        expect_distribution("d", "v", {"a": 0.0})
