@@ -542,3 +542,55 @@ def test_distribution_builder_validation():
         expect_distribution("d", "v", edges=[2.0, 1.0], probs=[0.3, 0.3, 0.4])
     with pytest.raises(ValueError, match="sum"):
         expect_distribution("d", "v", {"a": 0.0})
+
+
+def test_stream_ingest_drift_rule_gates_stream(spark, tmp_path):
+    """A distribution rule rides the same streaming expectations path:
+    a reference the fixture's status mix cannot match fails the first
+    trigger fail-stop (checkpoint never advances); a reference captured
+    FROM the stream's own output passes a re-run."""
+    import os
+
+    from airflow_postgres_etl_spark.api import Engine
+    from airflow_postgres_etl_spark.operators.expectations import (
+        expect_distribution,
+        reference_distribution,
+    )
+
+    from .fixtures.gen_raw import generate
+
+    csv_dir = str(tmp_path / "csv")
+    generate(csv_dir, n_files=2, rows_per_file=20)
+    eng = Engine(spark)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    impossible = expect_distribution(
+        "status_drift", "status", {"NO_SUCH_STATUS": 1.0}
+    )
+    q = eng.stream_ingest(
+        csv_dir, out, ck,
+        expectations={"events": [impossible]},
+        fail_thresholds={"events": {"status_drift": 100_000}},
+        max_files_per_trigger=10,
+    )
+    with pytest.raises(Exception, match="status_drift"):
+        q.awaitTermination(300)
+    events_target = os.path.join(out, "events")
+    assert not os.path.isdir(events_target)  # fail-stop: nothing landed
+
+    # bootstrap unguarded, capture the real mix, re-gate: passes
+    q2 = eng.stream_ingest(csv_dir, out, ck)
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    ref = reference_distribution(
+        eng.table(events_target).read(), "status", top_k=16
+    )
+    ok_rule = expect_distribution("status_drift", "status", ref)
+    csv2 = str(tmp_path / "csv2")
+    generate(csv2, n_files=1, rows_per_file=20)
+    q3 = eng.stream_ingest(
+        csv2, out, str(tmp_path / "ck2"),
+        expectations={"events": [ok_rule]},
+        fail_thresholds={"events": {"status_drift": 250_000}},
+    )
+    q3.awaitTermination(300)
+    assert q3.exception() is None
