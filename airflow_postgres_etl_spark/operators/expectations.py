@@ -112,12 +112,27 @@ def expect_distribution(
     if (reference is None) == (edges is None):
         raise ValueError("pass exactly one of reference= or edges=/probs=")
     if edges is not None:
-        if probs is None or len(probs) != len(edges) + 1:
-            raise ValueError("numeric flavor needs probs of len(edges)+1")
+        # len(edges)+1 numeric buckets, plus an OPTIONAL trailing entry
+        # for __OTHER__ (the NULL share) — reference_bins emits it, so a
+        # steady NULL rate is part of the expectation instead of a
+        # constant PSI penalty against a hardcoded 0.0
+        if probs is None or len(probs) not in (len(edges) + 1,
+                                               len(edges) + 2):
+            raise ValueError(
+                "numeric flavor needs probs of len(edges)+1 (or +2 with "
+                "a trailing __OTHER__/NULL share)"
+            )
         if sorted(edges) != list(edges):
             raise ValueError("edges must be ascending")
-        ref = [(str(i), float(q)) for i, q in enumerate(probs)]
-        ref.append((OTHER_BUCKET, 0.0))
+        total = float(sum(probs))
+        if not total > 0:
+            raise ValueError("reference probabilities must sum > 0")
+        ref = [
+            (str(i), float(q) / total)
+            for i, q in enumerate(probs[: len(edges) + 1])
+        ]
+        other = probs[len(edges) + 1] if len(probs) > len(edges) + 1 else 0.0
+        ref.append((OTHER_BUCKET, float(other) / total))
         return Rule(
             name=name, kind="distribution", cols=(col,),
             ref=tuple(ref), edges=tuple(float(e) for e in edges),
@@ -149,6 +164,10 @@ def reference_distribution(
         .collect()
     )
     n = df.count()
+    if n == 0:
+        raise ValueError(
+            "cannot capture a reference distribution from an empty frame"
+        )
     top = [(r["__v"], r["__c"]) for r in rows if r["__v"] is not None][:top_k]
     covered = sum(c for _v, c in top)
     out = {v: c / n for v, c in top}
@@ -160,17 +179,23 @@ def reference_bins(
     df: DataFrame, col: str, n_bins: int = 10
 ) -> tuple[list[float], list[float]]:
     """Capture a numeric reference: exact-percentile bin edges at
-    ``i/n_bins`` plus the observed per-bin proportions (NULL share
-    lands in the trailing ``__OTHER__`` bucket of the rule)."""
+    ``i/n_bins`` plus the observed per-bin proportions, with the
+    observed NULL share as a TRAILING extra entry (``len(edges)+2``
+    probs total) that :func:`expect_distribution` maps to the
+    ``__OTHER__`` bucket — so a steady NULL rate is expected, not
+    flagged as drift."""
     qs = [i / n_bins for i in range(1, n_bins)]
-    edges = [
-        float(x)
-        for x in df.agg(
-            F.expr(
-                f"percentile({col}, array({', '.join(map(str, qs))}))"
-            ).alias("__e")
-        ).collect()[0]["__e"]
-    ]
+    raw = df.agg(
+        F.expr(
+            f"percentile({col}, array({', '.join(map(str, qs))}))"
+        ).alias("__e")
+    ).collect()[0]["__e"]
+    if raw is None or any(x is None for x in raw):
+        raise ValueError(
+            "cannot capture reference bins: no non-NULL values in "
+            f"{col!r}"
+        )
+    edges = [float(x) for x in raw]
     # dedupe equal edges (constant stretches) while keeping order
     edges = sorted(set(edges))
     bucket = _distribution_bucket(F.col(col), tuple(edges))
@@ -181,8 +206,14 @@ def reference_bins(
         .agg(F.count(F.lit(1)).alias("__c"))
         .collect()
     }
-    n = sum(counts.values()) or 1
+    n = sum(counts.values())
+    if n == 0:
+        raise ValueError(
+            "cannot capture reference bins from an empty frame"
+        )
     probs = [counts.get(str(i), 0) / n for i in range(len(edges) + 1)]
+    # trailing entry: the observed NULL share (bucketed as __OTHER__)
+    probs.append(counts.get(OTHER_BUCKET, 0) / n)
     return edges, probs
 
 

@@ -199,8 +199,10 @@ def _viterbi(words: DataFrame, vocab: DataFrame) -> DataFrame:
     # segmentation otherwise carry the unrolled DP's expression tree
     # into every later plan, and CollapseProject's re-inlining of the
     # shared b/k aliases blows the optimizer up (the same
-    # canonicalization hazard the IVF centroid literals hit — see
-    # .claude verify notes).  31-to-millions of distinct words is the
+    # canonicalization hazard the IVF centroid literals hit — see the
+    # measured plan-size note in SCALE.md, "inlining n_cells × dim
+    # centroid literals ... OOMs expression canonicalization").
+    # 31-to-millions of distinct words is the
     # Heaps'-law-bounded side, so materializing it is O(vocab), never
     # O(corpus).
     return df.select("word", "freq", "pieces", "wcost").localCheckpoint(

@@ -197,7 +197,7 @@ def stream_ingest(
                 else:
                     raise ValueError(
                         f"unknown maintain_views kind {kind!r} "
-                        "(aggregate | distinct | quantile)"
+                        "(aggregate | distinct | quantile | cms)"
                     )
 
     return (

@@ -522,9 +522,58 @@ def test_reference_capture_helpers(spark):
         [(f"k{i}", float(i)) for i in range(100)], "oid__id string, x double"
     )
     edges, probs = reference_bins(num, "x", n_bins=4)
-    assert len(probs) == len(edges) + 1
+    # len(edges)+1 numeric buckets plus the trailing __OTHER__/NULL share
+    assert len(probs) == len(edges) + 2
     assert abs(sum(probs) - 1.0) < 1e-9
-    assert all(abs(p - 0.25) < 0.02 for p in probs)
+    assert probs[-1] == 0.0  # no NULLs here
+    assert all(abs(p - 0.25) < 0.02 for p in probs[:-1])
+
+
+def test_reference_bins_null_share_not_drift(spark):
+    """ADVICE r8 (medium): a steady NULL rate captured by
+    reference_bins must NOT read as drift — the NULL share rides the
+    trailing probs entry into the rule's __OTHER__ bucket, so a
+    drift-free batch with the same NULL rate scores PSI ≈ 0 and passes
+    the documented 0.1 threshold."""
+    from airflow_postgres_etl_spark.operators.expectations import (
+        check_expectations,
+        expect_distribution,
+        reference_bins,
+    )
+
+    def frame(seed):
+        # ~5% NULLs, values uniform on [0, 100)
+        rows = [
+            (f"{seed}{i}", None if i % 20 == 0 else float((i * 7 + seed) % 100))
+            for i in range(400)
+        ]
+        return spark.createDataFrame(rows, "oid__id string, x double")
+
+    ref_df, batch = frame(0), frame(3)
+    edges, probs = reference_bins(ref_df, "x", n_bins=5)
+    assert probs[-1] > 0.03  # the NULL share was actually captured
+    rule = expect_distribution("d", "x", edges=edges, probs=probs)
+    assert dict(rule.ref)["__OTHER__"] > 0.03
+    rep = check_expectations(batch, [rule]).collect()[0]
+    assert rep.n_violations < 100_000  # PSI < 0.1: no false alarm
+
+
+def test_reference_capture_empty_and_all_null_guards(spark):
+    from airflow_postgres_etl_spark.operators.expectations import (
+        reference_bins,
+        reference_distribution,
+    )
+
+    empty = spark.createDataFrame([], "oid__id string, x double")
+    with pytest.raises(ValueError, match="empty"):
+        reference_distribution(empty, "x")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        reference_bins(empty, "x")
+    allnull = spark.createDataFrame(
+        [("a", None), ("b", None)], "oid__id string, x double"
+    )
+    with pytest.raises(ValueError, match="no non-NULL"):
+        reference_bins(allnull, "x")
 
 
 def test_distribution_builder_validation():

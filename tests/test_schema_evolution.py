@@ -257,6 +257,31 @@ def test_rename_is_metadata_only(spark, tmp_path):
         rename_column(spark, t, "amt", "x")  # old name is gone
 
 
+def test_rename_onto_dropped_name_rejected_at_commit(spark, tmp_path):
+    """ADVICE r8 (medium): renaming a column to a previously DROPPED
+    name used to commit fine, then wedge every later write behind
+    _translate_batch's resurrection guard with a misleading error.  The
+    guard now fires at rename time, and the table stays writable."""
+    from airflow_postgres_etl_spark.sink import (
+        drop_column,
+        rename_column,
+    )
+
+    t = _cm_table(spark, tmp_path)
+    drop_column(spark, t, "cat")
+    v = table_version(t)
+    with pytest.raises(ValueError, match="dropped physical column"):
+        rename_column(spark, t, "amt", "cat")
+    assert table_version(t) == v  # nothing committed
+    # the table is NOT wedged: a normal write still goes through
+    batch = spark.createDataFrame(
+        [("k0", 999, 0.0)], ["oid__id", "amt", "score"]
+    )
+    keyed_overwrite_parquet(spark, batch, t)
+    got = read_keyed_table(spark, t).filter(F.col("oid__id") == "k0")
+    assert got.collect()[0]["amt"] == 999
+
+
 def test_renamed_column_still_prunes_and_blooms(spark, tmp_path):
     from airflow_postgres_etl_spark.bloom import add_bloom_index
     from airflow_postgres_etl_spark.sink import rename_column
