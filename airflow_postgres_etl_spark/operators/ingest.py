@@ -51,15 +51,49 @@ def dedup_keep_last(
     key: str = "oid__id",
     order_col: str = "fileName",
     pos_col: str = "__file_pos",
+    strategy: str = "window",
 ) -> DataFrame:
     """T3 (intended semantics): latest row per key wins.
 
-    One shuffle on ``key``; AQE handles skew.  ``row_number`` (not
-    ``dropDuplicates``) pins *which* duplicate survives.  Intra-file
-    duplicates tie on ``fileName`` alone, so when the scan-order position
-    column (``csv_source.with_file_name``) is present it breaks the tie —
-    "last row in file order", deterministically.
-    """
+    Two equivalent plans, pinned differential-equal (incl. intra-file
+    ties and a single-key redelivery storm) in tests:
+
+    - ``strategy="window"`` (default — kept after the r9 A/B, SCALE.md
+      "keep-last dedup"): ``row_number`` over
+      ``partitionBy(key).orderBy(order desc, pos desc)`` — one shuffle
+      of every duplicate row to its key's partition, then a sort.
+      Measured ~1.1× FASTER end-to-end in the real ingest (the payload
+      here is the ~KB ``array_trackingEvents`` string; the aggregate
+      pays per-row struct wrap/copy on every partial-combine update,
+      the window just sorts rows).
+    - ``strategy="agg"``:
+      ``groupBy(key).agg(max_by(struct(all cols), struct(order, pos)))``
+      — a hash aggregate with MAP-SIDE PARTIAL COMBINE, so a CDC
+      redelivery storm on one key collapses to ≤ one row per key per
+      input partition BEFORE the shuffle; the hot key's reducer sees
+      #partitions rows, not #redeliveries.  Measured only ~1.08× better
+      than the window even at 2M-redeliveries-on-one-key (narrow rows),
+      because AQE already splits the storm's sort — reach for this when
+      a CDC source is known to redeliver one key pathologically AND
+      rows are narrow.
+
+    Both pin *which* duplicate survives: intra-file duplicates tie on
+    ``fileName`` alone, so when the scan-order position column
+    (``csv_source.with_file_name``) is present it breaks the tie —
+    "last row in file order", deterministically.  ``order_col`` must be
+    non-null (``input_file_name`` always is)."""
+    if strategy == "agg":
+        ord_cols = [F.col(order_col)]
+        if pos_col in df.columns:
+            ord_cols.append(F.col(pos_col))
+        payload = F.struct(*[F.col(c) for c in df.columns])
+        return (
+            df.groupBy(key)
+            .agg(F.max_by(payload, F.struct(*ord_cols)).alias("__last"))
+            .select("__last.*")
+        )
+    if strategy != "window":
+        raise ValueError(f"unknown dedup strategy {strategy!r} (agg | window)")
     order = [F.col(order_col).desc()]
     if pos_col in df.columns:
         order.append(F.col(pos_col).desc())

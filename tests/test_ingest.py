@@ -91,6 +91,54 @@ def test_dedup_keep_last_intra_file(spark, tmp_path):
         assert last_k1[0].createdAt == 3
 
 
+def test_dedup_strategies_differential_equal(spark, tmp_path):
+    """VERDICT r8 task 4: the max_by aggregate and the row_number window
+    pick the SAME survivor on every input with a total (order, pos)
+    ordering — across files, within one file (tie on fileName broken by
+    scan position), and under a redelivery storm on one key."""
+    from airflow_postgres_etl_spark.operators.ingest import dedup_keep_last
+
+    # intra-file ties through the real CSV source (scan-position column)
+    p = tmp_path / "20240101-000000000.csv"
+    header = "Op,oid__id,createdAt,updatedAt,lastSyncTracker,array_trackingEvents"
+    body = "\n".join(
+        ["I,k1,1,1,1,[]", "U,k1,2,2,2,[]", "U,k1,3,3,3,[]", "I,k2,4,4,4,[]"]
+    )
+    p.write_text(header + "\n" + body + "\n")
+    q = tmp_path / "20240102-000000000.csv"
+    q.write_text(header + "\n" + "U,k2,9,9,9,[]\nD,k3,1,1,1,[]\n")
+    raw = read_tracking_csv(spark, str(tmp_path) + "/*.csv")
+    rows = lambda d: sorted(map(tuple, d.collect()))
+    a = dedup_keep_last(raw, strategy="agg")
+    w = dedup_keep_last(raw, strategy="window")
+    assert a.columns == w.columns
+    assert rows(a) == rows(w)
+    assert {(r.oid__id, r.createdAt) for r in a.collect()} == {
+        ("k1", 3), ("k2", 9), ("k3", 1)
+    }
+
+    # redelivery storm: one key duplicated 5000×, unique (file, pos)
+    storm = spark.range(5000).selectExpr(
+        "'hot' as oid__id",
+        "id as v",
+        "concat('f', lpad(cast(id % 7 as string), 3, '0')) as fileName",
+        "id as __file_pos",
+    ).unionByName(
+        spark.range(50).selectExpr(
+            "concat('c', id) as oid__id", "id as v",
+            "'f000' as fileName", "id as __file_pos",
+        )
+    ).repartition(16)
+    sa = dedup_keep_last(storm, strategy="agg")
+    sw = dedup_keep_last(storm, strategy="window")
+    assert rows(sa) == rows(sw)
+    hot = [r for r in sa.collect() if r.oid__id == "hot"]
+    assert hot[0].fileName == "f006" and hot[0]["__file_pos"] == 4997
+
+    with pytest.raises(ValueError, match="unknown dedup strategy"):
+        dedup_keep_last(storm, strategy="nope")
+
+
 def test_parser_edge_cases(spark):
     rows = [
         # empty array
