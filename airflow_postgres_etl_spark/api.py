@@ -568,12 +568,37 @@ class Table:
 
         return sink.table_delta_depth(self.path, self.store)
 
+    def set_drift_policy(self, rules, fail_thresholds=None) -> int:
+        """Arm the distribution-drift circuit breaker at the table:
+        stores ``expect_distribution`` rules + micro-PSI thresholds in
+        the manifest (one metadata commit); :meth:`maintain` re-checks
+        them ambiently from then on.  ``rules=None`` disarms."""
+        from . import sink
+
+        return sink.set_drift_policy(
+            self.spark, self.path, rules, fail_thresholds, store=self.store
+        )
+
+    def drift_policy(self) -> dict | None:
+        from . import sink
+
+        return sink.drift_policy(self.path, self.store)
+
+    def check_drift(self) -> list[dict]:
+        """Evaluate the stored drift policy against the live table —
+        one report dict per rule (``n_violations`` = micro-PSI,
+        ``ok`` vs the stored threshold); empty when disarmed."""
+        from . import sink
+
+        return sink.check_drift_policy(self.spark, self.path, store=self.store)
+
     def maintain(
         self,
         max_delta_depth: int = 8,
         max_files_per_bucket: int = 4,
         retention_s: float | None = None,
         keep_snapshots: int | None = None,
+        on_drift: str = "raise",
     ) -> dict:
         """Policy-driven maintenance in one call — the scheduled job a
         100 TB deployment runs nightly instead of a human reading
@@ -590,14 +615,40 @@ class Table:
         4. ``vacuum`` always (collects retirees past ``retention_s``;
            default = the sink's reader-safety window).
 
+        When a drift policy is armed (:meth:`set_drift_policy`), it is
+        re-checked FIRST against the live table — the ambient circuit
+        breaker: ``on_drift="raise"`` (default) raises
+        ``ExpectationFailure`` before any maintenance side effect, so
+        the scheduled job trips loudly on upstream drift;
+        ``on_drift="report"`` records the per-rule report under
+        ``out["drift"]`` and proceeds.
+
         Returns ``{"compacted", "optimized", "vacuumed_files",
-        "expired_snapshots"}`` with counts (absent action = not
-        triggered).  Composes the individually-tested primitives; the
-        policy itself is test-pinned (tests/test_api.py)."""
+        "expired_snapshots"[, "drift"]}`` with counts (absent action =
+        not triggered).  Composes the individually-tested primitives;
+        the policy itself is test-pinned (tests/test_api.py)."""
         from . import sink
 
-        d = self.describe()
+        if on_drift not in ("raise", "report"):
+            raise ValueError(f"on_drift must be raise|report, got {on_drift!r}")
         out: dict = {}
+        drift = self.check_drift()
+        if drift:
+            out["drift"] = drift
+            bad = [r for r in drift if not r["ok"]]
+            if bad and on_drift == "raise":
+                from .operators.expectations import ExpectationFailure
+
+                raise ExpectationFailure(
+                    "drift policy violated before maintenance: "
+                    + "; ".join(
+                        f"{r['rule']}: psi_micro={r['n_violations']} "
+                        f"(> {r['limit']})" if "error" not in r
+                        else f"{r['rule']}: {r['error']}"
+                        for r in bad
+                    )
+                )
+        d = self.describe()
         if d["max_delta_depth"] >= max_delta_depth:
             out["compacted"] = sink.compact_keyed_table(
                 self.spark, self.path, store=self.store

@@ -477,6 +477,38 @@ def _reports_path(target: str) -> str:
     return os.path.join(target, DQ_SUBDIR, "reports.json")
 
 
+def distribution_rule_to_spec(rule: Rule) -> dict:
+    """JSON-stable spec of a distribution rule — what
+    ``sink.set_drift_policy`` stores in the table manifest so the drift
+    circuit breaker survives sessions and rides :func:`Table.maintain`
+    ambiently instead of per-call."""
+    if rule.kind != "distribution":
+        raise ValueError(
+            f"only distribution rules can be stored as table policy "
+            f"(got kind {rule.kind!r})"
+        )
+    return {
+        "name": rule.name,
+        "col": rule.cols[0],
+        "ref": [[label, prob] for label, prob in rule.ref],
+        "edges": list(rule.edges) if rule.edges is not None else None,
+    }
+
+
+def distribution_rule_from_spec(spec: dict) -> Rule:
+    return Rule(
+        name=spec["name"],
+        kind="distribution",
+        cols=(spec["col"],),
+        ref=tuple((label, float(p)) for label, p in spec["ref"]),
+        edges=(
+            tuple(float(e) for e in spec["edges"])
+            if spec.get("edges") is not None
+            else None
+        ),
+    )
+
+
 class ExpectationFailure(RuntimeError):
     """A gated merge exceeded a ``fail_thresholds`` bound: the batch was
     rejected wholesale — nothing merged, nothing quarantined, no version

@@ -9959,11 +9959,20 @@ def dq_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     every smoothed term closed-form — micro-PSI is the output, so the
     differential checks the measure itself, not just the verdict.
 
+    r9 extension (intentional runtime add, ~2× vs the r8 shape): the
+    AMBIENT leg — the same rules stored AT a table via
+    ``set_drift_policy`` (one manifest commit, rides the commit carry),
+    then ``Table.maintain`` re-checks them on an undrifted table
+    (passes), a drifted one (trips with zero side effects), and in
+    report mode (proceeds, verdicts attached) — all asserted in-query
+    on an SF-capped side table.
+
     100 TB shape: each rule is one batch hash-aggregate bounded by its
     bucket count plus arithmetic over ≤ B rows — the drift check adds
     batch-size-independent state to the DQ pass, and the circuit
     breaker composes with the existing expect_or_fail machinery
-    unchanged."""
+    unchanged.  The stored policy makes it ambient: a nightly
+    ``maintain`` is one table read + the same bounded aggregates."""
     import shutil
     import tempfile
 
@@ -10027,6 +10036,56 @@ def dq_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             rejected = True
         if not rejected:
             raise RuntimeError("skewed batch passed the drift gate")
+
+        # r9: the AMBIENT leg — the same rules stored AT the table
+        # (one metadata commit riding the manifest carry) so
+        # Table.maintain re-checks drift with nobody re-passing them.
+        # A separate SF-capped table keeps this leg's cost bounded and
+        # the drift magnitude sf-independent (skew merged at 4× the
+        # similar slice, so the blended PSI clears 0.1 at every sf).
+        from ..api import Table
+        from ..sink import drift_policy, keyed_overwrite_parquet
+
+        t2 = f"{tmp}/t2"
+        sim_cap = simb.limit(2000)
+        keyed_overwrite_parquet(
+            spark, sim_cap, t2, key="o_orderkey", num_buckets=4
+        )
+        tab = Table(spark, t2)
+        tab.set_drift_policy(rules, thresholds)
+        # the policy survives an ordinary data commit (manifest carry)
+        keyed_overwrite_parquet(spark, sim_cap, t2, key="o_orderkey")
+        if drift_policy(t2) is None:
+            raise RuntimeError("drift policy lost across a merge commit")
+        # undrifted table: maintain passes and reports ok per rule
+        rep = tab.maintain(retention_s=0.0)
+        if not all(r["ok"] for r in rep["drift"]):
+            raise RuntimeError(f"undrifted table tripped maintain: {rep}")
+        # drift the table hard (skewed rows now dominate), then the
+        # scheduled-job circuit breaker must trip BEFORE any side effect
+        skew_cap = skwb.limit(2000)
+        shifted = [
+            skew_cap.withColumn(
+                "o_orderkey",
+                F.col("o_orderkey") + F.lit(10_000_000 * (i + 1)),
+            )
+            for i in range(2)
+        ]
+        storm = shifted[0]
+        for s in shifted[1:]:
+            storm = storm.unionByName(s)
+        keyed_overwrite_parquet(spark, storm, t2, key="o_orderkey")
+        tripped = False
+        try:
+            tab.maintain(retention_s=0.0)
+        except ExpectationFailure:
+            tripped = True
+        if not tripped:
+            raise RuntimeError("drifted table passed maintain's gate")
+        # report mode proceeds and carries the per-rule verdicts
+        rep2 = tab.maintain(retention_s=0.0, on_drift="report")
+        if all(r["ok"] for r in rep2["drift"]):
+            raise RuntimeError("report mode lost the drift verdicts")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

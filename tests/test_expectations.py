@@ -643,3 +643,137 @@ def test_stream_ingest_drift_rule_gates_stream(spark, tmp_path):
     )
     q3.awaitTermination(300)
     assert q3.exception() is None
+
+
+# ---------------------------------------------------------------------------
+# Stored drift policy (VERDICT r8 task 7): the circuit breaker becomes
+# ambient — rules + thresholds live in the table manifest, ride the
+# commit carry, follow renames, block drops, and Table.maintain
+# re-checks them with nobody re-passing the rules.
+# ---------------------------------------------------------------------------
+
+
+def _policy_table(spark, tmp_path):
+    from airflow_postgres_etl_spark.sink import keyed_overwrite_parquet
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(f"k{i}", ["a", "b", "c"][i % 3], float(i)) for i in range(90)],
+        ["oid__id", "status", "price"],
+    )
+    keyed_overwrite_parquet(spark, df, t, num_buckets=4, vacuum=False)
+    return t
+
+
+def test_drift_policy_roundtrip_carry_and_maintain(spark, tmp_path):
+    from airflow_postgres_etl_spark.api import Table
+    from airflow_postgres_etl_spark.operators.expectations import (
+        ExpectationFailure,
+        expect_distribution,
+    )
+    from airflow_postgres_etl_spark.sink import (
+        compact_keyed_table,
+        drift_policy,
+        keyed_merge_mor,
+        keyed_overwrite_parquet,
+        set_drift_policy,
+        table_version,
+    )
+
+    t = _policy_table(spark, tmp_path)
+    rules = [
+        expect_distribution("sdrift", "status", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    ]
+    v = set_drift_policy(spark, t, rules, {"sdrift": 100_000})
+    assert v == table_version(t)
+    pol = drift_policy(t)
+    assert pol["thresholds"] == {"sdrift": 100_000}
+    assert pol["rules"][0]["col"] == "status"
+
+    # rides ordinary commits AND compaction via the manifest carry
+    more = spark.createDataFrame(
+        [(f"m{i}", ["a", "b", "c"][i % 3], 1.0) for i in range(30)],
+        ["oid__id", "status", "price"],
+    )
+    keyed_merge_mor(spark, more, t)
+    compact_keyed_table(spark, t)
+    assert drift_policy(t)["thresholds"] == {"sdrift": 100_000}
+
+    tab = Table(spark, t)
+    rep = tab.maintain(retention_s=0.0)
+    assert [r["ok"] for r in rep["drift"]] == [True]
+    assert rep["drift"][0]["n_violations"] < 100_000
+
+    # drift it: all-'a' flood, ambient breaker trips before side effects
+    flood = spark.createDataFrame(
+        [(f"f{i}", "a", 2.0) for i in range(500)],
+        ["oid__id", "status", "price"],
+    )
+    keyed_overwrite_parquet(spark, flood, t)
+    with pytest.raises(ExpectationFailure, match="sdrift"):
+        tab.maintain(retention_s=0.0)
+    rep2 = tab.maintain(retention_s=0.0, on_drift="report")
+    assert rep2["drift"][0]["ok"] is False
+    assert "vacuumed_files" in rep2  # report mode proceeded
+
+    # disarm
+    set_drift_policy(spark, t, None)
+    assert drift_policy(t) is None
+    assert tab.check_drift() == []
+    assert "drift" not in tab.maintain(retention_s=0.0)
+
+
+def test_drift_policy_follows_rename_blocks_drop(spark, tmp_path):
+    from airflow_postgres_etl_spark.api import Table
+    from airflow_postgres_etl_spark.operators.expectations import (
+        expect_distribution,
+    )
+    from airflow_postgres_etl_spark.sink import (
+        drift_policy,
+        drop_column,
+        rename_column,
+        set_drift_policy,
+    )
+
+    t = _policy_table(spark, tmp_path)
+    rules = [
+        expect_distribution("sdrift", "status", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    ]
+    set_drift_policy(spark, t, rules, {"sdrift": 100_000})
+
+    with pytest.raises(ValueError, match="drift-policy rule"):
+        drop_column(spark, t, "status")
+
+    rename_column(spark, t, "status", "state")
+    assert drift_policy(t)["rules"][0]["col"] == "state"
+    # the renamed policy still evaluates against the logical schema
+    rep = Table(spark, t).check_drift()
+    assert rep[0]["ok"] and "error" not in rep[0]
+
+    # an unrelated column drops fine
+    drop_column(spark, t, "price")
+    assert drift_policy(t)["rules"][0]["col"] == "state"
+
+
+def test_drift_policy_validation(spark, tmp_path):
+    from airflow_postgres_etl_spark.operators.expectations import (
+        expect,
+        expect_distribution,
+    )
+    from airflow_postgres_etl_spark.sink import set_drift_policy
+
+    t = _policy_table(spark, tmp_path)
+    dist = expect_distribution("d", "status", {"a": 0.5, "b": 0.5})
+    with pytest.raises(ValueError, match="only distribution rules"):
+        set_drift_policy(spark, t, [expect("p", "price > 0")], {})
+    with pytest.raises(ValueError, match="unknown rules"):
+        set_drift_policy(spark, t, [dist], {"nope": 1})
+    with pytest.raises(ValueError, match="missing columns"):
+        set_drift_policy(
+            spark, t,
+            [expect_distribution("d", "ghost", {"a": 1.0})], {},
+        )
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        set_drift_policy(spark, t, [dist, dist], {})
+    with pytest.raises(ValueError, match="thresholds given"):
+        set_drift_policy(spark, t, None, {"d": 1})

@@ -945,6 +945,9 @@ def test_large_commit_stats_zero_driver_footer_reads(
         raise AssertionError("driver-side footer read on the hot path")
 
     monkeypatch.setattr(sink, "_file_stats_serial", no_driver_reads)
+    # the second commit-path footer loop — the row-count fill — must be
+    # off the driver too above the crossover
+    monkeypatch.setattr(sink, "_num_rows_serial", no_driver_reads)
 
     target = str(tmp_path / "t")
     df = spark.createDataFrame(
