@@ -299,6 +299,38 @@ def ivf_cells(
     ).drop("__best")
 
 
+def ivf_contains_ids(
+    vecs: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The subset of ``vecs``'s ids ALREADY present in the index — the
+    streaming crash-replay guard (r9): a re-delivered foreachBatch epoch's
+    survivors were admitted by the crashed run, and the knn probe cannot
+    see that (it excludes exact-id self matches by design, so a vector's
+    own indexed copy never drops it).  Cell-pruned like every index
+    read: each query assigns to its frozen cell and the (id, cell)
+    semi-join touches only those cells' files (dynamic partition
+    pruning) — never an O(index) id scan.
+
+    Valid while the quantizer is frozen (appends never move centroids).
+    An in-band quantizer refresh between crash and replay could re-cell
+    a vector and miss the drop; the keyed-corpus mode then rejects the
+    duplicate id loudly at the append instead of silently doubling."""
+    spark = vecs.sparkSession
+    cent = spark.read.parquet(f"{index_path}/centroids").select(
+        "c_id", F.col("cvec").alias("__cvv"), F.col("cnorm").alias("__cnorm")
+    )
+    assigned = ivf_cells(vecs, id_col=id_col, vec_col=vec_col, centroids=cent)
+    idx = spark.read.parquet(f"{index_path}/vectors").select(id_col, "cell")
+    return (
+        assigned.select(id_col, "cell")
+        .join(idx, [id_col, "cell"], "left_semi")
+        .select(id_col)
+    )
+
+
 def knn_ivf_centroids(
     emb: DataFrame,
     query_ids: list[int],

@@ -37,6 +37,7 @@ from ..operators.similarity import (
     append_to_ivf_index,
     build_ivf_index,
     embedding_near_dup_ivf,
+    ivf_contains_ids,
     ivf_index_exists,
     knn_against_index,
     maybe_refresh_ivf_index,
@@ -84,6 +85,38 @@ def semantic_self_dedup(
     return batch.join(drop, id_col, "left_anti")
 
 
+def _refresh_view(spark: SparkSession, target: str, spec: dict) -> dict:
+    """Dispatch one ``maintain_views`` spec — the same kinds (and the
+    same spec keys) as ``file_stream.stream_ingest``."""
+    from .. import views as _views
+
+    kind = spec.get("kind", "aggregate")
+    if kind == "aggregate":
+        return _views.refresh_aggregate_view(
+            spark, target, spec["mv_path"], spec["group_cols"],
+            spec.get("sum_cols", []),
+        )
+    if kind == "distinct":
+        return _views.refresh_distinct_view(
+            spark, target, spec["mv_path"], spec["group_cols"],
+            spec["item_col"], spec.get("k", 128),
+        )
+    if kind == "quantile":
+        return _views.refresh_quantile_view(
+            spark, target, spec["mv_path"], spec["group_cols"],
+            spec["value_col"], spec["key_col"], spec.get("k", 256),
+        )
+    if kind == "cms":
+        return _views.refresh_cms_view(
+            spark, target, spec["mv_path"], spec["group_cols"],
+            spec["item_col"], spec.get("depth", 4), spec.get("width", 128),
+        )
+    raise ValueError(
+        f"unknown maintain_views kind {kind!r} "
+        "(aggregate | distinct | quantile | cms)"
+    )
+
+
 def stream_semantic_ingest(
     spark: SparkSession,
     vecs_dir: str,
@@ -95,6 +128,8 @@ def stream_semantic_ingest(
     n_cells: int = N_IVF_CELLS,
     max_files_per_trigger: int = 10,
     refresh_fraction: float | None = IVF_MAX_APPENDED_FRACTION,
+    maintain_views: list[dict] | None = None,
+    corpus_num_buckets: int | None = None,
 ) -> StreamingQuery:
     """Continuous semantic-dedup ingest: parquet file stream of
     (vec_id, embedding, label) → in-batch dedup → cosine probe against
@@ -111,7 +146,22 @@ def stream_semantic_ingest(
     centroids, so a drifted stream otherwise degrades candidate
     recall).  The same in-band maintenance rhythm as
     ``stream_ingest(merge_mode="mor")``'s auto-compaction; pass None to
-    run refresh out-of-band instead."""
+    run refresh out-of-band instead.
+
+    ``maintain_views`` (r9, VERDICT r8 task 5): in-band IVM over the
+    accepted corpus — same spec dicts as ``file_stream.stream_ingest``
+    minus the ``target`` key (the corpus is the only table here):
+    ``{"kind": "aggregate"|"distinct"|"quantile"|"cms", "mv_path": …,
+    "group_cols": […], …}``.  When given, the corpus is committed as a
+    KEYED table (``sink.keyed_append``, key ``vec_id`` — new by
+    construction: the index probe drops every replayed survivor before
+    the append, so the blind append needs no txn watermark) and each
+    view refreshes from the manifest diff AFTER the commit.  Read the
+    corpus with ``sink.read_keyed_table`` in this mode.  Exactly-once
+    across crash-replay holds by composition: a crash between corpus
+    commit and refresh leaves the view pinned at an older table version,
+    and the next refresh folds BOTH commits' files in (the view records
+    the last version it has seen) — never double-counts, never skips."""
     stream = (
         spark.readStream.schema(VEC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -144,6 +194,17 @@ def stream_semantic_ingest(
                 .distinct()
             )
             survivors = survivors.join(drop, "vec_id", "left_anti")
+            # crash-replay guard (r9): foreachBatch is at-least-once — a
+            # re-delivered epoch's survivors are already IN the index
+            # from the crashed run, but the knn probe can't drop them
+            # (it excludes exact-id self matches).  The cell-pruned id
+            # membership check is what actually delivers the module's
+            # at-most-once admission contract under replay.
+            survivors = survivors.join(
+                ivf_contains_ids(survivors, index_path),
+                "vec_id",
+                "left_anti",
+            )
         else:
             survivors = semantic_self_dedup(batch, threshold, n_cells)
         # same read-modify-write hazard as the document stream: the
@@ -163,12 +224,28 @@ def stream_semantic_ingest(
                             survivors, n_cells, "vec_id", "embedding"
                         ),
                     )
-                survivors.write.mode("append").parquet(corpus_out)
+                if maintain_views is None:
+                    survivors.write.mode("append").parquet(corpus_out)
+                else:
+                    from .. import sink
+
+                    sink.keyed_append(
+                        batch.sparkSession, survivors, corpus_out,
+                        key="vec_id", num_buckets=corpus_num_buckets,
+                        verify_new=False,
+                    )
                 if had_index and refresh_fraction is not None:
                     # corpus written first, so the rebuild corpus ⊇ the
                     # index contents — never narrower than the state it
                     # replaces
-                    corpus = batch.sparkSession.read.parquet(corpus_out)
+                    if maintain_views is None:
+                        corpus = batch.sparkSession.read.parquet(corpus_out)
+                    else:
+                        from .. import sink
+
+                        corpus = sink.read_keyed_table(
+                            batch.sparkSession, corpus_out
+                        )
                     maybe_refresh_ivf_index(
                         corpus,
                         index_path,
@@ -178,6 +255,19 @@ def stream_semantic_ingest(
                             corpus, n_cells, "vec_id", "embedding"
                         ),
                     )
+            # in-band IVM: OUTSIDE the survivors guard on purpose — the
+            # refresh is a manifest-version no-op when nothing committed,
+            # and running it on empty/replayed batches is exactly what
+            # heals a crash that landed the corpus commit but died before
+            # the refresh (the view pins the last table version it saw,
+            # so the replay's refresh folds the missed commit in — never
+            # double-counts, never stays stale)
+            if maintain_views is not None:
+                from .. import sink
+
+                if sink.table_version(corpus_out) is not None:
+                    for spec in maintain_views:
+                        _refresh_view(batch.sparkSession, corpus_out, spec)
         finally:
             survivors.unpersist()
 

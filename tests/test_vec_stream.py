@@ -232,3 +232,119 @@ def test_stream_semantic_auto_refresh(spark, tmp_path):
     assert q3.exception() is None
     kept = {r.vec_id for r in spark.read.parquet(out).collect()}
     assert kept == {1, 2, 10, 21}
+
+
+def test_stream_semantic_maintains_distinct_view_across_crash(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r8 task 5: the vector-ingest path composes with IVM —
+    a semantic-dedup stream maintains a per-label distinct-count view
+    in-band, and a crash BETWEEN the corpus commit and the view refresh
+    heals on replay: foreachBatch re-delivers the epoch, the index drops
+    every already-admitted survivor (no double corpus commit), and the
+    replay's refresh folds the missed commit into the view exactly once
+    (the view pins the last table version it saw)."""
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.streaming import vec_stream as VS
+    from airflow_postgres_etl_spark.views import read_distinct_view
+
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    mv = str(tmp_path / "mv")
+    spec = [{"kind": "distinct", "mv_path": mv, "group_cols": ["label"],
+             "item_col": "vec_id"}]
+    b1 = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.0, 1.0, 0.0, 0.0], 0),
+            (3, [0.99, 0.01, 0.0, 0.0], 1),  # in-batch near-dup of 1
+            (4, [0.0, 0.0, 1.0, 0.0], 1),
+        ],
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    real_refresh = VS._refresh_view
+    state = {"crash": True}
+
+    def refresh_or_crash(*a, **kw):
+        if state["crash"]:
+            state["crash"] = False
+            raise RuntimeError("injected crash between commit and refresh")
+        return real_refresh(*a, **kw)
+
+    monkeypatch.setattr(VS, "_refresh_view", refresh_or_crash)
+    q = VS.stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None, maintain_views=spec, corpus_num_buckets=2,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+    assert q.exception() is not None
+    # the corpus commit LANDED before the crash; the view never did
+    v_crashed = sink.table_version(out)
+    assert v_crashed is not None
+    import os
+
+    assert not os.path.isdir(mv)
+
+    # restart: epoch replays, survivors drop against the index (no new
+    # corpus version), and the refresh catches the view up exactly once
+    q2 = VS.stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None, maintain_views=spec, corpus_num_buckets=2,
+    )
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    assert sink.table_version(out) == v_crashed  # no double admission
+    corpus = sink.read_keyed_table(spark, out)
+    got_ids = {r.vec_id for r in corpus.collect()}
+    assert got_ids == {1, 2, 4}  # 3 deduped in-batch against 1
+
+    def view_counts():
+        return {
+            r.label: r.est_distinct
+            for r in read_distinct_view(spark, mv).collect()
+        }
+
+    # below the k fill line KMV is EXACT — the view equals the corpus
+    assert view_counts() == {0: 2, 1: 1}
+
+    # a later batch increments the view in-band (novel + near-dup mix)
+    b2 = _vecs(
+        spark,
+        [
+            (10, [0.98, 0.02, 0.0, 0.0], 1),  # near-dup of accepted 1
+            (11, [0.0, 0.0, 0.0, 1.0], 1),    # novel
+        ],
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q3 = VS.stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None, maintain_views=spec, corpus_num_buckets=2,
+    )
+    q3.awaitTermination(300)
+    assert q3.exception() is None
+    assert view_counts() == {0: 2, 1: 2}
+    # and a crash-free end-to-end control produces the same view rows
+    src2, idx2, out2, ck2, mv2 = (
+        str(tmp_path / d)
+        for d in ("src2", "idx2", "corpus2", "ck2", "mv2")
+    )
+    spec2 = [{"kind": "distinct", "mv_path": mv2, "group_cols": ["label"],
+              "item_col": "vec_id"}]
+    b1.coalesce(1).write.mode("append").parquet(src2)
+    b2.coalesce(1).write.mode("append").parquet(src2)
+    qc = VS.stream_semantic_ingest(
+        spark, src2, idx2, out2, ck2, threshold=0.9, n_cells=2,
+        refresh_fraction=None, maintain_views=spec2, corpus_num_buckets=2,
+    )
+    qc.awaitTermination(300)
+    assert qc.exception() is None
+    from airflow_postgres_etl_spark.views import read_distinct_view as rdv
+
+    control = {
+        (r.label, r.est_distinct) for r in rdv(spark, mv2).collect()
+    }
+    assert {(k, v) for k, v in view_counts().items()} == control
