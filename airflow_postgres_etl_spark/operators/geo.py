@@ -86,11 +86,17 @@ def radius_join(
     columns come back suffixed.  Output adds ``dist_km`` (rounded 6).
 
     Cell sizing: one cell must cover ``radius_km`` in BOTH axes so a
-    3x3 neighborhood is a complete cover.  Latitude degrees are a fixed
-    111 km; longitude degrees shrink by cos(lat), so the cell width
-    uses the worst case inside the allowed band — cos(max_abs_lat).
-    Points beyond the band raise (a polar cap needs a different
-    partitioner than a lat/lon grid; better loud than silently lossy).
+    3x3 neighborhood is a complete cover.  Latitude rows cover even
+    ACROSS the pole (a cross-pole pair's latitude gap in km never
+    exceeds its distance); the longitude width uses the exact spherical
+    worst case at the band edge (see the inline derivation), so the
+    grid is correct all the way to ``max_abs_lat=90`` — at the pole the
+    longitude partition degenerates to one global cell by construction
+    (candidates = the 3-row polar band; correct, just dense — which is
+    why the default band stays 60: beyond it you trade pruning for
+    polar coverage, an efficiency contract, not a correctness one).
+    Points beyond the declared band raise — better loud than silently
+    lossy.
 
     The 3x3 neighbor explode lands on the RIGHT frame — pass the
     smaller side there (dims, stores, sensors): the fan-out is 9x the
@@ -99,13 +105,31 @@ def radius_join(
     import math
 
     cell_lat = radius_km / KM_PER_DEG
-    # snap the longitude cell width UP to an exact divisor of 360 deg:
-    # with a non-divisor width the seam cell (360 mod width) is
-    # narrower than the radius and the +-1 neighborhood no longer
-    # covers pairs straddling it (caught by the brute-force
-    # differential on a cross-dateline pair)
-    want_lon = radius_km / (KM_PER_DEG * math.cos(math.radians(max_abs_lat)))
-    n_lon = max(1, math.floor(360.0 / want_lon))
+    # Longitude cell sizing: EXACT spherical bound (r9, VERDICT r8 task
+    # 6), not the planar r/(111·cos φ) — near the pole the great circle
+    # cuts ACROSS the cap, so in-radius points can sit far apart in
+    # longitude and the planar estimate under-covers: at max_abs_lat=88,
+    # radius 345 km, planar picks 4 cells of 90° while the true max
+    # in-radius longitude gap is 101.9° — the (88°, 85°)×(88°, −175°)
+    # pair is 341 km apart yet two cells distant, silently missed
+    # (pinned by tests/test_geo.py against the planar formula).  The
+    # worst case is both points at the band edge (longitude degenerates
+    # monotonically poleward): with colatitude θ = 90°−max_abs_lat and
+    # angular radius d = r/R, the spherical law of cosines gives
+    #   sin(Δmax/2) = sin(d/2) / sin θ,
+    # which → the planar value as θ grows (equator limit) and → 180° as
+    # d → 2θ (the radius reaches over the pole — then NO longitude
+    # partition separates in-radius pairs, so one global cell).
+    # The chosen width still snaps UP to an exact divisor of 360° so the
+    # dateline seam cell is never narrower than the radius.
+    theta = math.radians(90.0 - max_abs_lat)
+    d_rad = radius_km / EARTH_RADIUS_KM
+    if d_rad >= 2.0 * theta or theta <= 0.0:
+        n_lon = 1
+    else:
+        u = math.sin(d_rad / 2.0) / math.sin(theta)
+        want_lon = math.degrees(2.0 * math.asin(min(1.0, u)))
+        n_lon = max(1, math.floor(360.0 / want_lon))
     cell_lon = 360.0 / n_lon
 
     def _band_checked(col: Column) -> Column:

@@ -152,3 +152,97 @@ def test_cross_dateline_pair_found(spark):
     )
     rows = radius_join(left, right, 300.0).collect()
     assert len(rows) == 1 and rows[0]["dist_km"] < 250
+
+
+def _polar_points(spark, n, tag, min_lat, max_lat):
+    """Deterministic pseudo-random points in a HIGH-latitude band."""
+    span = (max_lat - min_lat) * 1_000_000
+    return spark.range(n).select(
+        F.col("id").alias(f"{tag}_id"),
+        (
+            (F.conv(F.substring(F.md5(F.concat(F.lit(f"plat{tag}:"), F.col("id"))), 1, 15), 16, 10)
+             .cast("long") % int(span)) / 1000000.0 + min_lat
+        ).alias("lat"),
+        (
+            (F.conv(F.substring(F.md5(F.concat(F.lit(f"plon{tag}:"), F.col("id"))), 1, 15), 16, 10)
+             .cast("long") % 360000000) / 1000000.0 - 180.0
+        ).alias("lon"),
+    )
+
+
+def _brute_pairs(left, right, radius):
+    r2 = right.select(
+        F.col("r_id"), F.col("lat").alias("lat2"), F.col("lon").alias("lon2")
+    )
+    brute = (
+        left.crossJoin(r2)
+        .withColumn(
+            "d",
+            F.round(haversine_km(F.col("lat"), F.col("lon"),
+                                 F.col("lat2"), F.col("lon2")), 6),
+        )
+        .filter(F.col("d") <= radius)
+    )
+    return {(r["l_id"], r["r_id"]) for r in brute.collect()}
+
+
+def test_polar_band_matches_brute_force(spark):
+    """VERDICT r8 task 6: near the pole longitude cells degenerate —
+    the exact spherical cell sizing must still over-cover the radius.
+    Randomized differential at |lat| in [86, 89.9] (both hemispheres),
+    radius large enough that cross-cap pairs exist."""
+    import pyspark.sql.functions as SF
+
+    north_l = _polar_points(spark, 120, "l", 86.0, 89.9)
+    north_r = _polar_points(spark, 60, "r", 86.0, 89.9)
+    # mirror into the south so both caps are exercised
+    left = north_l.unionByName(
+        north_l.select("l_id", (-SF.col("lat")).alias("lat"), "lon")
+        .withColumn("l_id", SF.col("l_id") + 1000)
+    )
+    right = north_r.unionByName(
+        north_r.select("r_id", (-SF.col("lat")).alias("lat"), "lon")
+        .withColumn("r_id", SF.col("r_id") + 1000)
+    )
+    for radius in (60.0, 345.0):
+        got = {
+            (r["l_id"], r["r_id_r"])
+            for r in radius_join(
+                left, right, radius, max_abs_lat=89.9
+            ).collect()
+        }
+        want = _brute_pairs(left, right, radius)
+        assert got == want, f"radius {radius}: {want - got} missed"
+        assert want  # non-vacuous
+
+
+def test_cross_pole_pair_found_at_full_band(spark):
+    """max_abs_lat=90: the longitude partition collapses to one global
+    cell and pairs straddling the pole itself (180 deg of longitude
+    apart, a few km of distance) must be found."""
+    left = spark.createDataFrame(
+        [(1, 89.95, 10.0), (2, 89.0, -170.0)], ["l_id", "lat", "lon"]
+    )
+    right = spark.createDataFrame(
+        [(7, 89.95, -170.0), (8, 88.8, 10.0)], ["r_id", "lat", "lon"]
+    )
+    got = {
+        (r["l_id"], r["r_id_r"])
+        for r in radius_join(left, right, 30.0, max_abs_lat=90.0).collect()
+    }
+    # (89.95,10)x(89.95,-170): over the pole, ~0.1 deg total arc ~11 km
+    assert (1, 7) in got
+    assert got == _brute_pairs(left, right, 30.0)
+
+
+def test_planar_counterexample_pair_is_found(spark):
+    """The derived planar-sizing counterexample, pinned forever: at
+    max_abs_lat=88 and radius 345 km the planar r/(111 cos phi) rule
+    yields 4 cells of 90 deg while the true max in-radius longitude gap
+    is 101.9 deg — this 341 km pair sits TWO cells apart under that
+    sizing.  The exact spherical bound must find it."""
+    left = spark.createDataFrame([(1, 88.0, 85.0)], ["l_id", "lat", "lon"])
+    right = spark.createDataFrame([(7, 88.0, -175.0)], ["r_id", "lat", "lon"])
+    out = radius_join(left, right, 345.0, max_abs_lat=88.0).collect()
+    assert [(r["l_id"], r["r_id_r"]) for r in out] == [(1, 7)]
+    assert abs(out[0]["dist_km"] - 340.6) < 1.0
