@@ -304,6 +304,7 @@ def ivf_contains_ids(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """The subset of ``vecs``'s ids ALREADY present in the index — the
     streaming crash-replay guard (r9): a re-delivered foreachBatch epoch's
@@ -317,17 +318,29 @@ def ivf_contains_ids(
     Valid while the quantizer is frozen (appends never move centroids).
     An in-band quantizer refresh between crash and replay could re-cell
     a vector and miss the drop; the keyed-corpus mode then rejects the
-    duplicate id loudly at the append instead of silently doubling."""
+    duplicate id loudly at the append instead of silently doubling.
+
+    ``centroids`` (``c_id, __cvv, __cnorm``) reuses a frame the caller
+    already loaded (the streaming batch loads it once per epoch);
+    without it the index's centroid table is read here.  Only
+    (id, cell) is computed — the vector payload never re-joins."""
     spark = vecs.sparkSession
-    cent = spark.read.parquet(f"{index_path}/centroids").select(
-        "c_id", F.col("cvec").alias("__cvv"), F.col("cnorm").alias("__cnorm")
+    cent = (
+        centroids
+        if centroids is not None
+        else spark.read.parquet(f"{index_path}/centroids").select(
+            "c_id",
+            F.col("cvec").alias("__cvv"),
+            F.col("cnorm").alias("__cnorm"),
+        )
     )
-    assigned = ivf_cells(vecs, id_col=id_col, vec_col=vec_col, centroids=cent)
+    sims = _centroid_sims(vecs, cent, vec_col)
+    assigned = sims.groupBy(id_col).agg(
+        F.max(F.struct(F.col("csim"), F.col("c_id"))).alias("__best")
+    ).select(id_col, F.col("__best.c_id").alias("cell"))
     idx = spark.read.parquet(f"{index_path}/vectors").select(id_col, "cell")
     return (
-        assigned.select(id_col, "cell")
-        .join(idx, [id_col, "cell"], "left_semi")
-        .select(id_col)
+        assigned.join(idx, [id_col, "cell"], "left_semi").select(id_col)
     )
 
 

@@ -170,35 +170,11 @@ def stream_ingest(
 
             targets = {"events": events_target, "tracking": tracking_target}
             for spec in maintain_views:
-                tgt = targets[spec["target"]]
-                kind = spec.get("kind", "aggregate")
-                if kind == "aggregate":
-                    _views.refresh_aggregate_view(
-                        spark_b, tgt, spec["mv_path"], spec["group_cols"],
-                        spec.get("sum_cols", []),
-                    )
-                elif kind == "distinct":
-                    _views.refresh_distinct_view(
-                        spark_b, tgt, spec["mv_path"], spec["group_cols"],
-                        spec["item_col"], spec.get("k", 128),
-                    )
-                elif kind == "quantile":
-                    _views.refresh_quantile_view(
-                        spark_b, tgt, spec["mv_path"], spec["group_cols"],
-                        spec["value_col"], spec["key_col"],
-                        spec.get("k", 256),
-                    )
-                elif kind == "cms":
-                    _views.refresh_cms_view(
-                        spark_b, tgt, spec["mv_path"], spec["group_cols"],
-                        spec["item_col"], spec.get("depth", 4),
-                        spec.get("width", 128),
-                    )
-                else:
-                    raise ValueError(
-                        f"unknown maintain_views kind {kind!r} "
-                        "(aggregate | distinct | quantile | cms)"
-                    )
+                # per-target resolution stays here; the kind dispatch is
+                # the shared vocabulary (views.refresh_view_spec)
+                _views.refresh_view_spec(
+                    spark_b, targets[spec["target"]], spec
+                )
 
     return (
         raw.writeStream.foreachBatch(merge_batch)

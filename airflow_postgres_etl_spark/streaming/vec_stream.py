@@ -6,11 +6,20 @@ any earlier micro-batch or earlier (by id) in its own batch.
 
 Same composition discipline as the document flow — the file-source
 checkpoint is the high-water mark, the persisted IVF index IS the dedup
-state, and each micro-batch runs in-batch dedup → index dedup → append
-survivors to the index, then the corpus.  Index-before-corpus order
-gives at-most-once admission (a replayed batch finds its survivors
-already indexed and drops them — the right trade for training data, see
-the doc_stream module doc).
+state, and each micro-batch runs in-batch dedup → index dedup →
+admission.  Delivery semantics differ by corpus mode (r9):
+
+- plain-parquet corpus (default): index appends FIRST, then the blind
+  corpus append — at-most-once into the corpus (a crash between the two
+  appends loses those rows on replay: the ``ivf_contains_ids`` guard
+  drops re-delivered survivors the index already holds).  The
+  doc_stream trade: a lost document costs a little coverage, a
+  duplicated one biases every epoch.
+- keyed corpus (``maintain_views=``): the corpus commits FIRST under an
+  epoch txn watermark (``keyed_append`` — replays are manifest no-ops),
+  the index appends after, guarded by ``ivf_contains_ids`` —
+  EXACTLY-ONCE into the corpus and the index, every crash position
+  replaying into either a txn no-op or a guard drop.
 
 Quantizer lifecycle: the FIRST batch's survivors build the index (its
 lowest-id vectors seed the centroids); every later batch assigns
@@ -86,35 +95,12 @@ def semantic_self_dedup(
 
 
 def _refresh_view(spark: SparkSession, target: str, spec: dict) -> dict:
-    """Dispatch one ``maintain_views`` spec — the same kinds (and the
-    same spec keys) as ``file_stream.stream_ingest``."""
+    """One ``maintain_views`` spec — the shared dispatcher
+    (``views.refresh_view_spec``), kept as a module seam so tests can
+    inject crashes between the corpus commit and the refresh."""
     from .. import views as _views
 
-    kind = spec.get("kind", "aggregate")
-    if kind == "aggregate":
-        return _views.refresh_aggregate_view(
-            spark, target, spec["mv_path"], spec["group_cols"],
-            spec.get("sum_cols", []),
-        )
-    if kind == "distinct":
-        return _views.refresh_distinct_view(
-            spark, target, spec["mv_path"], spec["group_cols"],
-            spec["item_col"], spec.get("k", 128),
-        )
-    if kind == "quantile":
-        return _views.refresh_quantile_view(
-            spark, target, spec["mv_path"], spec["group_cols"],
-            spec["value_col"], spec["key_col"], spec.get("k", 256),
-        )
-    if kind == "cms":
-        return _views.refresh_cms_view(
-            spark, target, spec["mv_path"], spec["group_cols"],
-            spec["item_col"], spec.get("depth", 4), spec.get("width", 128),
-        )
-    raise ValueError(
-        f"unknown maintain_views kind {kind!r} "
-        "(aggregate | distinct | quantile | cms)"
-    )
+    return _views.refresh_view_spec(spark, target, spec)
 
 
 def stream_semantic_ingest(
@@ -153,15 +139,20 @@ def stream_semantic_ingest(
     minus the ``target`` key (the corpus is the only table here):
     ``{"kind": "aggregate"|"distinct"|"quantile"|"cms", "mv_path": …,
     "group_cols": […], …}``.  When given, the corpus is committed as a
-    KEYED table (``sink.keyed_append``, key ``vec_id`` — new by
-    construction: the index probe drops every replayed survivor before
-    the append, so the blind append needs no txn watermark) and each
-    view refreshes from the manifest diff AFTER the commit.  Read the
-    corpus with ``sink.read_keyed_table`` in this mode.  Exactly-once
-    across crash-replay holds by composition: a crash between corpus
-    commit and refresh leaves the view pinned at an older table version,
-    and the next refresh folds BOTH commits' files in (the view records
-    the last version it has seen) — never double-counts, never skips."""
+    KEYED table (``sink.keyed_append`` under an epoch txn watermark,
+    BEFORE the index append — see the module doc's delivery-semantics
+    contract: exactly-once into corpus and index) and each view
+    refreshes from the manifest diff AFTER the commit.  Read the corpus
+    with ``sink.read_keyed_table`` in this mode.  Exactly-once for the
+    VIEWS holds by composition: the refresh runs on every batch (a
+    manifest-version no-op when idle), so a crash between corpus commit
+    and refresh leaves the view pinned at an older table version and
+    the replay's refresh folds the missed commit in — never
+    double-counts, never stays stale.  Residual window, documented: an
+    in-band quantizer refresh re-cells vectors, so a crash in the same
+    epoch as a refresh can replay past the contains-guard — the txn
+    watermark still protects the corpus; only the index can carry a
+    duplicate row (benign for knn: distinct-id handling downstream)."""
     stream = (
         spark.readStream.schema(VEC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -172,9 +163,9 @@ def stream_semantic_ingest(
         # release the quantizer-assignment caches with the batch (same
         # per-micro-batch cache lifecycle as the document stream)
         with cache_scope():
-            _process_batch(batch)
+            _process_batch(batch, epoch_id)
 
-    def _process_batch(batch: DataFrame) -> None:
+    def _process_batch(batch: DataFrame, epoch_id: int) -> None:
         had_index = ivf_index_exists(index_path)
         if had_index:
             cent = batch.sparkSession.read.parquet(
@@ -201,7 +192,7 @@ def stream_semantic_ingest(
             # membership check is what actually delivers the module's
             # at-most-once admission contract under replay.
             survivors = survivors.join(
-                ivf_contains_ids(survivors, index_path),
+                ivf_contains_ids(survivors, index_path, centroids=cent),
                 "vec_id",
                 "left_anti",
             )
@@ -213,6 +204,26 @@ def stream_semantic_ingest(
         survivors = survivors.localCheckpoint(eager=True)
         try:
             if survivors.take(1):
+                # ORDERING is the delivery contract (r9 review finding):
+                # - keyed mode (maintain_views): corpus FIRST under an
+                #   epoch txn watermark, index after — EXACTLY-ONCE into
+                #   the corpus.  Crash after the corpus commit replays
+                #   into a txn no-op; crash after the index append
+                #   replays into the contains-guard dropping everything;
+                #   either way nothing is lost and nothing doubles.
+                # - plain-parquet mode: index first (the blind append
+                #   has no idempotence handle) — the documented
+                #   at-most-once trade: a crash BETWEEN the appends
+                #   loses those rows from the corpus on replay.
+                if maintain_views is not None:
+                    from .. import sink
+
+                    sink.keyed_append(
+                        batch.sparkSession, survivors, corpus_out,
+                        key="vec_id", num_buckets=corpus_num_buckets,
+                        verify_new=False,
+                        txn_app=checkpoint_dir, txn_seq=int(epoch_id),
+                    )
                 if had_index:
                     append_to_ivf_index(survivors, index_path)
                 else:
@@ -226,14 +237,6 @@ def stream_semantic_ingest(
                     )
                 if maintain_views is None:
                     survivors.write.mode("append").parquet(corpus_out)
-                else:
-                    from .. import sink
-
-                    sink.keyed_append(
-                        batch.sparkSession, survivors, corpus_out,
-                        key="vec_id", num_buckets=corpus_num_buckets,
-                        verify_new=False,
-                    )
                 if had_index and refresh_fraction is not None:
                     # corpus written first, so the rebuild corpus ⊇ the
                     # index contents — never narrower than the state it

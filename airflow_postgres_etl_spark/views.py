@@ -1254,3 +1254,38 @@ def read_cms_view(
         width=meta["width"],
         group_cols=meta["group_cols"],
     )
+
+
+def refresh_view_spec(spark: SparkSession, target: str, spec: dict) -> dict:
+    """Dispatch ONE in-band maintenance spec — the shared vocabulary of
+    every stream's ``maintain_views=`` (``file_stream.stream_ingest``,
+    ``vec_stream.stream_semantic_ingest``): ``{"kind": "aggregate" |
+    "distinct" | "quantile" | "cms", "mv_path": …, "group_cols": […],
+    …}`` plus each kind's own keys.  One dispatcher so a new view kind
+    or a changed default lands everywhere at once (r9 review finding:
+    two inline copies had already drifted on the error message)."""
+    kind = spec.get("kind", "aggregate")
+    if kind == "aggregate":
+        return refresh_aggregate_view(
+            spark, target, spec["mv_path"], spec["group_cols"],
+            spec.get("sum_cols", []),
+        )
+    if kind == "distinct":
+        return refresh_distinct_view(
+            spark, target, spec["mv_path"], spec["group_cols"],
+            spec["item_col"], spec.get("k", 128),
+        )
+    if kind == "quantile":
+        return refresh_quantile_view(
+            spark, target, spec["mv_path"], spec["group_cols"],
+            spec["value_col"], spec["key_col"], spec.get("k", 256),
+        )
+    if kind == "cms":
+        return refresh_cms_view(
+            spark, target, spec["mv_path"], spec["group_cols"],
+            spec["item_col"], spec.get("depth", 4), spec.get("width", 128),
+        )
+    raise ValueError(
+        f"unknown maintain_views kind {kind!r} "
+        "(aggregate | distinct | quantile | cms)"
+    )

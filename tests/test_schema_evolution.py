@@ -526,3 +526,73 @@ def test_stale_prerename_writer_rejected(spark, tmp_path):
     )
     got = read_keyed_table(spark, t).filter("oid__id='k1'").collect()[0]
     assert got.amount == 5 and got.amt == "zz"
+
+
+def test_drop_column_policy_guard_survives_rebase(spark, tmp_path, monkeypatch):
+    """r9 review finding: guards evaluated only against the caller's
+    stale manifest are bypassed by the optimistic rebase.  A
+    set_drift_policy landing between drop_column's manifest load and
+    its CAS must fail the drop on the rebase path, not be dropped-under."""
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.operators.expectations import (
+        expect_distribution,
+    )
+
+    t = _cm_table(spark, tmp_path)
+    real_load = sink._load_manifest
+    stale = real_load(t, sink.LOCAL_STORE)  # pre-policy snapshot
+    sink.set_drift_policy(
+        spark, t,
+        [expect_distribution("c", "cat", {"s0": 0.4, "s1": 0.3, "s2": 0.3})],
+        {"c": 100_000},
+    )
+    v = sink.table_version(t)
+
+    calls = {"n": 0}
+
+    def stale_once(target, store=sink.LOCAL_STORE):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale
+        return real_load(target, store)
+
+    monkeypatch.setattr(sink, "_load_manifest", stale_once)
+    with pytest.raises(ValueError, match="drift-policy rule"):
+        sink.drop_column(spark, t, "cat")
+    monkeypatch.setattr(sink, "_load_manifest", real_load)
+    assert sink.table_version(t) == v  # nothing committed
+    assert sink.drift_policy(t) is not None  # policy intact
+
+
+def test_set_drift_policy_revalidates_on_rebase(spark, tmp_path, monkeypatch):
+    """The mirror race: a rename of the referenced column landing
+    between set_drift_policy's load and its CAS must fail the policy
+    commit on the rebase path (else every later maintain wedges)."""
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.operators.expectations import (
+        expect_distribution,
+    )
+
+    t = _cm_table(spark, tmp_path)
+    real_load = sink._load_manifest
+    stale = real_load(t, sink.LOCAL_STORE)
+    sink.rename_column(spark, t, "cat", "category")
+    v = sink.table_version(t)
+
+    calls = {"n": 0}
+
+    def stale_once(target, store=sink.LOCAL_STORE):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale
+        return real_load(target, store)
+
+    monkeypatch.setattr(sink, "_load_manifest", stale_once)
+    with pytest.raises(ValueError, match="missing columns"):
+        sink.set_drift_policy(
+            spark, t,
+            [expect_distribution("c", "cat", {"s0": 1.0})],
+        )
+    monkeypatch.setattr(sink, "_load_manifest", real_load)
+    assert sink.table_version(t) == v
+    assert sink.drift_policy(t) is None

@@ -989,3 +989,80 @@ def test_small_commit_stats_stay_on_the_driver(spark, tmp_path, monkeypatch):
     )
     m = _load_manifest(target, LOCAL_STORE)
     assert m["stats"] and all("v" in s for s in m["stats"].values())
+
+
+def test_merge_txn_watermark_idempotent(spark, tmp_path):
+    """r9: keyed_overwrite_parquet records a txn watermark INSIDE its
+    one commit — a replayed epoch is a no-op (no version bump, no
+    content change), a later epoch applies, and keyed_append's
+    bootstrap is now a single atomic first commit."""
+    from airflow_postgres_etl_spark.sink import (
+        _load_manifest,
+        keyed_append,
+        keyed_overwrite_parquet,
+        read_keyed_table,
+        table_version,
+    )
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    t = str(tmp_path / "t")
+    b1 = spark.createDataFrame([(f"k{i}", i) for i in range(8)], ["oid__id", "v"])
+    keyed_overwrite_parquet(
+        spark, b1, t, num_buckets=2, vacuum=False, txn_app="ck", txn_seq=0
+    )
+    v1 = table_version(t)
+    assert _load_manifest(t, LOCAL_STORE)["txns"] == {"ck": 0}
+    # replay of epoch 0: pure no-op
+    keyed_overwrite_parquet(
+        spark, b1, t, num_buckets=2, vacuum=False, txn_app="ck", txn_seq=0
+    )
+    assert table_version(t) == v1
+    # epoch 1 applies and advances the watermark
+    b2 = spark.createDataFrame([("k0", 99)], ["oid__id", "v"])
+    keyed_overwrite_parquet(
+        spark, b2, t, vacuum=False, txn_app="ck", txn_seq=1
+    )
+    assert table_version(t) == v1 + 1
+    assert _load_manifest(t, LOCAL_STORE)["txns"] == {"ck": 1}
+    got = {(r.oid__id, r.v) for r in read_keyed_table(spark, t).collect()}
+    assert ("k0", 99) in got and len(got) == 8
+
+    # bootstrap atomicity: keyed_append's FIRST commit carries the txn
+    t2 = str(tmp_path / "t2")
+    keyed_append(
+        spark, b1, t2, num_buckets=2, txn_app="ck2", txn_seq=5,
+        verify_new=False,
+    )
+    m = _load_manifest(t2, LOCAL_STORE)
+    assert m["version"] == 1 and m["txns"] == {"ck2": 5}
+    # replayed bootstrap epoch: no-op
+    assert keyed_append(
+        spark, b1, t2, num_buckets=2, txn_app="ck2", txn_seq=5,
+        verify_new=False,
+    ) == 0
+    assert read_keyed_table(spark, t2).count() == 8
+
+
+def test_row_count_fill_reuses_stats_footer_pass(spark, tmp_path, monkeypatch):
+    """r9 review finding: the commit opened each new file's footer
+    twice (stats, then row counts).  With tracked stats columns the
+    row-count fill must be entirely hint-served — zero re-opens."""
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.sink import (
+        keyed_overwrite_parquet,
+        table_stats,
+    )
+
+    def no_reopen(*a, **k):
+        raise AssertionError("row-count fill re-opened a footer")
+
+    monkeypatch.setattr(sink, "_footer_num_rows", no_reopen)
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(20)], ["oid__id", "v"]
+    )
+    keyed_overwrite_parquet(
+        spark, df, t, num_buckets=4, vacuum=False, stats_cols=["v"]
+    )
+    st = table_stats(t)
+    assert st["row_count"] == 20  # exact, from the single footer pass

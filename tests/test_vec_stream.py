@@ -348,3 +348,86 @@ def test_stream_semantic_maintains_distinct_view_across_crash(
         (r.label, r.est_distinct) for r in rdv(spark, mv2).collect()
     }
     assert {(k, v) for k, v in view_counts().items()} == control
+
+
+def test_stream_keyed_corpus_exactly_once_across_index_crash(
+    spark, tmp_path, monkeypatch
+):
+    """r9 review finding (severe): with the contains-guard alone, a
+    crash BETWEEN the index append and the corpus write lost admitted
+    vectors from the corpus forever.  Keyed mode now commits the corpus
+    FIRST under an epoch txn watermark, then appends the index — so a
+    crash at EITHER position replays into exactly-once corpus + index.
+    This test crashes between the two: corpus committed, index not."""
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.operators.similarity import (
+        ivf_index_exists,
+    )
+    from airflow_postgres_etl_spark.streaming import vec_stream as VS
+    from airflow_postgres_etl_spark.views import read_distinct_view
+
+    src, idx, out, ck, mv = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck", "mv")
+    )
+    spec = [{"kind": "distinct", "mv_path": mv, "group_cols": ["label"],
+             "item_col": "vec_id"}]
+    b1 = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.0, 1.0, 0.0, 0.0], 1),
+        ],
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    real_build = VS.build_ivf_index
+    state = {"crash": True}
+
+    def build_or_crash(*a, **kw):
+        if state["crash"]:
+            state["crash"] = False
+            raise RuntimeError("injected crash before index build")
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(VS, "build_ivf_index", build_or_crash)
+    q = VS.stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None, maintain_views=spec, corpus_num_buckets=2,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+    # the corpus commit LANDED (txn watermark inside it); no index yet
+    v1 = sink.table_version(out)
+    assert v1 is not None and not ivf_index_exists(idx)
+
+    q2 = VS.stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None, maintain_views=spec, corpus_num_buckets=2,
+    )
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    # exactly-once: replay was a txn no-op on the corpus (same version),
+    # the index now holds the admitted vectors, the view is caught up
+    assert sink.table_version(out) == v1
+    corpus = sink.read_keyed_table(spark, out)
+    assert sorted(r.vec_id for r in corpus.collect()) == [1, 2]
+    assert ivf_index_exists(idx)
+    in_idx = spark.read.parquet(f"{idx}/vectors")
+    assert sorted(r.vec_id for r in in_idx.collect()) == [1, 2]
+    got = {r.label: r.est_distinct for r in read_distinct_view(spark, mv).collect()}
+    assert got == {0: 1, 1: 1}
+
+    # a later epoch still flows normally end-to-end
+    b2 = _vecs(spark, [(9, [0.0, 0.0, 1.0, 0.0], 1)])
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q3 = VS.stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None, maintain_views=spec, corpus_num_buckets=2,
+    )
+    q3.awaitTermination(300)
+    assert q3.exception() is None
+    assert sorted(
+        r.vec_id for r in sink.read_keyed_table(spark, out).collect()
+    ) == [1, 2, 9]
+    got = {r.label: r.est_distinct for r in read_distinct_view(spark, mv).collect()}
+    assert got == {0: 1, 1: 2}
