@@ -1066,3 +1066,45 @@ def test_row_count_fill_reuses_stats_footer_pass(spark, tmp_path, monkeypatch):
     )
     st = table_stats(t)
     assert st["row_count"] == 20  # exact, from the single footer pass
+
+
+def test_optimize_stats_zero_driver_footer_reads(spark, tmp_path, monkeypatch):
+    """The review-caught call site: optimize_keyed_table — the op whose
+    whole purpose is packing tables with MANY files — must also collect
+    stats executor-side above the crossover."""
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.sink import (
+        _load_manifest,
+        keyed_append,
+        keyed_overwrite_parquet,
+        optimize_keyed_table,
+        read_keyed_table,
+    )
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(f"k{i}", i) for i in range(20)], ["oid__id", "v"]),
+        target, num_buckets=4, vacuum=False, stats_cols=["v"],
+    )
+    for j in range(2):  # append debt: multiple files per bucket
+        keyed_append(
+            spark,
+            spark.createDataFrame(
+                [(f"a{j}_{i}", 100 + i) for i in range(20)], ["oid__id", "v"]
+            ),
+            target, verify_new=False,
+        )
+
+    monkeypatch.setattr(sink, "_STATS_DISTRIBUTED_MIN_FILES", 2)
+
+    def no_driver_reads(*a, **k):
+        raise AssertionError("driver-side footer read on the optimize path")
+
+    monkeypatch.setattr(sink, "_file_stats_serial", no_driver_reads)
+    monkeypatch.setattr(sink, "_num_rows_serial", no_driver_reads)
+    optimize_keyed_table(spark, target, max_files_per_bucket=1)
+    m = _load_manifest(target, LOCAL_STORE)
+    assert m["stats"] and all("v" in s for s in m["stats"].values())
+    assert read_keyed_table(spark, target).count() == 60
