@@ -143,10 +143,14 @@ class Engine:
         checkpoint_dir: str,
         *,
         threshold: float = 0.5,
+        **kw,
     ):
         """Continuous corpus acquisition with cross-batch near-dup
-        filtering: accepted docs land in ``<out_dir>/corpus``, their LSH
-        bands in ``<out_dir>/index`` (the dedup state)."""
+        filtering: accepted docs land in ``<out_dir>/corpus`` (a KEYED
+        table by default — exactly-once; read with
+        ``Table``/``sink.read_keyed_table``; pass
+        ``delivery="at_most_once"`` for a plain parquet directory),
+        their LSH bands in ``<out_dir>/index`` (the dedup state)."""
         from .streaming import stream_dedup_ingest
 
         return stream_dedup_ingest(
@@ -156,6 +160,7 @@ class Engine:
             os.path.join(out_dir, "corpus"),
             checkpoint_dir,
             threshold=threshold,
+            **kw,
         )
 
     def stream_semantic_ingest(
@@ -165,11 +170,14 @@ class Engine:
         checkpoint_dir: str,
         *,
         threshold: float = 0.95,
+        **kw,
     ):
         """Continuous EMBEDDING acquisition with cross-batch semantic
         dedup (cosine ≥ threshold vs anything accepted): survivors land
-        in ``<out_dir>/corpus``, the cell-partitioned IVF index (the
-        dedup state) in ``<out_dir>/index``."""
+        in ``<out_dir>/corpus`` (a KEYED table by default —
+        exactly-once; pass ``delivery="at_most_once"`` for a plain
+        parquet directory), the cell-partitioned IVF index (the dedup
+        state) in ``<out_dir>/index``."""
         from .streaming import stream_semantic_ingest
 
         return stream_semantic_ingest(
@@ -179,6 +187,7 @@ class Engine:
             os.path.join(out_dir, "corpus"),
             checkpoint_dir,
             threshold=threshold,
+            **kw,
         )
 
     def stream_training_ingest(
@@ -592,6 +601,24 @@ class Table:
 
         return sink.check_drift_policy(self.spark, self.path, store=self.store)
 
+    def set_ivf_policy(self, index_path, **kw) -> int:
+        """Arm ambient IVF-index health at the table (r10): stores the
+        index path, staleness threshold and recall re-gate parameters
+        in the manifest; :meth:`maintain` re-checks the index's
+        appended fraction from then on, rebuilding from the live table
+        and re-running the recall gate when it crosses.
+        ``index_path=None`` disarms."""
+        from . import sink
+
+        return sink.set_ivf_policy(
+            self.spark, self.path, index_path, store=self.store, **kw
+        )
+
+    def ivf_policy(self) -> dict | None:
+        from . import sink
+
+        return sink.ivf_policy(self.path, self.store)
+
     def maintain(
         self,
         max_delta_depth: int = 8,
@@ -623,10 +650,17 @@ class Table:
         ``on_drift="report"`` records the per-rule report under
         ``out["drift"]`` and proceeds.
 
+        When an ambient IVF policy is armed (:meth:`set_ivf_policy`),
+        the index's appended fraction is probed LAST — above the stored
+        threshold the quantizer rebuilds from the live table and the
+        recall gate re-runs (``out["ivf"]``; a failed gate raises
+        ``IndexRecallError``).
+
         Returns ``{"compacted", "optimized", "vacuumed_files",
-        "expired_snapshots"[, "drift"]}`` with counts (absent action =
-        not triggered).  Composes the individually-tested primitives;
-        the policy itself is test-pinned (tests/test_api.py)."""
+        "expired_snapshots"[, "drift"][, "ivf"]}`` with counts (absent
+        action = not triggered).  Composes the individually-tested
+        primitives; the policy itself is test-pinned
+        (tests/test_api.py)."""
         from . import sink
 
         if on_drift not in ("raise", "report"):
@@ -666,6 +700,23 @@ class Table:
         out["vacuumed_files"] = sink.vacuum_keyed_table(
             self.path, store=self.store, **kw
         )
+        # ambient IVF index health (r10, VERDICT r9 task 4): when armed
+        # (set_ivf_policy), probe the index's appended fraction — one
+        # JSON read below the threshold; above it, rebuild the quantizer
+        # from the live table and re-run the stored recall gate
+        # (similarity.maintain_index_policy raises IndexRecallError on a
+        # failed gate).  Runs LAST so the table's own maintenance lands
+        # either way.
+        ipol = sink.ivf_policy(self.path, self.store)
+        if ipol:
+            from .operators.similarity import maintain_index_policy
+
+            out["ivf"] = maintain_index_policy(
+                self.spark,
+                sink.read_keyed_table(self.spark, self.path, store=self.store),
+                ipol,
+                store=self.store,
+            )
         return out
 
     # -- table-level sketches ------------------------------------------------

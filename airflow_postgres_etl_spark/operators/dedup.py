@@ -974,6 +974,7 @@ def compact_minhash_index(
     n: int = 3,
     max_band_size: int | None = None,
     store=None,
+    corpus_df=None,
 ) -> None:
     """Rebuild the index from the ACCEPTED corpus and atomically swap it
     in — the compaction the streaming ingest docstring promises.
@@ -986,8 +987,17 @@ def compact_minhash_index(
     globally, writes it to a fresh directory, and commits via the
     manifest swap — concurrent readers keep the old snapshot (retired
     under retention), a concurrent compactor loses the conditional PUT
-    and raises ConcurrentWriteError instead of clobbering."""
-    corpus = spark.read.parquet(corpus_path)
+    and raises ConcurrentWriteError instead of clobbering.
+
+    ``corpus_df`` overrides the plain-parquet corpus read — the keyed
+    exactly-once streaming mode passes ``read_keyed_table`` output here
+    (a raw recursive read over a keyed table would resurrect retired
+    files)."""
+    corpus = (
+        corpus_df
+        if corpus_df is not None
+        else spark.read.parquet(corpus_path)
+    )
     build_minhash_index(
         corpus, index_path, col, key, n, max_band_size, store=store
     )

@@ -317,8 +317,12 @@ def ivf_contains_ids(
 
     Valid while the quantizer is frozen (appends never move centroids).
     An in-band quantizer refresh between crash and replay could re-cell
-    a vector and miss the drop; the keyed-corpus mode then rejects the
-    duplicate id loudly at the append instead of silently doubling.
+    a vector and miss the drop; in the keyed-corpus mode the CORPUS is
+    still protected (the epoch txn watermark makes the replayed commit
+    a no-op) and only the INDEX can carry a duplicate row — benign for
+    knn, as vec_stream's delivery contract documents.  (vec_stream
+    passes ``verify_new=False``, so there is no loud per-id rejection
+    at the append; the watermark, not key verification, is the guard.)
 
     ``centroids`` (``c_id, __cvv, __cnorm``) reuses a frame the caller
     already loaded (the streaming batch loads it once per epoch);
@@ -700,6 +704,97 @@ def maybe_refresh_ivf_index(
         pq=bool(meta.get("pq")),
     )
     return True
+
+
+class IndexRecallError(RuntimeError):
+    """The post-rebuild recall gate failed — the refreshed quantizer
+    answers worse than the stored policy's floor.  Raised by
+    :func:`maintain_index_policy` so a scheduled ``Table.maintain``
+    trips loudly instead of silently serving a degraded index."""
+
+
+def maintain_index_policy(
+    spark, corpus: DataFrame, policy: dict, store=None
+) -> dict:
+    """Ambient IVF index health — the drift-gate pattern applied to the
+    vector surface (r10, VERDICT r9 task 4).  ``policy`` is the dict
+    ``sink.set_ivf_policy`` stores in the TABLE manifest (it rides the
+    commit carry like the drift rules); ``corpus`` is the table's live
+    rows (the rebuild's source of truth — rebuilding from the index's
+    own files would be a read-modify-write on the path being
+    overwritten).
+
+    Below the threshold this is a meta-only probe (one JSON read, no
+    data scan).  Above it: rebuild via :func:`maybe_refresh_ivf_index`
+    (corpus-seeded centroids, PQ tier preserved), then re-run the
+    recall gate the pytest suite pins (tests/test_ann_recall.py):
+    ``recall_queries`` lowest-id corpus vectors, exact brute-force
+    top-k vs the index's answer.  The brute-force leg is a BOUNDED
+    probe panel (≤ recall_queries × corpus — linear in the corpus, the
+    same shape as the test gate), not the fenced quadratic self-join.
+    Raises :class:`IndexRecallError` below ``min_recall``.
+
+    Returns ``{"index_path", "appended_fraction", "rebuilt"
+    [, "recall_at_k"]}``."""
+    path = policy["index_path"]
+    frac = ivf_appended_fraction(path, store)
+    out = {
+        "index_path": path,
+        "appended_fraction": round(frac, 6),
+        "rebuilt": False,
+    }
+    if frac <= policy["max_appended_fraction"]:
+        return out
+    id_col, vec_col = policy["id_col"], policy["vec_col"]
+    n_cells = policy["n_cells"]
+    out["rebuilt"] = bool(
+        maybe_refresh_ivf_index(
+            corpus,
+            path,
+            max_appended_fraction=policy["max_appended_fraction"],
+            n_cells=n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+            store=store,
+            centroids=seed_centroids(corpus, n_cells, id_col, vec_col),
+        )
+    )
+    k = policy["recall_k"]
+    qids = [
+        r[0]
+        for r in corpus.select(id_col)
+        .orderBy(id_col)
+        .limit(policy["recall_queries"])
+        .collect()
+    ]
+
+    def _topk(df) -> dict:
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return got
+
+    exact = _topk(knn_brute_force(corpus, qids, k, id_col, vec_col))
+    approx = _topk(
+        knn_against_index(
+            corpus.filter(F.col(id_col).isin(qids)),
+            path,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    )
+    num = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    den = sum(len(exact[q]) for q in exact)
+    recall = num / den if den else 1.0
+    out["recall_at_k"] = round(recall, 6)
+    if recall < policy["min_recall"]:
+        raise IndexRecallError(
+            f"IVF index {path} failed its recall re-gate after rebuild: "
+            f"recall@{k}={recall:.3f} < policy floor "
+            f"{policy['min_recall']} ({len(exact)} probe queries)"
+        )
+    return out
 
 
 def knn_against_index(

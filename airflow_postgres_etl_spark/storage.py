@@ -45,6 +45,15 @@ class LocalManifestStore:
         with open(path) as fh:
             return json.load(fh)
 
+    def open_input(self, path: str):
+        """Source for a parquet FOOTER read (``pq.ParquetFile(...)``) —
+        the commit path's only data-file I/O.  Locally the path itself
+        is the fast path (pyarrow memory-maps it); an object store
+        returns a seekable binary reader so footer decodes become ranged
+        GETs instead of local opens.  Must be safe to call executor-side
+        (the store pickles into the distributed stats leg)."""
+        return path
+
     def exists(self, path: str) -> bool:
         """Whether a data object exists at ``path`` — the probe the sink's
         retiree carry-forward uses (HEAD on an object store)."""
@@ -150,6 +159,13 @@ class FakeConditionalStore:
         # commit objects live in this store; Spark-written DATA files live
         # on the real filesystem even when the commit seam is faked
         return path in self.objects or os.path.exists(path)
+
+    def open_input(self, path: str):
+        """Data files live on the real filesystem under the fake seam —
+        delegate to the local fast path (tests that need to SPY on or
+        redirect footer opens subclass this, e.g. the seam-spy store in
+        tests/test_storage_protocol.py)."""
+        return path
 
     def write_json(self, path: str, obj: dict) -> None:
         import time

@@ -9,13 +9,24 @@ mark, S8/T1), the persisted MinHash index IS the dedup state
 (``operators.dedup.build_minhash_index``), and each micro-batch runs
 in-batch dedup → index dedup → append survivors to the index + corpus.
 
-Delivery semantics: the index is appended BEFORE the corpus.  A crash
-between the two appends means a replayed batch finds its survivors
-already indexed and drops them — at-most-once into the corpus, never
-duplicates.  For training data that is the right side of the trade: a
-lost document costs a little coverage; a duplicated one biases the
-distribution every epoch.  (Appending corpus-first would flip this to
-at-least-once.)
+Delivery semantics — chosen by ``delivery=`` (r10, symmetric with
+``vec_stream``; the strong contract is the default):
+
+- ``delivery="exactly_once"`` (default): KEYED corpus, committed FIRST
+  under an epoch txn watermark (``sink.keyed_append`` — replays are
+  manifest no-ops), index appended after.  A crash between the two
+  replays into a corpus txn no-op + index catch-up; a lost checkpoint
+  replays into ``dedup_against_index`` dropping every survivor against
+  its own indexed copy (identical text → jaccard 1 — no self-id
+  exemption exists, by design).  Exactly-once into corpus AND index.
+  Read the corpus with ``sink.read_keyed_table``.
+- ``delivery="at_most_once"`` (explicit opt-in): plain-parquet corpus,
+  index appended BEFORE the blind corpus write.  A crash between the
+  two appends means a replayed batch finds its survivors already
+  indexed and drops them — at-most-once, never duplicates, and the
+  corpus stays a bare parquet directory.  The trade: a lost document
+  costs a little coverage; a duplicated one would bias the
+  distribution every epoch.
 
 At 100 TB: per-batch cost is the batch's own shingling plus a
 band-partition-pruned join against the index (see
@@ -85,10 +96,16 @@ def stream_dedup_ingest(
     max_files_per_trigger: int = 10,
     max_band_size: int | None = None,
     compact_fraction: float | None = MINHASH_MAX_APPENDED_FRACTION,
+    delivery: str = "exactly_once",
+    corpus_num_buckets: int | None = None,
 ) -> StreamingQuery:
     """Continuous dedup ingest: parquet file stream of (doc_id, text) →
-    in-batch dedup → dedup against the persisted index → append survivors
-    to the index, then the corpus (order = at-most-once, see module doc).
+    in-batch dedup → dedup against the persisted index → admission.
+    ``delivery`` picks the corpus contract (module doc): the default
+    commits a KEYED corpus first under an epoch txn watermark
+    (exactly-once; read it with ``sink.read_keyed_table``);
+    ``"at_most_once"`` opts back into a plain-parquet corpus appended
+    after the index.
 
     The build-vs-append decision probes the index MANIFEST through the
     storage seam (``minhash_index_exists``), never the filesystem: an
@@ -106,6 +123,12 @@ def stream_dedup_ingest(
     refresh and ``stream_ingest(merge_mode="mor")``'s auto-compaction;
     pass None to run ``compact_minhash_index`` out-of-band instead.
     """
+    if delivery not in ("exactly_once", "at_most_once"):
+        raise ValueError(
+            f"delivery must be 'exactly_once' or 'at_most_once', "
+            f"got {delivery!r}"
+        )
+    keyed = delivery == "exactly_once"
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -118,9 +141,9 @@ def stream_dedup_ingest(
         # a long-running stream accumulates one cached corpus per
         # micro-batch until eviction pressure (caching.py)
         with cache_scope():
-            _process_batch(batch)
+            _process_batch(batch, epoch_id)
 
-    def _process_batch(batch: DataFrame) -> None:
+    def _process_batch(batch: DataFrame, epoch_id: int) -> None:
         survivors = self_dedup(batch, threshold, max_band_size)
         had_index = minhash_index_exists(index_path)
         if had_index:
@@ -139,6 +162,19 @@ def stream_dedup_ingest(
         survivors = survivors.localCheckpoint(eager=True)
         try:
             if survivors.take(1):
+                # ORDERING is the delivery contract (module doc):
+                # keyed → corpus first under the epoch txn watermark;
+                # plain → index first (the blind append's only guard is
+                # the index itself).
+                if keyed:
+                    from .. import sink
+
+                    sink.keyed_append(
+                        batch.sparkSession, survivors, corpus_out,
+                        key="doc_id", num_buckets=corpus_num_buckets,
+                        verify_new=False,
+                        txn_app=checkpoint_dir, txn_seq=int(epoch_id),
+                    )
                 if had_index:
                     append_to_minhash_index(
                         survivors, index_path, max_band_size=max_band_size
@@ -147,7 +183,8 @@ def stream_dedup_ingest(
                     build_minhash_index(
                         survivors, index_path, max_band_size=max_band_size
                     )
-                survivors.write.mode("append").parquet(corpus_out)
+                if not keyed:
+                    survivors.write.mode("append").parquet(corpus_out)
                 if (
                     had_index
                     and compact_fraction is not None
@@ -157,11 +194,20 @@ def stream_dedup_ingest(
                     # corpus written first, so the rebuild source ⊇ the
                     # index contents — never narrower than the state it
                     # replaces; the manifest swap resets the counter
+                    if keyed:
+                        from .. import sink
+
+                        corpus_df = sink.read_keyed_table(
+                            batch.sparkSession, corpus_out
+                        )
+                    else:
+                        corpus_df = None
                     compact_minhash_index(
                         batch.sparkSession,
                         index_path,
                         corpus_out,
                         max_band_size=max_band_size,
+                        corpus_df=corpus_df,
                     )
         finally:
             survivors.unpersist()

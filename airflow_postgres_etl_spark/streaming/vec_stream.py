@@ -7,19 +7,23 @@ any earlier micro-batch or earlier (by id) in its own batch.
 Same composition discipline as the document flow — the file-source
 checkpoint is the high-water mark, the persisted IVF index IS the dedup
 state, and each micro-batch runs in-batch dedup → index dedup →
-admission.  Delivery semantics differ by corpus mode (r9):
+admission.  Delivery semantics are chosen by ``delivery=`` (r10: the
+strong contract is the DEFAULT — new users should not get at-most-once
+silently; VERDICT r9 task 3):
 
-- plain-parquet corpus (default): index appends FIRST, then the blind
-  corpus append — at-most-once into the corpus (a crash between the two
-  appends loses those rows on replay: the ``ivf_contains_ids`` guard
-  drops re-delivered survivors the index already holds).  The
-  doc_stream trade: a lost document costs a little coverage, a
-  duplicated one biases every epoch.
-- keyed corpus (``maintain_views=``): the corpus commits FIRST under an
-  epoch txn watermark (``keyed_append`` — replays are manifest no-ops),
-  the index appends after, guarded by ``ivf_contains_ids`` —
-  EXACTLY-ONCE into the corpus and the index, every crash position
-  replaying into either a txn no-op or a guard drop.
+- ``delivery="exactly_once"`` (default): KEYED corpus — it commits
+  FIRST under an epoch txn watermark (``keyed_append`` — replays are
+  manifest no-ops), the index appends after, guarded by
+  ``ivf_contains_ids`` — EXACTLY-ONCE into the corpus and the index,
+  every crash position replaying into either a txn no-op or a guard
+  drop.  Read the corpus with ``sink.read_keyed_table``.
+- ``delivery="at_most_once"`` (explicit opt-in): plain-parquet corpus,
+  index appends FIRST, then the blind corpus append — a crash between
+  the two appends loses those rows on replay (the ``ivf_contains_ids``
+  guard drops re-delivered survivors the index already holds).  The
+  trade: a lost vector costs a little coverage, a duplicated one biases
+  every epoch — and the corpus stays a plain ``spark.read.parquet``
+  directory with no manifest, for pipelines that need that.
 
 Quantizer lifecycle: the FIRST batch's survivors build the index (its
 lowest-id vectors seed the centroids); every later batch assigns
@@ -116,6 +120,7 @@ def stream_semantic_ingest(
     refresh_fraction: float | None = IVF_MAX_APPENDED_FRACTION,
     maintain_views: list[dict] | None = None,
     corpus_num_buckets: int | None = None,
+    delivery: str = "exactly_once",
 ) -> StreamingQuery:
     """Continuous semantic-dedup ingest: parquet file stream of
     (vec_id, embedding, label) → in-batch dedup → cosine probe against
@@ -134,25 +139,43 @@ def stream_semantic_ingest(
     ``stream_ingest(merge_mode="mor")``'s auto-compaction; pass None to
     run refresh out-of-band instead.
 
+    ``delivery`` (r10): ``"exactly_once"`` (default) commits the corpus
+    as a KEYED table (``sink.keyed_append`` under an epoch txn
+    watermark, BEFORE the index append — see the module doc's
+    delivery-semantics contract); ``"at_most_once"`` is the explicit
+    opt-in back to a plain-parquet corpus directory (index first, blind
+    corpus append after — a crash between them loses those rows, the
+    documented trade).
+
     ``maintain_views`` (r9, VERDICT r8 task 5): in-band IVM over the
     accepted corpus — same spec dicts as ``file_stream.stream_ingest``
     minus the ``target`` key (the corpus is the only table here):
     ``{"kind": "aggregate"|"distinct"|"quantile"|"cms", "mv_path": …,
-    "group_cols": […], …}``.  When given, the corpus is committed as a
-    KEYED table (``sink.keyed_append`` under an epoch txn watermark,
-    BEFORE the index append — see the module doc's delivery-semantics
-    contract: exactly-once into corpus and index) and each view
-    refreshes from the manifest diff AFTER the commit.  Read the corpus
-    with ``sink.read_keyed_table`` in this mode.  Exactly-once for the
-    VIEWS holds by composition: the refresh runs on every batch (a
-    manifest-version no-op when idle), so a crash between corpus commit
-    and refresh leaves the view pinned at an older table version and
-    the replay's refresh folds the missed commit in — never
-    double-counts, never stays stale.  Residual window, documented: an
-    in-band quantizer refresh re-cells vectors, so a crash in the same
-    epoch as a refresh can replay past the contains-guard — the txn
-    watermark still protects the corpus; only the index can carry a
-    duplicate row (benign for knn: distinct-id handling downstream)."""
+    "group_cols": […], …}``.  Requires the keyed corpus (views refresh
+    from manifest diffs), so it is incompatible with
+    ``delivery="at_most_once"``.  Each view refreshes AFTER the corpus
+    commit.  Exactly-once for the VIEWS holds by composition: the
+    refresh runs on every batch (a manifest-version no-op when idle),
+    so a crash between corpus commit and refresh leaves the view pinned
+    at an older table version and the replay's refresh folds the missed
+    commit in — never double-counts, never stays stale.  Residual
+    window, documented: an in-band quantizer refresh re-cells vectors,
+    so a crash in the same epoch as a refresh can replay past the
+    contains-guard — the txn watermark still protects the corpus; only
+    the index can carry a duplicate row (benign for knn: distinct-id
+    handling downstream)."""
+    if delivery not in ("exactly_once", "at_most_once"):
+        raise ValueError(
+            f"delivery must be 'exactly_once' or 'at_most_once', "
+            f"got {delivery!r}"
+        )
+    keyed = delivery == "exactly_once"
+    if maintain_views is not None and not keyed:
+        raise ValueError(
+            "maintain_views requires the keyed corpus (views refresh "
+            "from manifest diffs) — incompatible with "
+            "delivery='at_most_once'"
+        )
     stream = (
         spark.readStream.schema(VEC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -205,17 +228,17 @@ def stream_semantic_ingest(
         try:
             if survivors.take(1):
                 # ORDERING is the delivery contract (r9 review finding):
-                # - keyed mode (maintain_views): corpus FIRST under an
+                # - exactly_once (keyed, default): corpus FIRST under an
                 #   epoch txn watermark, index after — EXACTLY-ONCE into
                 #   the corpus.  Crash after the corpus commit replays
                 #   into a txn no-op; crash after the index append
                 #   replays into the contains-guard dropping everything;
                 #   either way nothing is lost and nothing doubles.
-                # - plain-parquet mode: index first (the blind append
-                #   has no idempotence handle) — the documented
-                #   at-most-once trade: a crash BETWEEN the appends
-                #   loses those rows from the corpus on replay.
-                if maintain_views is not None:
+                # - at_most_once (plain parquet, opt-in): index first
+                #   (the blind append has no idempotence handle) — the
+                #   documented trade: a crash BETWEEN the appends loses
+                #   those rows from the corpus on replay.
+                if keyed:
                     from .. import sink
 
                     sink.keyed_append(
@@ -235,13 +258,13 @@ def stream_semantic_ingest(
                             survivors, n_cells, "vec_id", "embedding"
                         ),
                     )
-                if maintain_views is None:
+                if not keyed:
                     survivors.write.mode("append").parquet(corpus_out)
                 if had_index and refresh_fraction is not None:
                     # corpus written first, so the rebuild corpus ⊇ the
                     # index contents — never narrower than the state it
                     # replaces
-                    if maintain_views is None:
+                    if not keyed:
                         corpus = batch.sparkSession.read.parquet(corpus_out)
                     else:
                         from .. import sink

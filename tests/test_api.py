@@ -73,7 +73,9 @@ def test_engine_streaming_surfaces(spark, tmp_path):
 
     q = eng.stream_dedup_ingest(src, str(tmp_path / "out"), str(tmp_path / "ck"))
     q.awaitTermination(120)
-    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out" / "corpus")).collect()}
+    from airflow_postgres_etl_spark.sink import read_keyed_table
+
+    kept = {r.doc_id for r in read_keyed_table(spark, str(tmp_path / "out" / "corpus")).collect()}
     assert kept == {1, 3}
     from airflow_postgres_etl_spark.operators.dedup import read_minhash_index
 
@@ -102,9 +104,13 @@ def test_engine_semantic_stream_surface(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert q.exception() is None
+    from airflow_postgres_etl_spark.sink import read_keyed_table
+
     kept = {
         r.vec_id
-        for r in spark.read.parquet(str(tmp_path / "out" / "corpus")).collect()
+        for r in read_keyed_table(
+            spark, str(tmp_path / "out" / "corpus")
+        ).collect()
     }
     assert kept == {1, 3}
     assert ivf_index_exists(str(tmp_path / "out" / "index"))
@@ -484,3 +490,147 @@ def test_maintain_policy(spark, tmp_path):
     out2 = t.maintain(retention_s=0)
     assert "compacted" not in out2 and "optimized" not in out2
     assert out2["vacuumed_files"] == 0 and t.version() == v
+
+
+def test_ambient_ivf_policy_via_maintain(spark, tmp_path):
+    """r10 (VERDICT r9 task 4): the drift-gate pattern applied to the
+    vector surface.  set_ivf_policy stores the refresh policy in the
+    table manifest (rides the commit carry); maintain() is a JSON-read
+    no-op below the staleness threshold, and above it rebuilds the
+    quantizer from the live table and re-passes the recall gate."""
+    import pytest
+
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.api import Table
+    from airflow_postgres_etl_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_appended_fraction,
+        seed_centroids,
+    )
+
+    target = str(tmp_path / "vecs")
+    idx = str(tmp_path / "ivf")
+
+    def vdf(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.1, 0.9, 0.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 0.9, 0.1]),
+    ]
+    df = vdf(base)
+    sink.keyed_overwrite_parquet(
+        spark, df, target, key="vec_id", num_buckets=2, vacuum=False
+    )
+    build_ivf_index(
+        df, idx, n_cells=2,
+        centroids=seed_centroids(df, 2, "vec_id", "embedding"),
+    )
+    t = Table(spark, target)
+    # recall gate with probes >= n_cells scans every cell: IVF == exact,
+    # the gate is deterministic at 1.0
+    v = t.set_ivf_policy(
+        idx, max_appended_fraction=0.2, recall_k=2, recall_queries=4,
+        min_recall=0.9,
+    )
+    assert t.ivf_policy()["index_path"] == idx
+
+    # below threshold: meta-only probe, no rebuild
+    out = t.maintain(retention_s=0.0)
+    assert out["ivf"] == {
+        "index_path": idx, "appended_fraction": 0.0, "rebuilt": False,
+    }
+
+    # drift the index: append 3 of 9 vectors (fraction 1/3 > 0.2); the
+    # policy survives the data commits via the manifest carry
+    extra = [
+        (7, [0.0, 0.0, 0.0, 1.0]),
+        (8, [0.0, 0.0, 0.1, 0.9]),
+        (9, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    sink.keyed_append(spark, vdf(extra), target, key="vec_id", verify_new=False)
+    append_to_ivf_index(vdf(extra), idx)
+    assert sink.table_version(target) > v
+    assert t.ivf_policy()["index_path"] == idx  # carried, not re-armed
+    assert ivf_appended_fraction(idx) == pytest.approx(1 / 3)
+
+    out2 = t.maintain(retention_s=0.0)
+    assert out2["ivf"]["rebuilt"] is True
+    assert out2["ivf"]["recall_at_k"] >= 0.9
+    assert ivf_appended_fraction(idx) == 0.0  # counter reset by rebuild
+    # idempotent: next maintain is a no-op again
+    out3 = t.maintain(retention_s=0.0)
+    assert out3["ivf"]["rebuilt"] is False
+
+    # disarm
+    t.set_ivf_policy(None)
+    assert t.ivf_policy() is None
+    assert "ivf" not in t.maintain(retention_s=0.0)
+
+
+def test_ivf_policy_rename_follows_drop_blocks(spark, tmp_path, monkeypatch):
+    """The policy interacts with column mapping exactly like the drift
+    rules: rename of the vector column rewrites it, drop of a
+    referenced column is rejected, and a failed recall re-gate raises."""
+    import pytest
+
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.api import Table
+    from airflow_postgres_etl_spark.operators import similarity as S
+
+    target = str(tmp_path / "vecs")
+    idx = str(tmp_path / "ivf")
+    df = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)], i) for i in range(6)],
+        "vec_id long, embedding array<float>, aux long",
+    )
+    sink.keyed_overwrite_parquet(
+        spark, df, target, key="vec_id", num_buckets=2, vacuum=False
+    )
+    S.build_ivf_index(
+        df, idx, n_cells=2,
+        centroids=S.seed_centroids(df, 2, "vec_id", "embedding"),
+    )
+    t = Table(spark, target)
+    t.set_ivf_policy(idx, max_appended_fraction=0.2, recall_k=2,
+                     recall_queries=3, min_recall=0.9)
+
+    # arming against a missing column fails loudly
+    with pytest.raises(ValueError, match="missing columns"):
+        t.set_ivf_policy(idx, vec_col="nope")
+
+    sink.rename_column(spark, target, "embedding", "emb")
+    assert t.ivf_policy()["vec_col"] == "emb"
+    with pytest.raises(ValueError, match="ambient IVF"):
+        sink.drop_column(spark, target, "emb")
+
+    # drift it, then force the gate to fail: the maintain raises
+    extra = spark.createDataFrame(
+        [(10, [0.5, 0.5, 0.0, 0.0], 10), (11, [0.0, 0.5, 0.5, 0.0], 11),
+         (12, [0.0, 0.0, 0.5, 0.5], 12)],
+        "vec_id long, emb array<float>, aux long",
+    )
+    sink.keyed_append(spark, extra, target, key="vec_id", verify_new=False)
+    # the INDEX keeps the column name it was built with ("embedding");
+    # only the TABLE read is logical — maintain passes vec_col from the
+    # policy and the rebuild re-labels the index from the corpus
+    S.append_to_ivf_index(
+        extra.withColumnRenamed("emb", "embedding"), idx
+    )
+
+    def empty_knn(queries, *a, **kw):
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double"
+        )
+
+    monkeypatch.setattr(S, "knn_against_index", empty_knn)
+    with pytest.raises(S.IndexRecallError, match="recall re-gate"):
+        t.maintain(retention_s=0.0)

@@ -413,3 +413,70 @@ def test_missing_intermediate_version_manifest_is_hard_conflict(
             spark.createDataFrame([(kc, 9)], ["oid__id", "v"]),
             target, num_buckets=4,
         )
+
+
+def test_rebase_never_regresses_same_app_txn_watermark(
+    spark, tmp_path, monkeypatch
+):
+    """r10 (r9 advisor finding): Delta's ConcurrentTransaction check —
+    an intervening commit that advanced the SAME txn_app to >= the
+    victim's seq means the victim's batch is already applied or stale;
+    the rebase must hard-fail instead of regressing the watermark."""
+    ka, kb, kc = _keys_in_distinct_buckets(spark)
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(ka, 1)], ["oid__id", "v"]),
+        target, num_buckets=4, vacuum=False, txn_app="w", txn_seq=1,
+    )
+    # zombie writer replays seq 2; the live writer lands seq 3 on a
+    # DIFFERENT bucket between the zombie's write and its CAS
+    _interlope_once(
+        monkeypatch,
+        lambda: keyed_append(
+            spark,
+            spark.createDataFrame([(kb, 30)], ["oid__id", "v"]),
+            target, verify_new=False, txn_app="w", txn_seq=3,
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError, match="advanced"):
+        keyed_append(
+            spark,
+            spark.createDataFrame([(kc, 2)], ["oid__id", "v"]),
+            target, verify_new=False, txn_app="w", txn_seq=2,
+        )
+    m = sink._load_manifest(target)
+    assert m["txns"]["w"] == 3  # never regressed
+    assert _state(spark, target) == {ka: 1, kb: 30}
+
+
+def test_rebase_merges_lower_intervening_txn_watermark(
+    spark, tmp_path, monkeypatch
+):
+    """The benign side: an intervening LOWER seq from the same app (an
+    out-of-order but disjoint writer) rebases fine and the merged
+    watermark is the max of the two — monotone either way.  The COW
+    merge path is exercised here (the append path above)."""
+    ka, kb, kc = _keys_in_distinct_buckets(spark)
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(ka, 1)], ["oid__id", "v"]),
+        target, num_buckets=4, vacuum=False, txn_app="w", txn_seq=1,
+    )
+    _interlope_once(
+        monkeypatch,
+        lambda: keyed_overwrite_parquet(
+            spark,
+            spark.createDataFrame([(kb, 2)], ["oid__id", "v"]),
+            target, num_buckets=4, vacuum=False, txn_app="w", txn_seq=2,
+        ),
+    )
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(kc, 5)], ["oid__id", "v"]),
+        target, num_buckets=4, vacuum=False, txn_app="w", txn_seq=5,
+    )
+    m = sink._load_manifest(target)
+    assert m["txns"]["w"] == 5
+    assert _state(spark, target) == {ka: 1, kb: 2, kc: 5}

@@ -1108,3 +1108,153 @@ def test_optimize_stats_zero_driver_footer_reads(spark, tmp_path, monkeypatch):
     m = _load_manifest(target, LOCAL_STORE)
     assert m["stats"] and all("v" in s for s in m["stats"].values())
     assert read_keyed_table(spark, target).count() == 60
+
+
+# ---------------------------------------------------------------------------
+# r10 (VERDICT r9 task 1): footer opens route through the storage seam
+# (store.open_input) in BOTH stats legs — zero direct os-path parquet
+# opens anywhere on the commit path.
+# ---------------------------------------------------------------------------
+
+
+class RedirectStore(LocalManifestStore):
+    """Seam-spy store whose DATA files live at a different physical root
+    than the logical paths the sink asks for.  Any footer open that
+    bypasses ``open_input`` (a direct os-path pyarrow open) hits a
+    missing file and fails loudly — including EXECUTOR-side opens, since
+    the store pickles into the distributed leg's RDD tasks.  Module
+    level so it pickles by reference into Spark workers."""
+
+    def __init__(self, src_root: str, dst_root: str) -> None:
+        self.src_root = src_root
+        self.dst_root = dst_root
+
+    def open_input(self, path: str):
+        assert path.startswith(self.src_root), path
+        return self.dst_root + path[len(self.src_root):]
+
+
+def test_footer_opens_route_through_seam_both_legs(spark, tmp_path):
+    """Write a table, MOVE its data to a hidden root, and re-collect
+    stats through a redirecting store: both legs must produce the exact
+    pre-move stats (proof every open went through open_input — the
+    original paths no longer exist)."""
+    import shutil
+
+    from airflow_postgres_etl_spark.sink import (
+        _file_stats_distributed,
+        _file_stats_serial,
+        _footer_num_rows,
+        _load_manifest,
+        keyed_overwrite_parquet,
+    )
+    from airflow_postgres_etl_spark.storage import LOCAL_STORE
+
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(f"k{i}", i, None if i % 3 == 0 else float(i)) for i in range(40)],
+        "oid__id string, vi bigint, vf double",
+    )
+    keyed_overwrite_parquet(
+        spark, df, target, num_buckets=4, vacuum=False,
+        stats_cols=["vi", "vf"],
+    )
+    m = _load_manifest(target, LOCAL_STORE)
+    files = [f for fs in m["buckets"].values() for f in fs]
+    tracked = ["vi", "vf"]
+    before = _file_stats_serial(target, files, tracked)
+
+    hidden = str(tmp_path / "hidden_root")
+    shutil.move(target, hidden)
+    store = RedirectStore(target, hidden)
+
+    # direct os-path open now fails: the seam is the ONLY way in
+    assert _footer_num_rows(os.path.join(target, files[0])) is None
+    assert _footer_num_rows(os.path.join(target, files[0]), store) > 0
+
+    serial = _file_stats_serial(target, files, tracked, store=store)
+    dist = _file_stats_distributed(spark, target, files, tracked, store)
+    assert serial == before and dist == before
+
+
+def test_commit_and_optimize_zero_direct_path_opens(
+    spark, tmp_path, monkeypatch
+):
+    """Full lifecycle (create → merge → append → optimize) under a spy
+    store whose open_input returns FILE OBJECTS, with driver-side
+    pyarrow patched to reject raw string paths: the whole commit path
+    must perform zero direct os-path parquet opens (serial leg — the
+    distributed leg is covered by the RedirectStore test above and the
+    zero-driver-reads tests)."""
+    import pyarrow.parquet as real_pq
+
+    from airflow_postgres_etl_spark.sink import (
+        _load_manifest,
+        keyed_append,
+        keyed_overwrite_parquet,
+        optimize_keyed_table,
+        read_keyed_table,
+        table_stats,
+    )
+
+    class FileObjectSpyStore(LocalManifestStore):
+        def __init__(self):
+            self.opened: list[str] = []
+
+        def open_input(self, path: str):
+            self.opened.append(path)
+            return open(path, "rb")
+
+    spy = FileObjectSpyStore()
+    orig_parquet_file = real_pq.ParquetFile
+
+    def no_raw_paths(source, *a, **k):
+        assert not isinstance(source, (str, os.PathLike)), (
+            f"direct os-path parquet open on the commit path: {source}"
+        )
+        return orig_parquet_file(source, *a, **k)
+
+    monkeypatch.setattr(real_pq, "ParquetFile", no_raw_paths)
+
+    target = str(tmp_path / "t")
+    keyed_overwrite_parquet(
+        spark,
+        spark.createDataFrame([(f"k{i}", i) for i in range(20)], ["oid__id", "v"]),
+        target, num_buckets=4, vacuum=False, stats_cols=["v"], store=spy,
+    )
+    n_create = len(spy.opened)
+    assert n_create > 0  # stats pass went through the seam
+    keyed_overwrite_parquet(  # merge leg
+        spark,
+        spark.createDataFrame([("k0", 99), ("z1", 100)], ["oid__id", "v"]),
+        target, vacuum=False, store=spy,
+    )
+    keyed_append(  # append leg
+        spark,
+        spark.createDataFrame([("a1", 200)], ["oid__id", "v"]),
+        target, verify_new=False, store=spy,
+    )
+    optimize_keyed_table(spark, target, max_files_per_bucket=1, store=spy)
+    assert len(spy.opened) > n_create
+    m = _load_manifest(target, spy)
+    assert m["stats"] and all("v" in s for s in m["stats"].values())
+    # row counts filled (hint-served off the same seam-routed pass)
+    assert table_stats(target, store=spy)["row_count"] == 22
+    got = {(r.oid__id, r.v) for r in read_keyed_table(spark, target, store=spy).collect()}
+    assert ("k0", 99) in got and ("a1", 200) in got and len(got) == 22
+
+
+def test_num_rows_hint_evicts_oldest_half_only(monkeypatch):
+    """r10 (r9 advisor finding): at the cap, evict the OLDEST half —
+    never the whole dict — so a single >cap-file commit's own in-flight
+    hints (inserted last) survive to its manifest row-count fill."""
+    from airflow_postgres_etl_spark import sink
+
+    monkeypatch.setattr(sink, "_NUM_ROWS_HINT", {})
+    monkeypatch.setattr(sink, "_NUM_ROWS_HINT_CAP", 10)
+    for i in range(10):
+        sink._hint_num_rows(f"f{i}", i)
+    sink._hint_num_rows("f10", 10)
+    hints = sink._NUM_ROWS_HINT
+    assert len(hints) == 6
+    assert set(hints) == {"f5", "f6", "f7", "f8", "f9", "f10"}

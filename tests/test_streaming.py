@@ -164,6 +164,7 @@ def test_stream_dedup_ingest_drops_cross_batch_near_dups(spark, tmp_path):
     in an EARLIER micro-batch run is dropped (the persisted MinHash index
     is the dedup state); genuinely new docs are accepted and indexed."""
     from airflow_postgres_etl_spark import caching
+    from airflow_postgres_etl_spark.sink import read_keyed_table
     from airflow_postgres_etl_spark.streaming import stream_dedup_ingest
 
     n_caches_before = len(caching._ACTIVE)
@@ -186,7 +187,7 @@ def test_stream_dedup_ingest_drops_cross_batch_near_dups(spark, tmp_path):
     b1.coalesce(1).write.mode("append").parquet(src)
     q = stream_dedup_ingest(spark, src, idx, out, ck)
     q.awaitTermination(120)
-    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    got1 = {r.doc_id for r in read_keyed_table(spark, out).collect()}
     assert got1 == {1, 2}
 
     b2 = spark.createDataFrame(
@@ -199,7 +200,7 @@ def test_stream_dedup_ingest_drops_cross_batch_near_dups(spark, tmp_path):
     b2.coalesce(1).write.mode("append").parquet(src)
     q2 = stream_dedup_ingest(spark, src, idx, out, ck)
     q2.awaitTermination(120)
-    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    got2 = {r.doc_id for r in read_keyed_table(spark, out).collect()}
     assert got2 == {1, 2, 11}  # 10 dropped against the index
 
     # the index covers exactly the accepted corpus
@@ -214,7 +215,7 @@ def test_stream_dedup_ingest_drops_cross_batch_near_dups(spark, tmp_path):
     # restart with no new files: nothing appended anywhere
     q3 = stream_dedup_ingest(spark, src, idx, out, ck)
     q3.awaitTermination(120)
-    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}
+    assert {r.doc_id for r in read_keyed_table(spark, out).collect()} == {1, 2, 11}
     # per-batch cache lifecycle: shingle caches released with each batch
     assert len(caching._ACTIVE) == n_caches_before
 
@@ -237,6 +238,7 @@ def test_stream_dedup_ingest_compacts_in_band(spark, tmp_path):
         _index_manifest_path,
     )
     from airflow_postgres_etl_spark.storage import LOCAL_STORE
+    from airflow_postgres_etl_spark.sink import read_keyed_table
     from airflow_postgres_etl_spark.streaming import stream_dedup_ingest
 
     src, idx, out, ck = (
@@ -270,7 +272,7 @@ def test_stream_dedup_ingest_compacts_in_band(spark, tmp_path):
     q2 = stream_dedup_ingest(spark, src, idx, out, ck, max_band_size=1)
     q2.awaitTermination(120)
     assert q2.exception() is None
-    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+    assert {r.doc_id for r in read_keyed_table(spark, out).collect()} == {1, 2, 3}
 
     # compaction fired in-band: counter reset, manifest swapped (data
     # dir replaced + old dir retired), and the hot-band cap holds
@@ -311,7 +313,7 @@ def test_stream_dedup_ingest_compacts_in_band(spark, tmp_path):
     q3 = stream_dedup_ingest(spark, src, idx, out, ck, max_band_size=1)
     q3.awaitTermination(120)
     assert q3.exception() is None
-    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+    assert {r.doc_id for r in read_keyed_table(spark, out).collect()} == {1, 2, 3}
 
 
 def test_stream_training_ingest_matches_batch_application(spark, tmp_path):
@@ -732,3 +734,94 @@ def test_stream_append_checkpointed_and_replay_safe(spark, tmp_path):
     assert (
         describe_keyed_table(tgt)["max_files_per_bucket"] < 3
     )  # auto-optimize fired
+
+
+def test_stream_dedup_ingest_at_most_once_opt_in(spark, tmp_path):
+    """r10: delivery='at_most_once' keeps the r9-era contract — plain
+    parquet corpus (no manifest), index appended first."""
+    from airflow_postgres_etl_spark.sink import table_version
+    from airflow_postgres_etl_spark.streaming import stream_dedup_ingest
+
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    spark.createDataFrame(
+        [(1, base), (2, base + " tail"),
+         (3, "unrelated words about parquet footers and manifests")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_dedup_ingest(
+        spark, src, idx, out, ck, delivery="at_most_once"
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+    assert table_version(out) is None  # bare directory, no manifest
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="delivery must be"):
+        stream_dedup_ingest(spark, src, idx, out, ck, delivery="maybe")
+
+
+def test_stream_dedup_ingest_default_exactly_once_across_crash(
+    spark, tmp_path, monkeypatch
+):
+    """r10 (VERDICT r9 task 3): the DEFAULT document-ingest path is
+    exactly-once — crash between the corpus commit and the index append
+    replays into a corpus txn no-op + index catch-up; a lost checkpoint
+    replays into dedup_against_index dropping survivors against their
+    own indexed copies."""
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.sink import read_keyed_table
+    from airflow_postgres_etl_spark.streaming import doc_stream as DS
+
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    spark.createDataFrame(
+        [(1, base), (2, "unrelated words about parquet footers and manifests")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    real_build = DS.build_minhash_index
+    state = {"crash": True}
+
+    def build_or_crash(*a, **kw):
+        if state["crash"]:
+            state["crash"] = False
+            raise RuntimeError("injected crash before index build")
+        return real_build(*a, **kw)
+
+    import pytest as _pytest
+
+    monkeypatch.setattr(DS, "build_minhash_index", build_or_crash)
+    q = DS.stream_dedup_ingest(spark, src, idx, out, ck)
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+    v1 = sink.table_version(out)
+    assert v1 is not None  # corpus landed first, under the txn
+
+    # replay: corpus txn no-op, index catches up
+    q2 = DS.stream_dedup_ingest(spark, src, idx, out, ck)
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    assert sink.table_version(out) == v1
+    assert {r.doc_id for r in read_keyed_table(spark, out).collect()} == {1, 2}
+    from airflow_postgres_etl_spark.operators.dedup import read_minhash_index
+
+    assert {
+        r.doc_id
+        for r in read_minhash_index(spark, idx).select("doc_id").distinct().collect()
+    } == {1, 2}
+
+    # lost checkpoint: full redelivery under a new txn_app — the index
+    # dedup (jaccard 1 vs own copy) is what keeps it exactly-once
+    ck2 = str(tmp_path / "ck2")
+    q3 = DS.stream_dedup_ingest(spark, src, idx, out, ck2)
+    q3.awaitTermination(300)
+    assert q3.exception() is None
+    assert sink.table_version(out) == v1
+    assert {r.doc_id for r in read_keyed_table(spark, out).collect()} == {1, 2}

@@ -11,6 +11,7 @@ from airflow_postgres_etl_spark.operators.similarity import (
     ivf_appended_fraction,
     ivf_index_exists,
 )
+from airflow_postgres_etl_spark.sink import read_keyed_table
 from airflow_postgres_etl_spark.streaming.vec_stream import (
     semantic_self_dedup,
     stream_semantic_ingest,
@@ -62,7 +63,7 @@ def test_stream_semantic_ingest_cross_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert q.exception() is None
-    got1 = {r.vec_id for r in spark.read.parquet(out).collect()}
+    got1 = {r.vec_id for r in read_keyed_table(spark, out).collect()}
     assert got1 == {1, 2}
     assert ivf_index_exists(idx)
 
@@ -80,7 +81,7 @@ def test_stream_semantic_ingest_cross_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert q2.exception() is None
-    got2 = {r.vec_id for r in spark.read.parquet(out).collect()}
+    got2 = {r.vec_id for r in read_keyed_table(spark, out).collect()}
     assert got2 == {1, 2, 11}
 
     # the index covers exactly the accepted corpus, and the drift
@@ -99,7 +100,7 @@ def test_stream_semantic_ingest_cross_batch(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert q3.exception() is None
-    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}
+    assert {r.vec_id for r in read_keyed_table(spark, out).collect()} == {1, 2, 11}
     assert ivf_appended_fraction(idx) == pytest.approx(1 / 3)
 
     # per-batch cache lifecycle: the quantizer-assignment caches each
@@ -130,7 +131,7 @@ def test_stream_first_batch_ids_above_n_cells(spark, tmp_path):
     q = stream_semantic_ingest(spark, src, idx, out, ck, threshold=0.9, n_cells=2)
     q.awaitTermination(120)
     assert q.exception() is None
-    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {1001, 1002}
+    assert {r.vec_id for r in read_keyed_table(spark, out).collect()} == {1001, 1002}
     # the committed centroid table is NON-empty and batch-seeded
     cents = spark.read.parquet(f"{idx}/centroids").collect()
     assert {r.c_id for r in cents} == {1001, 1002}
@@ -149,7 +150,7 @@ def test_stream_first_batch_ids_above_n_cells(spark, tmp_path):
     q2 = stream_semantic_ingest(spark, src, idx, out, ck, threshold=0.9, n_cells=2)
     q2.awaitTermination(120)
     assert q2.exception() is None
-    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {
+    assert {r.vec_id for r in read_keyed_table(spark, out).collect()} == {
         1001, 1002, 2002,
     }
     # refresh fired (counter reset) and the rebuilt quantizer is corpus-seeded
@@ -191,7 +192,7 @@ def test_stream_semantic_matches_batch_decisions(spark, tmp_path):
     batch_kept = {
         r.vec_id for r in semantic_self_dedup(union, 0.9, n_cells=2).collect()
     }
-    stream_kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    stream_kept = {r.vec_id for r in read_keyed_table(spark, out).collect()}
     assert stream_kept == batch_kept == {1, 2, 5}
 
 
@@ -230,7 +231,7 @@ def test_stream_semantic_auto_refresh(spark, tmp_path):
     q3 = stream_semantic_ingest(spark, src, idx, out, ck, threshold=0.9, n_cells=2)
     q3.awaitTermination(120)
     assert q3.exception() is None
-    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    kept = {r.vec_id for r in read_keyed_table(spark, out).collect()}
     assert kept == {1, 2, 10, 21}
 
 
@@ -431,3 +432,126 @@ def test_stream_keyed_corpus_exactly_once_across_index_crash(
     ) == [1, 2, 9]
     got = {r.label: r.est_distinct for r in read_distinct_view(spark, mv).collect()}
     assert got == {0: 1, 1: 2}
+
+
+def test_stream_delivery_validation(spark, tmp_path):
+    """r10: delivery is validated, and maintain_views (manifest-diff
+    IVM) is incompatible with the plain-parquet opt-in."""
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    with pytest.raises(ValueError, match="delivery must be"):
+        stream_semantic_ingest(
+            spark, src, idx, out, ck, delivery="exactly-once-ish"
+        )
+    with pytest.raises(ValueError, match="maintain_views requires"):
+        stream_semantic_ingest(
+            spark, src, idx, out, ck, delivery="at_most_once",
+            maintain_views=[{"kind": "distinct", "mv_path": str(tmp_path / "mv"),
+                             "group_cols": ["label"], "item_col": "vec_id"}],
+        )
+
+
+def test_stream_at_most_once_opt_in_plain_parquet(spark, tmp_path):
+    """The explicit opt-in keeps the r8-era contract: plain-parquet
+    corpus directory (no manifest), index appended FIRST, cross-batch
+    dedup unchanged."""
+    from airflow_postgres_etl_spark.sink import table_version
+
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.0, 1.0, 0.0, 0.0], 0),
+            (3, [0.99, 0.01, 0.0, 0.0], 0),
+        ],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None, delivery="at_most_once",
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    # plain directory: readable by bare spark.read.parquet, NO manifest
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {1, 2}
+    assert table_version(out) is None
+    _vecs(spark, [(10, [0.98, 0.02, 0.0, 0.0], 1),
+                  (11, [0.0, 0.0, 1.0, 0.0], 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None, delivery="at_most_once",
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}
+
+
+def test_stream_default_path_crash_matrix_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """r10 (VERDICT r9 task 3): the DEFAULT path — no maintain_views —
+    is now exactly-once.  Crash positions: (a) between the corpus
+    commit and the index build → replay is a corpus txn no-op and the
+    index catches up; (b) full epoch done but checkpoint lost (fresh
+    checkpoint dir, same source) → the contains-guard drops everything,
+    corpus version unchanged."""
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.streaming import vec_stream as VS
+
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    b1 = _vecs(
+        spark,
+        [(1, [1.0, 0.0, 0.0, 0.0], 0), (2, [0.0, 1.0, 0.0, 0.0], 1)],
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    real_build = VS.build_ivf_index
+    state = {"crash": True}
+
+    def build_or_crash(*a, **kw):
+        if state["crash"]:
+            state["crash"] = False
+            raise RuntimeError("injected crash before index build")
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(VS, "build_ivf_index", build_or_crash)
+    q = VS.stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+    v1 = sink.table_version(out)
+    assert v1 is not None and not ivf_index_exists(idx)
+
+    # (a) replay: corpus txn no-op, index catches up
+    q2 = VS.stream_semantic_ingest(
+        spark, src, idx, out, ck, threshold=0.9, n_cells=2,
+        refresh_fraction=None,
+    )
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    assert sink.table_version(out) == v1
+    assert sorted(r.vec_id for r in read_keyed_table(spark, out).collect()) == [1, 2]
+    assert sorted(
+        r.vec_id for r in spark.read.parquet(f"{idx}/vectors").collect()
+    ) == [1, 2]
+
+    # (b) lost checkpoint: full redelivery under a NEW txn_app — the
+    # contains-guard (not the watermark) is what drops everything
+    ck2 = str(tmp_path / "ck2")
+    q3 = VS.stream_semantic_ingest(
+        spark, src, idx, out, ck2, threshold=0.9, n_cells=2,
+        refresh_fraction=None,
+    )
+    q3.awaitTermination(300)
+    assert q3.exception() is None
+    assert sink.table_version(out) == v1  # no commit, no duplicate
+    assert sorted(r.vec_id for r in read_keyed_table(spark, out).collect()) == [1, 2]
