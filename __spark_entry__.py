@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from airflow_postgres_etl_spark.plans import ORACLE, QUERIES
+from airflow_postgres_etl_spark.plans import ORACLE, QUERIES, ROTATION_EXCLUDED
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -89,6 +89,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver-rotation surface: one representative per operator
+    class/lifecycle.  Forced-branch twins, parameter variants,
+    intermediates and exactness baselines are registered with
+    ``rotation=False`` (r10, VERDICT r9 task 2) — they keep their
+    DuckDB oracles and run in the pytest sweep
+    (tests/test_queries_oracle.py covers ALL of plans.QUERIES), but
+    stop consuming ~50-slot driver-window rotation slots, which is
+    what bounds green-row staleness for the representatives."""
     last_green = _last_green_round()
     latest = max(last_green.values(), default=0)
 
@@ -116,9 +124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rnd -= 100
         return (rnd, _REG_INDEX[name])
 
-    order = sorted(QUERIES, key=_key)
+    order = sorted(
+        (n for n in QUERIES if n not in ROTATION_EXCLUDED), key=_key
+    )
     return {name: QUERIES[name] for name in order}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    return {n: sql for n, sql in ORACLE.items() if n not in ROTATION_EXCLUDED}

@@ -138,6 +138,7 @@ def text_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(red) AS BIGINT) AS n_chars
     FROM r
     """,
+    rotation=False,
 )
 def text_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -327,6 +328,7 @@ SQL_SHINGLES_MULTI = (
     ORDER BY freq DESC, tri
     LIMIT 50
     """,
+    rotation=False,
 )
 def text_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -442,6 +444,7 @@ _SQL_SHINGLE_CTE = f"""
     WHERE round(shared / (na + nb - shared), 6) >= 0.5
     """,
     baseline_only=True,
+    rotation=False,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
@@ -459,6 +462,7 @@ _SQL_MINHASH_AGGS = ", ".join(
     SELECT doc_id, {_SQL_MINHASH_AGGS}
     FROM ex GROUP BY doc_id
     """,
+    rotation=False,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
@@ -483,6 +487,7 @@ _SQL_BANDS = " UNION ALL ".join(
     JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                 AND a.doc_id < b.doc_id
     """,
+    rotation=False,
 )
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
@@ -766,6 +771,7 @@ _SQL_SIMHASH_LONG = " + ".join(
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.h64, b.h64)) <= {_SIMHASH_NEAR_RADIUS}
     """,
+    rotation=False,
 )
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
@@ -857,6 +863,7 @@ _SQL_SIMHASH_BLOCKS = " UNION ALL ".join(
            CAST(sum(m * (m - 1) / 2) AS BIGINT) AS candidate_pairs_upper
     FROM occ
     """,
+    rotation=False,
 )
 def dedup_simhash_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_block_stats(
@@ -951,6 +958,7 @@ _SQL_COS = (
     ) <= 10
     """,
     baseline_only=True,
+    rotation=False,
 )
 def sim_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -972,6 +980,7 @@ def sim_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY query_id ORDER BY {_SQL_COS} DESC, neighbor_id
     ) <= 5
     """,
+    rotation=False,
 )
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -991,6 +1000,7 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0), 6)
           >= 0.4
     """,
+    rotation=False,
 )
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1040,6 +1050,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY source, split
     ORDER BY source, split
     """,
+    rotation=False,
 )
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1072,6 +1083,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     ORDER BY window_start
     """,
+    rotation=False,
 )
 def q_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -1104,6 +1116,7 @@ def q_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events
     FROM g GROUP BY user_id
     """,
+    rotation=False,
 )
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -1409,6 +1422,7 @@ def q_subqueries_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
                           AND TIMESTAMP '1997-12-31 23:59:59'
     """,
+    rotation=False,
 )
 def q_case_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -1478,6 +1492,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(concat(checksum, ':', frame_idx)) AS frame_hash
     FROM x
     """,
+    rotation=False,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1874,6 +1889,7 @@ def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order
     FROM orders
     """,
+    rotation=False,
 )
 def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -2140,6 +2156,7 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e
     ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
     """,
+    rotation=False,
 )
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import asof_join
@@ -2205,6 +2222,7 @@ _ASOF_TOL_S = 30 * 86400
                 ELSE fk END AS nearest_orderkey
     FROM j
     """,
+    rotation=False,
 )
 def q_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import asof_join
@@ -2502,6 +2520,7 @@ def q_sliding_15m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ORDER BY level, bucket
     """,
+    rotation=False,
 )
 def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -2603,6 +2622,7 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     ORDER BY doc_id
     """,
+    rotation=False,
 )
 def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -2661,6 +2681,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     ORDER BY doc_id
     """,
+    rotation=False,
 )
 def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -2702,6 +2723,7 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p
     ORDER BY doc_id
     """,
+    rotation=False,
 )
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -2786,6 +2808,7 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(a.h, b.h)) <= 4
     ORDER BY doc_a, doc_b
     """,
+    rotation=False,
 )
 def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -2865,6 +2888,7 @@ def multimodal_image_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFr
     FROM documents
     ORDER BY doc_id
     """,
+    rotation=False,
 )
 def multimodal_video_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_video_payload, extract_video_info
@@ -3622,6 +3646,7 @@ def pipeline_decontaminate_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY source
     ORDER BY source
     """,
+    rotation=False,
 )
 def pipeline_decontaminate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end decontamination: contaminated ids → left-anti keep →
@@ -4092,7 +4117,11 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipeline_bpe_vocab", _bpe_vocab_oracle_sql(_BPE_MERGES, _BPE_VOCAB_TOP))
+@query(
+    "pipeline_bpe_vocab",
+    _bpe_vocab_oracle_sql(_BPE_MERGES, _BPE_VOCAB_TOP),
+    rotation=False,
+)
 def pipeline_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-weighted subword frequency table after the learned merges
     — the artifact a tokenizer ships.  Vocab-sized end to end: explode
@@ -5031,6 +5060,7 @@ _SQL_SQ8_SIM = (
     QUALIFY row_number() OVER (
         PARTITION BY query_id ORDER BY {_SQL_SQ8_SIM} DESC, neighbor_id) <= 10
     """,
+    rotation=False,
 )
 def sim_knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -5671,6 +5701,7 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM w LEFT JOIN ca USING (doc_id)
     ORDER BY doc_id
     """,
+    rotation=False,
 )
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -5991,6 +6022,7 @@ _SQL_PQ_DQ = (
     QUALIFY row_number() OVER (
         PARTITION BY query_id ORDER BY adc_dist_q, neighbor_id) <= 10
     """,
+    rotation=False,
 )
 def sim_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -6372,6 +6404,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT {_KMV_SQL_EST} FROM merged) AS est_merged
     FROM direct, merged
     """,
+    rotation=False,
 )
 def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-equivalence, the property 100 TB hangs on: per-source
@@ -6435,6 +6468,7 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM q
     ORDER BY src_a, src_b
     """,
+    rotation=False,
 )
 def sketch_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs source similarity from sketches alone: a G-source
@@ -6555,6 +6589,7 @@ def sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY pc.tok
     ORDER BY pc.tok
     """,
+    rotation=False,
 )
 def sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed-combine property, pinned end-to-end: sketches built
@@ -6726,6 +6761,7 @@ def _dq_dirty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT), n.n_rows FROM n
     ) ORDER BY rule
     """,
+    rotation=False,
 )
 def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import expectations as E
@@ -7042,6 +7078,7 @@ _BM25_TERMS_SQL = "', '".join(_BM25_TERMS)
     FROM s GROUP BY doc_id
     ORDER BY bm25_micro DESC, doc_id LIMIT 20
     """,
+    rotation=False,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 for a fixed 4-term query over the documents corpus —
@@ -7537,6 +7574,7 @@ def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(block_size * block_size) AS BIGINT) AS pairs
     FROM s GROUP BY block_size
     """,
+    rotation=False,
 )
 def er_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-key size distribution for the ER join (operators/
@@ -7807,6 +7845,7 @@ def source_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
     """,
+    rotation=False,
 )
 def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series LINEAR interpolation (TimescaleDB's
@@ -9813,6 +9852,7 @@ _QVK = 64  # bottom-k sample size for the quantile view
     FROM rk GROUP BY event_type
     ORDER BY event_type
     """,
+    rotation=False,
 )
 def view_quantile_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile materialized view stored as a mergeable bottom-k row
@@ -10124,6 +10164,7 @@ _CMV_SQL_C = (
     GROUP BY event_type, exact_cnt
     ORDER BY event_type
     """,
+    rotation=False,
 )
 def view_cms_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min FREQUENCY view maintained by pure signed deltas
@@ -10900,7 +10941,11 @@ def _unigram_seg_last() -> int:
     return len(dp_layers("duckdb")) - 1
 
 
-@query("pipeline_unigram_encode", _unigram_encode_oracle_sql())
+@query(
+    "pipeline_unigram_encode",
+    _unigram_encode_oracle_sql(),
+    rotation=False,
+)
 def pipeline_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.unigram import unigram_encode
 
@@ -11030,7 +11075,11 @@ def _unigram_em_curve_oracle_sql(rounds: int = _EM_CURVE_ROUNDS) -> str:
     return "".join(parts)
 
 
-@query("pipeline_unigram_em_curve", _unigram_em_curve_oracle_sql())
+@query(
+    "pipeline_unigram_em_curve",
+    _unigram_em_curve_oracle_sql(),
+    rotation=False,
+)
 def pipeline_unigram_em_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.unigram import unigram_em_curve
 
@@ -11049,7 +11098,11 @@ def pipeline_unigram_em_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries import ORACLE as _ORACLE  # noqa: E402  (after registration above)
 
 
-@query("pipeline_line_dedup_sortmerge", _ORACLE["pipeline_line_dedup"])
+@query(
+    "pipeline_line_dedup_sortmerge",
+    _ORACLE["pipeline_line_dedup"],
+    rotation=False,
+)
 def pipeline_line_dedup_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = X.tokens_expr()

@@ -44,12 +44,32 @@ ORACLE: dict[str, str] = {}
 #: variants that pass the same differentials.
 BASELINE_ONLY: set[str] = set()
 
+#: Registered queries EXCLUDED from the driver-rotation surface
+#: (``__spark_entry__.queries()``), r10 — VERDICT r9 task 2's registry
+#: fold.  Every entry here is a forced-branch twin, parameter variant,
+#: intermediate, or exactness baseline of a query that STAYS in
+#: rotation; each keeps its full DuckDB oracle and runs in the pytest
+#: sweep (tests/test_queries_oracle.py iterates QUERIES/ORACLE
+#: directly) — the differential coverage is unchanged, only the
+#: ~50-slot driver window stops spending rotation slots on variants,
+#: bounding green-row staleness for the operator-class representatives.
+ROTATION_EXCLUDED: set[str] = set()
 
-def query(name: str, oracle: str | None = None, *, baseline_only: bool = False):
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    *,
+    baseline_only: bool = False,
+    rotation: bool = True,
+):
     """Register a query callable (and its SQL oracle twin).
 
     ``baseline_only=True`` flags a deliberately non-scalable exactness
-    baseline (recorded in :data:`BASELINE_ONLY`).
+    baseline (recorded in :data:`BASELINE_ONLY`).  ``rotation=False``
+    keeps the query (and its oracle, and its pytest differential) but
+    removes it from the driver-rotation surface (recorded in
+    :data:`ROTATION_EXCLUDED` — see its doc for the policy).
     """
 
     def deco(fn):
@@ -58,6 +78,8 @@ def query(name: str, oracle: str | None = None, *, baseline_only: bool = False):
             ORACLE[name] = oracle
         if baseline_only:
             BASELINE_ONLY.add(name)
+        if not rotation:
+            ROTATION_EXCLUDED.add(name)
         return fn
 
     return deco

@@ -283,27 +283,136 @@ def _settle_load(threshold: float = LOAD_CONTAMINATION_THRESHOLD,
     return round(load, 2), load > threshold
 
 
-def _last_clean_timings(sf: float | None) -> dict[str, float]:
-    """Per-query times from the most recent NON-contaminated
-    BENCH_LOCAL.jsonl entry at the same sf — the drift re-run baseline.
-    Empty on any problem (first run, missing file): the guard is an
-    optimization, never a dependency."""
+def _clean_history(sf: float | None) -> list[dict[str, float]]:
+    """All NON-contaminated BENCH_LOCAL.jsonl per-query timing dicts at
+    the same sf, oldest first — the per-query historical bands the
+    drift adjudication compares against.  Empty on any problem (first
+    run, missing file): the guard is an optimization, never a
+    dependency."""
+    out: list[dict[str, float]] = []
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_LOCAL.jsonl")
         with open(path) as fh:
             lines = fh.read().splitlines()
-        for raw in reversed(lines):
+        for raw in lines:
             row = json.loads(raw)
             if (
                 not row.get("contaminated")
                 and row.get("sf") == sf
                 and isinstance(row.get("queries"), dict)
             ):
-                return {k: float(v) for k, v in row["queries"].items()}
+                out.append({k: float(v) for k, v in row["queries"].items()})
     except Exception:
         pass
-    return {}
+    return out
+
+
+def _last_clean_timings(sf: float | None) -> dict[str, float]:
+    """Per-query times from the most recent clean entry (see
+    :func:`_clean_history`) — the drift re-run baseline."""
+    hist = _clean_history(sf)
+    return hist[-1] if hist else {}
+
+
+#: flagged-delta threshold: the per-query ratio above which three rounds
+#: of judges adjudicated readings by hand (SCALE.md r7/r8/r9) — now the
+#: machine does it (VERDICT r9 task 5).
+FLAG_RATIO = 1.2
+#: fresh-process re-measures are Spark-startup-priced (~10-15 s each);
+#: cap the adjudication pass so a host-wide slump can't double the bench
+MAX_ADJUDICATIONS = 8
+
+
+def _fresh_process_best(name: str, sf_dir: str) -> float | None:
+    """Best-of-3 of ONE query in a brand-new python/JVM on the same
+    tree — the fresh-process leg of the drift adjudication recipe the
+    r7-r9 judges ran by hand.  None if the subprocess fails."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--adjudicate", name],
+            capture_output=True, text=True, timeout=420,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue
+            if row.get("name") == name:
+                return float(row["best"])
+    except Exception:
+        pass
+    return None
+
+
+def _adjudicate_single(name: str) -> None:
+    """`bench.py --adjudicate NAME`: warm the session, time NAME
+    best-of-3, print one JSON line.  Run by :func:`_fresh_process_best`
+    in a fresh process."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench-adjudicate")
+    QUERIES["tpch_q6_revenue_forecast"](spark, sf_dir).collect()
+    fn = QUERIES[name]
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        best = min(best, time.perf_counter() - t0)
+        release_caches()
+    print(json.dumps({"name": name, "best": round(best, 3)}))
+
+
+def _adjudicate_flagged(
+    timings: dict[str, float],
+    last_clean: dict[str, float],
+    hist: list[dict[str, float]],
+    sf_dir: str,
+) -> dict[str, dict]:
+    """Machine-made drift adjudication (VERDICT r9 task 5): every query
+    whose in-bench best exceeded FLAG_RATIO x its last clean reading is
+    re-measured best-of-3 in a FRESH process and compared against its
+    historical clean band.  verdicts:
+
+    - ``host_drift``  — the fresh reading lands back at/below the flag
+      line or inside the historical band: the code is fine, the host
+      moved (the r7-r9 hand adjudications all ended here).
+    - ``regression``  — the fresh reading stays above both: treat as a
+      real slowdown and investigate before shipping.
+    - ``unmeasured``  — the re-measure failed or was cut by the cap.
+    """
+    flagged = sorted(
+        n for n, t in timings.items()
+        if n in last_clean and t > FLAG_RATIO * last_clean[n]
+    )
+    out: dict[str, dict] = {}
+    for i, name in enumerate(flagged):
+        band = [h[name] for h in hist if name in h]
+        lo, hi = (min(band), max(band)) if band else (None, None)
+        entry: dict = {
+            "in_bench": timings[name],
+            "last_clean": last_clean[name],
+            "band": [lo, hi],
+        }
+        if i >= MAX_ADJUDICATIONS:
+            entry["fresh_process"] = None
+            entry["verdict"] = "unmeasured"
+        else:
+            fresh = _fresh_process_best(name, sf_dir)
+            entry["fresh_process"] = fresh
+            if fresh is None:
+                entry["verdict"] = "unmeasured"
+            elif fresh <= FLAG_RATIO * last_clean[name] or (
+                hi is not None and fresh <= 1.05 * hi
+            ):
+                entry["verdict"] = "host_drift"
+            else:
+                entry["verdict"] = "regression"
+        out[name] = entry
+    return out
 
 
 def main() -> None:
@@ -346,6 +455,19 @@ def main() -> None:
         # per-query numbers remain comparable.)
         release_caches()
 
+    # machine-made drift adjudication (VERDICT r9 task 5): re-measure
+    # each >FLAG_RATIO flagged query in a fresh process and record both
+    # readings + the historical band, so SCALE.md cites the artifact
+    # instead of a manual session log.  Skipped on contaminated runs —
+    # a loaded host would mis-adjudicate everything as regression.
+    flagged = (
+        {}
+        if contaminated
+        else _adjudicate_flagged(
+            timings, last_clean, _clean_history(sf), sf_dir
+        )
+    )
+
     full = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -357,6 +479,7 @@ def main() -> None:
         # no reader has to re-derive the threshold
         "load1_at_start": load1,
         "contaminated": contaminated,
+        "flagged": flagged,
     }
     # The driver's bench artifact keeps only the LAST ~2000 chars of
     # stdout; with 100+ headline queries the single full-dict line
@@ -387,6 +510,10 @@ def main() -> None:
         "contaminated": contaminated,
         "queries": q_ms,
     }
+    if flagged:
+        compact["flagged"] = {
+            _abbrev(n): e["verdict"] for n, e in flagged.items()
+        }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) <= 1950:
         print(line)
@@ -433,4 +560,9 @@ def _abbrev(name: str) -> str:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--adjudicate":
+        _adjudicate_single(sys.argv[2])
+    else:
+        main()
