@@ -197,12 +197,16 @@ class Engine:
         rates_ppm: dict[str, int],
         out_dir: str,
         checkpoint_dir: str,
+        **kw,
     ):
         """Continuous training-corpus acquisition: per micro-batch
         quality gate → 13-gram benchmark decontamination (against the
         grams materialized by ``streaming.build_benchmark_grams``) →
         per-source temperature-mixing keep filter.  Stateless across
-        batches — batch-wise equals batch-job-over-the-union."""
+        batches — batch-wise equals batch-job-over-the-union.  The
+        corpus is a KEYED table by default (exactly-once under replay;
+        ``delivery="at_least_once"`` opts back into a blind parquet
+        append)."""
         from .streaming import stream_training_ingest
 
         return stream_training_ingest(
@@ -212,6 +216,7 @@ class Engine:
             rates_ppm,
             out_dir,
             checkpoint_dir,
+            **kw,
         )
 
 

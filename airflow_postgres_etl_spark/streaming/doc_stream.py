@@ -245,11 +245,23 @@ def stream_training_ingest(
     *,
     min_tokens: int = 20,
     max_files_per_trigger: int = 10,
+    delivery: str = "exactly_once",
 ) -> StreamingQuery:
     """Streaming twin of ``pipeline_training_corpus``: documents arrive
     continuously and each micro-batch runs quality gate → 13-gram
     benchmark decontamination → temperature-mixing keep-filter before
     appending to the training corpus.
+
+    ``delivery`` (r10, same contract shape as the dedup ingests):
+    ``"exactly_once"`` (default) commits each epoch's kept docs into a
+    KEYED corpus under an epoch txn watermark — a replayed epoch is a
+    manifest no-op, so a crash between the corpus write and the
+    checkpoint commit cannot duplicate rows (the blind-append mode
+    WOULD: for a training corpus a duplicated document biases every
+    epoch, the exact failure the mixing weights exist to prevent).
+    Read the corpus with ``sink.read_keyed_table``.
+    ``"at_least_once"`` opts back into the plain-parquet blind append
+    (bare directory, duplicate rows possible on replay).
 
     Every per-document decision here is DOC-LOCAL given two static
     inputs, so batch-wise application equals a batch job over the union
@@ -264,11 +276,18 @@ def stream_training_ingest(
     because the profile predates a new source is the wrong failure mode.
 
     Unlike ``stream_dedup_ingest`` there is no cross-batch state at all
-    — no index, no ordering sensitivity — so replays are idempotent per
-    file and batches commute."""
+    — no index, no ordering sensitivity — so batches commute and the
+    only replay hazard is the corpus write itself (handled by
+    ``delivery`` above)."""
     from ..operators.dedup import shingles_from_tokens
     from ..operators.text import tokens_expr
 
+    if delivery not in ("exactly_once", "at_least_once"):
+        raise ValueError(
+            f"delivery must be 'exactly_once' or 'at_least_once', "
+            f"got {delivery!r}"
+        )
+    keyed = delivery == "exactly_once"
     stream = (
         spark.readStream.schema("doc_id long, text string, source string")
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -303,7 +322,16 @@ def stream_training_ingest(
             .filter(bucket < F.coalesce(F.col("rate_ppm"), F.lit(1000000)))
             .select("doc_id", "text", "source")
         )
-        kept.write.mode("append").parquet(corpus_out)
+        if keyed:
+            from .. import sink
+
+            sink.keyed_append(
+                batch.sparkSession, kept, corpus_out,
+                key="doc_id", verify_new=False,
+                txn_app=checkpoint_dir, txn_seq=int(epoch_id),
+            )
+        else:
+            kept.write.mode("append").parquet(corpus_out)
 
     return (
         stream.writeStream.foreachBatch(process)

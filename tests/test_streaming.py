@@ -356,21 +356,21 @@ def test_stream_training_ingest_matches_batch_application(spark, tmp_path):
     q = stream_training_ingest(spark, src, grams, rates, out, ck)
     q.awaitTermination(120)
     assert q.exception() is None
-    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {2}
+    assert {r.doc_id for r in read_keyed_table(spark, out).collect()} == {2}
 
     spark.createDataFrame(rows2, "doc_id long, text string, source string") \
         .coalesce(1).write.mode("append").parquet(src)
     q2 = stream_training_ingest(spark, src, grams, rates, out, ck)
     q2.awaitTermination(120)
     assert q2.exception() is None
-    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    got = {r.doc_id for r in read_keyed_table(spark, out).collect()}
     assert got == {2, 4, 6}
 
     # equals the batch application over the union (doc-local decisions)
     # and a no-new-files restart appends nothing
     q3 = stream_training_ingest(spark, src, grams, rates, out, ck)
     q3.awaitTermination(120)
-    assert spark.read.parquet(out).count() == 3
+    assert read_keyed_table(spark, out).count() == 3
 
     # zero-rate source: everything from it dropped
     out2, ck2 = str(tmp_path / "corpus2"), str(tmp_path / "ck2")
@@ -379,7 +379,7 @@ def test_stream_training_ingest_matches_batch_application(spark, tmp_path):
     )
     q4.awaitTermination(120)
     assert q4.exception() is None
-    got2 = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    got2 = {r.doc_id for r in read_keyed_table(spark, out2).collect()}
     assert got2 == {6}  # only the unknown source survives
 
 
@@ -825,3 +825,55 @@ def test_stream_dedup_ingest_default_exactly_once_across_crash(
     assert q3.exception() is None
     assert sink.table_version(out) == v1
     assert {r.doc_id for r in read_keyed_table(spark, out).collect()} == {1, 2}
+
+
+def test_stream_training_ingest_exactly_once_on_epoch_replay(spark, tmp_path):
+    """r10: the training corpus is keyed under an epoch txn watermark —
+    deleting the checkpoint's commit marker (the crash-between-write-
+    and-commit simulation) makes Spark re-deliver the SAME epoch, and
+    the replay must be a manifest no-op (a blind append would duplicate
+    every kept doc, biasing the mixing weights)."""
+    import shutil
+
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.streaming import (
+        build_benchmark_grams,
+        stream_training_ingest,
+    )
+
+    src, grams, out, ck = (
+        str(tmp_path / d) for d in ("src", "grams", "corpus", "ck")
+    )
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike".split()
+    build_benchmark_grams(
+        spark.createDataFrame([(100, " ".join(words * 2))], ["doc_id", "text"]),
+        grams,
+    )
+    rows = [
+        (2, " ".join(reversed(words * 2)), "srcA"),
+        (4, " ".join(words[::2] * 4), "srcB"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = stream_training_ingest(spark, src, grams, {"srcA": 1_000_000}, out, ck)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    v1 = sink.table_version(out)
+    assert v1 is not None
+    assert {r.doc_id for r in read_keyed_table(spark, out).collect()} == {2, 4}
+
+    # crash simulation: epoch completed, its checkpoint commit lost
+    shutil.rmtree(os.path.join(ck, "commits"))
+    q2 = stream_training_ingest(spark, src, grams, {"srcA": 1_000_000}, out, ck)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert sink.table_version(out) == v1  # replayed epoch: txn no-op
+    assert read_keyed_table(spark, out).count() == 2
+
+    # the blind-append opt-in states its trade: validation pins the knob
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="delivery must be"):
+        stream_training_ingest(
+            spark, src, grams, {}, out, ck, delivery="exactly-once-ish"
+        )
