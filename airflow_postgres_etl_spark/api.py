@@ -716,9 +716,15 @@ class Table:
         if ipol:
             from .operators.similarity import maintain_index_policy
 
+            # corpus passed as a THUNK: below the staleness threshold
+            # the check stays one JSON read — constructing the
+            # keyed-table DataFrame eagerly would footer-sweep every
+            # live file on every no-op nightly maintain
             out["ivf"] = maintain_index_policy(
                 self.spark,
-                sink.read_keyed_table(self.spark, self.path, store=self.store),
+                lambda: sink.read_keyed_table(
+                    self.spark, self.path, store=self.store
+                ),
                 ipol,
                 store=self.store,
             )

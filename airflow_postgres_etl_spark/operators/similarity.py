@@ -714,7 +714,7 @@ class IndexRecallError(RuntimeError):
 
 
 def maintain_index_policy(
-    spark, corpus: DataFrame, policy: dict, store=None
+    spark, corpus, policy: dict, store=None
 ) -> dict:
     """Ambient IVF index health — the drift-gate pattern applied to the
     vector surface (r10, VERDICT r9 task 4).  ``policy`` is the dict
@@ -734,6 +734,12 @@ def maintain_index_policy(
     same shape as the test gate), not the fenced quadratic self-join.
     Raises :class:`IndexRecallError` below ``min_recall``.
 
+    ``corpus`` may be a DataFrame or a zero-arg CALLABLE returning one
+    — pass the callable from a scheduled maintain so the below-threshold
+    path stays a single JSON read (constructing the keyed-table
+    DataFrame itself opens every live file's footer for schema merge —
+    r10 review finding).
+
     Returns ``{"index_path", "appended_fraction", "rebuilt"
     [, "recall_at_k"]}``."""
     path = policy["index_path"]
@@ -745,6 +751,8 @@ def maintain_index_policy(
     }
     if frac <= policy["max_appended_fraction"]:
         return out
+    if callable(corpus):
+        corpus = corpus()
     id_col, vec_col = policy["id_col"], policy["vec_col"]
     n_cells = policy["n_cells"]
     out["rebuilt"] = bool(

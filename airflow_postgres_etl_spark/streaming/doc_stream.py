@@ -18,15 +18,22 @@ Delivery semantics — chosen by ``delivery=`` (r10, symmetric with
   replays into a corpus txn no-op + index catch-up; a lost checkpoint
   replays into ``dedup_against_index`` dropping every survivor against
   its own indexed copy (identical text → jaccard 1 — no self-id
-  exemption exists, by design).  Exactly-once into corpus AND index.
-  Read the corpus with ``sink.read_keyed_table``.
+  exemption exists, by design).  Exactly-once into the corpus always;
+  into the index with one documented residual window under
+  ``max_band_size``: a replayed survivor whose EVERY band was capped
+  away in the index escapes the dedup probe and re-appends its
+  (already-capped) bands — duplicate index rows, benign for dedup
+  decisions and re-collapsed by the next ``compact_minhash_index``
+  (the corpus side stays protected by the txn watermark).  Read the
+  corpus with ``sink.read_keyed_table``.
 - ``delivery="at_most_once"`` (explicit opt-in): plain-parquet corpus,
   index appended BEFORE the blind corpus write.  A crash between the
   two appends means a replayed batch finds its survivors already
-  indexed and drops them — at-most-once, never duplicates, and the
-  corpus stays a bare parquet directory.  The trade: a lost document
-  costs a little coverage; a duplicated one would bias the
-  distribution every epoch.
+  indexed and drops them — at-most-once (under ``max_band_size`` the
+  same all-bands-capped residual above can duplicate a corpus row on
+  replay), and the corpus stays a bare parquet directory.  The trade:
+  a lost document costs a little coverage; a duplicated one would bias
+  the distribution every epoch.
 
 At 100 TB: per-batch cost is the batch's own shingling plus a
 band-partition-pruned join against the index (see
@@ -48,6 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..caching import cache_scope
+from .delivery import keyed_corpus_commit, validate_delivery
 from ..operators.dedup import (
     MINHASH_MAX_APPENDED_FRACTION,
     append_to_minhash_index,
@@ -123,12 +131,7 @@ def stream_dedup_ingest(
     refresh and ``stream_ingest(merge_mode="mor")``'s auto-compaction;
     pass None to run ``compact_minhash_index`` out-of-band instead.
     """
-    if delivery not in ("exactly_once", "at_most_once"):
-        raise ValueError(
-            f"delivery must be 'exactly_once' or 'at_most_once', "
-            f"got {delivery!r}"
-        )
-    keyed = delivery == "exactly_once"
+    keyed = validate_delivery(delivery, ("exactly_once", "at_most_once"))
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -167,13 +170,10 @@ def stream_dedup_ingest(
                 # plain → index first (the blind append's only guard is
                 # the index itself).
                 if keyed:
-                    from .. import sink
-
-                    sink.keyed_append(
-                        batch.sparkSession, survivors, corpus_out,
-                        key="doc_id", num_buckets=corpus_num_buckets,
-                        verify_new=False,
-                        txn_app=checkpoint_dir, txn_seq=int(epoch_id),
+                    keyed_corpus_commit(
+                        survivors, corpus_out, "doc_id",
+                        checkpoint_dir, epoch_id,
+                        num_buckets=corpus_num_buckets,
                     )
                 if had_index:
                     append_to_minhash_index(
@@ -282,12 +282,7 @@ def stream_training_ingest(
     from ..operators.dedup import shingles_from_tokens
     from ..operators.text import tokens_expr
 
-    if delivery not in ("exactly_once", "at_least_once"):
-        raise ValueError(
-            f"delivery must be 'exactly_once' or 'at_least_once', "
-            f"got {delivery!r}"
-        )
-    keyed = delivery == "exactly_once"
+    keyed = validate_delivery(delivery, ("exactly_once", "at_least_once"))
     stream = (
         spark.readStream.schema("doc_id long, text string, source string")
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -323,12 +318,8 @@ def stream_training_ingest(
             .select("doc_id", "text", "source")
         )
         if keyed:
-            from .. import sink
-
-            sink.keyed_append(
-                batch.sparkSession, kept, corpus_out,
-                key="doc_id", verify_new=False,
-                txn_app=checkpoint_dir, txn_seq=int(epoch_id),
+            keyed_corpus_commit(
+                kept, corpus_out, "doc_id", checkpoint_dir, epoch_id
             )
         else:
             kept.write.mode("append").parquet(corpus_out)

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..caching import cache_scope
+from .delivery import keyed_corpus_commit, validate_delivery
 from ..operators.similarity import (
     IVF_MAX_APPENDED_FRACTION,
     N_IVF_CELLS,
@@ -164,12 +165,7 @@ def stream_semantic_ingest(
     contains-guard — the txn watermark still protects the corpus; only
     the index can carry a duplicate row (benign for knn: distinct-id
     handling downstream)."""
-    if delivery not in ("exactly_once", "at_most_once"):
-        raise ValueError(
-            f"delivery must be 'exactly_once' or 'at_most_once', "
-            f"got {delivery!r}"
-        )
-    keyed = delivery == "exactly_once"
+    keyed = validate_delivery(delivery, ("exactly_once", "at_most_once"))
     if maintain_views is not None and not keyed:
         raise ValueError(
             "maintain_views requires the keyed corpus (views refresh "
@@ -239,13 +235,10 @@ def stream_semantic_ingest(
                 #   documented trade: a crash BETWEEN the appends loses
                 #   those rows from the corpus on replay.
                 if keyed:
-                    from .. import sink
-
-                    sink.keyed_append(
-                        batch.sparkSession, survivors, corpus_out,
-                        key="vec_id", num_buckets=corpus_num_buckets,
-                        verify_new=False,
-                        txn_app=checkpoint_dir, txn_seq=int(epoch_id),
+                    keyed_corpus_commit(
+                        survivors, corpus_out, "vec_id",
+                        checkpoint_dir, epoch_id,
+                        num_buckets=corpus_num_buckets,
                     )
                 if had_index:
                     append_to_ivf_index(survivors, index_path)

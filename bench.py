@@ -302,7 +302,21 @@ def _clean_history(sf: float | None) -> list[dict[str, float]]:
                 and row.get("sf") == sf
                 and isinstance(row.get("queries"), dict)
             ):
-                out.append({k: float(v) for k, v in row["queries"].items()})
+                d = {k: float(v) for k, v in row["queries"].items()}
+                # a host_drift-adjudicated reading must not ratchet the
+                # baseline/band upward (r10 review finding: the inflated
+                # in-bench time would become the next run's flag line,
+                # masking a later real regression) — substitute the
+                # fresh-process reading the adjudicator measured
+                for n, e in (row.get("flagged") or {}).items():
+                    fresh = e.get("fresh_process") if isinstance(e, dict) else None
+                    if (
+                        fresh is not None
+                        and e.get("verdict") == "host_drift"
+                        and n in d
+                    ):
+                        d[n] = min(d[n], float(fresh))
+                out.append(d)
     except Exception:
         pass
     return out
@@ -362,7 +376,11 @@ def _adjudicate_single(name: str) -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         best = min(best, time.perf_counter() - t0)
-        release_caches()
+    # caches released AFTER the reps, exactly like main()'s per-query
+    # protocol — releasing inside the loop would make cache-reusing
+    # queries systematically slower here and mis-adjudicate them as
+    # regressions (r10 review finding)
+    release_caches()
     print(json.dumps({"name": name, "best": round(best, 3)}))
 
 

@@ -606,6 +606,11 @@ def test_ivf_policy_rename_follows_drop_blocks(spark, tmp_path, monkeypatch):
     # arming against a missing column fails loudly
     with pytest.raises(ValueError, match="missing columns"):
         t.set_ivf_policy(idx, vec_col="nope")
+    # a zero-probe recall gate would vacuously pass forever — rejected
+    with pytest.raises(ValueError, match="recall_k and recall_queries"):
+        t.set_ivf_policy(idx, recall_queries=0)
+    with pytest.raises(ValueError, match="recall_k and recall_queries"):
+        t.set_ivf_policy(idx, recall_k=0)
 
     sink.rename_column(spark, target, "embedding", "emb")
     assert t.ivf_policy()["vec_col"] == "emb"

@@ -877,3 +877,46 @@ def test_stream_training_ingest_exactly_once_on_epoch_replay(spark, tmp_path):
         stream_training_ingest(
             spark, src, grams, {}, out, ck, delivery="exactly-once-ish"
         )
+
+
+def test_recreated_checkpoint_is_a_new_txn_writer(spark, tmp_path):
+    """r10 review finding: the epoch txn_app is the checkpoint path
+    SALTED with the checkpoint's run UUID.  Delete and recreate the
+    checkpoint at the same path (the reprocess-everything ops move) and
+    epoch ids restart at 0 — with a path-only identity the table's old
+    watermark would silently no-op every batch and LOSE genuinely new
+    docs; with the salted identity the new incarnation applies from 0
+    (re-delivered docs drop against the index, new docs land)."""
+    import shutil
+
+    from airflow_postgres_etl_spark.sink import read_keyed_table
+    from airflow_postgres_etl_spark.streaming import stream_dedup_ingest
+    from airflow_postgres_etl_spark.streaming.delivery import stream_txn_app
+
+    src, idx, out, ck = (
+        str(tmp_path / d) for d in ("src", "index", "corpus", "ck")
+    )
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    spark.createDataFrame(
+        [(1, base), (2, "unrelated words about parquet footers and manifests")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_dedup_ingest(spark, src, idx, out, ck)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    app1 = stream_txn_app(ck)
+    assert app1 != ck  # the UUID salt is present
+
+    # reprocess-everything: checkpoint deleted, NEW docs added
+    shutil.rmtree(ck)
+    spark.createDataFrame(
+        [(9, "a genuinely novel document describing z-order clustering")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_dedup_ingest(spark, src, idx, out, ck)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert stream_txn_app(ck) != app1  # new incarnation = new writer
+    # old docs re-delivered and index-dropped; the NEW doc landed
+    # (a path-only txn_app would have silently no-opped it away)
+    assert {r.doc_id for r in read_keyed_table(spark, out).collect()} == {1, 2, 9}
