@@ -639,3 +639,46 @@ def test_ivf_policy_rename_follows_drop_blocks(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(S, "knn_against_index", empty_knn)
     with pytest.raises(S.IndexRecallError, match="recall re-gate"):
         t.maintain(retention_s=0.0)
+
+
+def test_clone_does_not_inherit_ivf_or_drift_policy(spark, tmp_path):
+    """A shallow clone is a new table to every ambient policy: the IVF
+    policy points at the SOURCE's index (a clone maintaining it would
+    rebuild the source's index from clone data), and the drift rules
+    are the source pipeline's contract — neither may travel.  Pinned
+    here because the carry is structural (clone's fresh dest has no tip
+    to carry from), and a refactor of the carry must not change it."""
+    import pytest
+
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.api import Table
+    from airflow_postgres_etl_spark.operators import similarity as S
+    from airflow_postgres_etl_spark.operators.expectations import (
+        expect_distribution,
+    )
+
+    src_t = str(tmp_path / "src")
+    idx = str(tmp_path / "ivf")
+    df = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    sink.keyed_overwrite_parquet(
+        spark, df, src_t, key="vec_id", num_buckets=2, vacuum=False
+    )
+    S.build_ivf_index(
+        df, idx, n_cells=2,
+        centroids=S.seed_centroids(df, 2, "vec_id", "embedding"),
+    )
+    t = Table(spark, src_t)
+    t.set_ivf_policy(idx, recall_k=2, recall_queries=3)
+    t.set_drift_policy(
+        [expect_distribution("r0", "vec_id", edges=[3.0], probs=[0.5, 0.5])]
+    )
+    dest = str(tmp_path / "clone")
+    sink.clone_keyed_table(src_t, dest)
+    assert sink.ivf_policy(dest) is None
+    assert sink.drift_policy(dest) is None
+    # ...and the source keeps both
+    assert sink.ivf_policy(src_t)["index_path"] == idx
+    assert sink.drift_policy(src_t) is not None
