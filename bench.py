@@ -299,6 +299,7 @@ def _clean_history(sf: float | None) -> list[dict[str, float]]:
             row = json.loads(raw)
             if (
                 not row.get("contaminated")
+                and not row.get("diffuse_drift")
                 and row.get("sf") == sf
                 and isinstance(row.get("queries"), dict)
             ):
@@ -336,6 +337,29 @@ FLAG_RATIO = 1.2
 #: fresh-process re-measures are Spark-startup-priced (~10-15 s each);
 #: cap the adjudication pass so a host-wide slump can't double the bench
 MAX_ADJUDICATIONS = 8
+#: median in_bench/last_clean ratio above which the RUN is adjudicated
+#: as DIFFUSE host drift: when the whole distribution shifts (r9 saw
+#: +15-25% on byte-identical code after hours of sustained load; the
+#: first r10 machine run flagged 65/156 queries at median +21%),
+#: per-query fresh-process re-measures read the same slow host and
+#: mislabel untouched code as 'regression' — so they are skipped and
+#: every flagged query gets verdict 'diffuse_host_drift' instead.
+#: _clean_history also refuses such runs as baselines (the inflated
+#: timings must not ratchet the flag line).
+DIFFUSE_MEDIAN_RATIO = 1.15
+
+
+def _median_ratio(
+    timings: dict[str, float], last_clean: dict[str, float]
+) -> float | None:
+    """Median in_bench/last_clean ratio over the queries present in
+    both — the run-level drift signal.  None without a baseline."""
+    ratios = sorted(
+        t / last_clean[n]
+        for n, t in timings.items()
+        if last_clean.get(n)
+    )
+    return ratios[len(ratios) // 2] if ratios else None
 
 
 def _fresh_process_best(name: str, sf_dir: str) -> float | None:
@@ -406,6 +430,8 @@ def _adjudicate_flagged(
         n for n, t in timings.items()
         if n in last_clean and t > FLAG_RATIO * last_clean[n]
     )
+    med = _median_ratio(timings, last_clean)
+    diffuse = med is not None and med > DIFFUSE_MEDIAN_RATIO
     out: dict[str, dict] = {}
     for i, name in enumerate(flagged):
         band = [h[name] for h in hist if name in h]
@@ -415,7 +441,14 @@ def _adjudicate_flagged(
             "last_clean": last_clean[name],
             "band": [lo, hi],
         }
-        if i >= MAX_ADJUDICATIONS:
+        if diffuse:
+            # the whole distribution shifted: this is the HOST, not 65
+            # simultaneous regressions — a fresh process on the same
+            # host reads just as slow (measured, r10 first run), so
+            # skip the re-measure and say what the evidence supports
+            entry["fresh_process"] = None
+            entry["verdict"] = "diffuse_host_drift"
+        elif i >= MAX_ADJUDICATIONS:
             entry["fresh_process"] = None
             entry["verdict"] = "unmeasured"
         else:
@@ -485,6 +518,8 @@ def main() -> None:
             timings, last_clean, _clean_history(sf), sf_dir
         )
     )
+    med = _median_ratio(timings, last_clean)
+    diffuse = bool(med is not None and med > DIFFUSE_MEDIAN_RATIO)
 
     full = {
         "metric": "headline_queries_total",
@@ -498,6 +533,13 @@ def main() -> None:
         "load1_at_start": load1,
         "contaminated": contaminated,
         "flagged": flagged,
+        # run-level drift signal: median in_bench/last_clean over all
+        # comparable queries.  diffuse_drift=True means the whole
+        # distribution shifted (host state, r9/r10 pattern): per-query
+        # verdicts are 'diffuse_host_drift' and this run is EXCLUDED
+        # from future baselines/bands (_clean_history skips it)
+        "median_vs_last_clean": round(med, 3) if med is not None else None,
+        "diffuse_drift": diffuse,
     }
     # The driver's bench artifact keeps only the LAST ~2000 chars of
     # stdout; with 100+ headline queries the single full-dict line
@@ -528,7 +570,11 @@ def main() -> None:
         "contaminated": contaminated,
         "queries": q_ms,
     }
-    if flagged:
+    if diffuse:
+        compact["diffuse_drift"] = True
+        compact["median_vs_last_clean"] = full["median_vs_last_clean"]
+        compact["n_flagged"] = len(flagged)
+    elif flagged:
         compact["flagged"] = {
             _abbrev(n): e["verdict"] for n, e in flagged.items()
         }

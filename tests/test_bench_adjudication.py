@@ -12,8 +12,11 @@ import bench
 
 
 def test_adjudicate_flagged_verdicts_and_cap():
-    timings = {"a": 15.0, "b": 3.0, "c": 9.0}
-    last_clean = {"a": 10.0, "b": 2.9, "c": 5.0}
+    # flat filler keeps the median ratio ~1.0: this scenario tests the
+    # PER-QUERY path, not the diffuse run-level detector
+    flat = {f"f{i}": 1.0 for i in range(20)}
+    timings = {"a": 15.0, "b": 3.0, "c": 9.0, **flat}
+    last_clean = {"a": 10.0, "b": 2.9, "c": 5.0, **flat}
     hist = [{"a": 9.5, "c": 5.2}, {"a": 10.0, "c": 5.0}]
 
     def fake_fresh(name, sf_dir):
@@ -33,6 +36,8 @@ def test_adjudicate_flagged_verdicts_and_cap():
     # the re-measure cap: beyond MAX_ADJUDICATIONS, verdict=unmeasured
     timings2 = {f"q{i}": 10.0 for i in range(bench.MAX_ADJUDICATIONS + 2)}
     clean2 = {n: 1.0 for n in timings2}
+    timings2.update({f"g{i}": 1.0 for i in range(40)})
+    clean2.update({f"g{i}": 1.0 for i in range(40)})
     with mock.patch.object(bench, "_fresh_process_best", lambda n, s: 1.0):
         out2 = bench._adjudicate_flagged(timings2, clean2, [], "/x")
     verdicts = [e["verdict"] for e in out2.values()]
@@ -42,7 +47,7 @@ def test_adjudicate_flagged_verdicts_and_cap():
     # a failed re-measure is unmeasured, never a verdict
     with mock.patch.object(bench, "_fresh_process_best", lambda n, s: None):
         out3 = bench._adjudicate_flagged(
-            {"a": 15.0}, {"a": 10.0}, [], "/x"
+            {"a": 15.0, **flat}, {"a": 10.0, **flat}, [], "/x"
         )
     assert out3["a"]["verdict"] == "unmeasured"
 
@@ -70,3 +75,43 @@ def test_clean_history_substitutes_host_drift_fresh_reading(
     assert hist[1]["a"] == 12.0  # regression verdict keeps the in-bench time
     assert hist[0]["b"] == 3.0
     assert bench._last_clean_timings(0.1)["a"] == 12.0
+
+
+def test_diffuse_drift_detection_and_baseline_exclusion(
+    tmp_path, monkeypatch
+):
+    """When the whole timing distribution shifts (median ratio above
+    DIFFUSE_MEDIAN_RATIO), fresh-process re-measures read the same slow
+    host — every flagged query must get 'diffuse_host_drift' with NO
+    re-measure, and such a run must never become a future baseline."""
+    timings = {f"q{i}": 13.0 for i in range(10)}
+    clean = {n: 10.0 for n in timings}  # every ratio 1.3 -> median 1.3
+
+    def boom(name, sf_dir):
+        raise AssertionError("re-measure attempted under diffuse drift")
+
+    with mock.patch.object(bench, "_fresh_process_best", boom):
+        out = bench._adjudicate_flagged(timings, clean, [], "/x")
+    assert len(out) == 10
+    assert all(e["verdict"] == "diffuse_host_drift" for e in out.values())
+    assert all(e["fresh_process"] is None for e in out.values())
+
+    # one slow outlier over a flat field is NOT diffuse — it re-measures
+    timings2 = {f"q{i}": 10.0 for i in range(9)}
+    timings2["hot"] = 30.0
+    clean2 = {n: 10.0 for n in timings2}
+    with mock.patch.object(bench, "_fresh_process_best", lambda n, s: 10.0):
+        out2 = bench._adjudicate_flagged(timings2, clean2, [], "/x")
+    assert set(out2) == {"hot"} and out2["hot"]["verdict"] == "host_drift"
+
+    # a diffuse-drift row is excluded from history baselines
+    rows = [
+        {"contaminated": False, "sf": 0.1, "queries": {"a": 10.0}},
+        {"contaminated": False, "sf": 0.1, "queries": {"a": 13.0},
+         "diffuse_drift": True},
+    ]
+    with open(tmp_path / "BENCH_LOCAL.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    assert bench._last_clean_timings(0.1) == {"a": 10.0}
