@@ -138,7 +138,11 @@ def stream_semantic_ingest(
     centroids, so a drifted stream otherwise degrades candidate
     recall).  The same in-band maintenance rhythm as
     ``stream_ingest(merge_mode="mor")``'s auto-compaction; pass None to
-    run refresh out-of-band instead.
+    run refresh out-of-band instead.  For the RECALL-GATED ambient
+    variant (r10), arm ``sink.set_ivf_policy`` on the keyed corpus
+    table and schedule ``Table.maintain`` — same staleness trigger,
+    but the rebuild re-runs the stored recall gate and trips loudly on
+    a degraded quantizer (the in-band path retrains without a gate).
 
     ``delivery`` (r10): ``"exactly_once"`` (default) commits the corpus
     as a KEYED table (``sink.keyed_append`` under an epoch txn
