@@ -115,3 +115,95 @@ def test_diffuse_drift_detection_and_baseline_exclusion(
             fh.write(json.dumps(r) + "\n")
     monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
     assert bench._last_clean_timings(0.1) == {"a": 10.0}
+
+def test_emit_lines_final_line_fits_with_all_queries_flagged():
+    """BENCH_r10.json regression (VERDICT r10 item 1): with 156 queries
+    ALL flagged, every emitted line — and especially the FINAL one the
+    driver parses — must stay under the 2000-char stdout tail, and the
+    final line must round-trip through json.loads with the headline
+    fields present."""
+    names = [f"pipeline_query_variant_number_{i:03d}" for i in range(156)]
+    q_ms = {bench._abbrev(n): 1000 + i for i, n in enumerate(names)}
+    flagged = {
+        bench._abbrev(n): {
+            "in_bench": 2.0, "last_clean": 1.0, "band": [1.0, 1.1],
+            "fresh_process": None, "verdict": "unmeasured",
+        }
+        for n in names
+    }
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "n": len(q_ms),
+        "load1": 1.0,
+        "contaminated": False,
+        "queries": dict(q_ms),
+        "flagged": {k: e["verdict"] for k, e in flagged.items()},
+    }
+    lines = bench._emit_lines(compact, q_ms, flagged)
+    assert all(len(ln) <= bench.MAX_LINE for ln in lines)
+    final = json.loads(lines[-1])
+    assert final["value"] == 123.456
+    assert final["n"] == 156
+    assert final["contaminated"] is False
+    # flagged collapsed to verdict counts, not the 156-entry map
+    assert final["flagged"] == {"unmeasured": 156}
+    # no query timing lost: earlier lines + final line cover all 156
+    seen = dict(final["queries"])
+    for ln in lines[:-1]:
+        seen.update(json.loads(ln).get("queries_fast", {}))
+    assert seen == q_ms
+
+    # the short path stays a single untouched line
+    small = {"metric": "m", "value": 1.0, "n": 2, "contaminated": False,
+             "queries": {"a": 1, "b": 2}}
+    lines2 = bench._emit_lines(dict(small), {"a": 1, "b": 2}, {})
+    assert len(lines2) == 1 and json.loads(lines2[0])["n"] == 2
+
+
+def test_adjudication_cap_spends_slots_on_worst_ratios():
+    """VERDICT r10 item 2: the 8-slot cap must re-measure the WORST
+    in_bench/last_clean ratios first, not the first 8 alphabetically."""
+    n = bench.MAX_ADJUDICATIONS
+    # flat filler keeps median at 1.0 and flag fraction under the
+    # diffuse trigger: 12 flagged / 112 comparable ~= 0.107
+    flat = {f"zz{i}": 1.0 for i in range(100)}
+    # names sort alphabetically OPPOSITE to severity: a00 is mildest
+    timings = {f"a{i:02d}": 10.0 * (1.21 + 0.01 * i) for i in range(12)}
+    clean = {k: 10.0 for k in timings}
+    timings.update(flat)
+    clean.update(flat)
+    with mock.patch.object(bench, "_fresh_process_best", lambda n_, s: 10.0):
+        out = bench._adjudicate_flagged(timings, clean, [], "/x")
+    measured = {k for k, e in out.items() if e["verdict"] == "host_drift"}
+    stranded = {k for k, e in out.items() if e["verdict"] == "unmeasured"}
+    # worst n ratios (highest indices) got the fresh-process slots
+    assert measured == {f"a{i:02d}" for i in range(12 - n, 12)}
+    assert stranded == {f"a{i:02d}" for i in range(12 - n)}
+
+
+def test_flag_fraction_triggers_diffuse_below_median_line():
+    """VERDICT r10 item 3: median 1.14 (under the 1.15 line) but >25%
+    of comparable queries flagged -> the run is diffuse host drift; no
+    fresh-process re-measures, nothing stranded as 'unmeasured'."""
+    # 40 comparable: 24 at ratio 1.0, 16 at ratio 1.3 -> median 1.0,
+    # flag fraction 0.4 > 0.25
+    timings = {f"ok{i}": 1.0 for i in range(24)}
+    timings.update({f"hot{i}": 13.0 for i in range(16)})
+    clean = {k: (1.0 if k.startswith("ok") else 10.0) for k in timings}
+
+    def boom(name, sf_dir):
+        raise AssertionError("re-measure attempted under diffuse drift")
+
+    with mock.patch.object(bench, "_fresh_process_best", boom):
+        out = bench._adjudicate_flagged(timings, clean, [], "/x")
+    assert len(out) == 16
+    assert all(e["verdict"] == "diffuse_host_drift" for e in out.values())
+
+    med, flagged, diffuse = bench._run_drift_signal(timings, clean)
+    assert diffuse is True
+    # and main()'s artifact field comes from the same helper, so the
+    # run-level flag agrees with the per-query verdicts by construction
+    assert set(flagged) == {f"hot{i}" for i in range(16)}
