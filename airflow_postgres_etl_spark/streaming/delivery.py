@@ -25,7 +25,69 @@ def validate_delivery(delivery: str, allowed: tuple[str, ...]) -> bool:
     return delivery == "exactly_once"
 
 
-def stream_txn_app(checkpoint_dir: str) -> str:
+class CheckpointIdentityError(RuntimeError):
+    """The checkpoint's ``metadata`` object exists but could not be
+    read/parsed, and no identity for this checkpoint has been resolved
+    yet — committing under a guessed identity could silently duplicate
+    or drop epochs, so the stream must fail loudly instead."""
+
+
+#: checkpoint dir -> last successfully-resolved salted identity.  The
+#: cache is what keeps the identity STABLE within one checkpoint
+#: incarnation: a transient metadata-read failure between a commit and
+#:  its replay returns the cached identity instead of flipping to a
+#: different writer (which would turn the watermark no-op into a silent
+#: duplicate keyed_append — r10 ADVICE finding 1).  A successful read
+#: always refreshes the entry, so a checkpoint RECREATED at the same
+#: path (new run UUID) still becomes a new writer.  Driver-side only:
+#: foreachBatch runs on the driver, so one process owns the stream.
+_IDENTITY_CACHE: dict[str, str] = {}
+
+
+def reset_stream_identity_cache() -> None:
+    """Test hook: forget all resolved identities (a fresh driver)."""
+    _IDENTITY_CACHE.clear()
+
+
+def _read_checkpoint_metadata(checkpoint_dir: str, spark=None):
+    """``(exists, query_id)`` from ``<checkpoint>/metadata``.
+
+    With a live session the bytes come through the checkpoint path's
+    own Hadoop filesystem — the same FS Spark writes the checkpoint
+    through — so HDFS/S3 checkpoints resolve exactly like local ones
+    (r10 ADVICE finding 1: a raw ``open()`` can only ever see the local
+    leg, so on object-store checkpoints the salt silently never
+    applied).  Raises on a present-but-unreadable object; returns
+    ``(False, None)`` only when the object genuinely does not exist."""
+    path = checkpoint_dir.rstrip("/") + "/metadata"
+    if spark is not None:
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(jpath):
+            return False, None
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8")
+        )
+        try:
+            chunks = []
+            line = reader.readLine()
+            while line is not None:
+                chunks.append(line)
+                line = reader.readLine()
+        finally:
+            reader.close()
+        return True, json.loads("\n".join(chunks))["id"]
+    # no session in hand (unit tests, pre-wiring probes): local leg only
+    if not os.path.exists(path):
+        return False, None
+    with open(path) as fh:
+        return True, json.load(fh)["id"]
+
+
+def stream_txn_app(checkpoint_dir: str, spark=None) -> str:
     """The writer identity for epoch txn watermarks: the checkpoint
     PATH salted with the checkpoint's own run UUID (Spark stamps one
     into ``<ck>/metadata`` when the checkpoint is created).
@@ -40,17 +102,72 @@ def stream_txn_app(checkpoint_dir: str) -> str:
     drop the re-delivered duplicates; a reprocessed training corpus
     re-applies, which is what deleting the checkpoint asks for).
 
-    Falls back to the bare path when the metadata object is unreadable
-    (pre-start, or a checkpoint on a filesystem this process cannot
-    open) — the pre-r10 behavior, never an error."""
+    Resolution contract (r10 ADVICE finding 1):
+
+    - metadata readable -> salted identity, cached (a later successful
+      read with a NEW uuid refreshes it — recreated checkpoint).
+    - metadata missing AND nothing cached -> bare path, NOT cached
+      (pre-start probe; the salt picks up on the first epoch).
+    - read fails or parses without an id: return the CACHED identity if
+      one exists (stability within the incarnation beats one lost
+      probe), else raise :class:`CheckpointIdentityError` — silently
+      falling back to the bare path is exactly the identity flip the
+      salt was built to prevent."""
+    cached = _IDENTITY_CACHE.get(checkpoint_dir)
     try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
-            qid = json.load(fh).get("id")
-        if qid:
-            return f"{checkpoint_dir}#{qid}"
-    except Exception:
-        pass
-    return checkpoint_dir
+        exists, qid = _read_checkpoint_metadata(checkpoint_dir, spark)
+        if exists and not qid:
+            raise ValueError("checkpoint metadata has no query id")
+    except Exception as exc:
+        if cached is not None:
+            return cached
+        raise CheckpointIdentityError(
+            f"cannot resolve the writer identity for checkpoint "
+            f"{checkpoint_dir!r}: its metadata object is present but "
+            f"unreadable ({exc}).  Refusing to guess — a wrong identity "
+            "silently duplicates or drops epochs."
+        ) from exc
+    if not exists:
+        return cached if cached is not None else checkpoint_dir
+    ident = f"{checkpoint_dir}#{qid}"
+    _IDENTITY_CACHE[checkpoint_dir] = ident
+    return ident
+
+
+def guard_keyed_bootstrap(corpus_out: str, stream_name: str) -> None:
+    """Refuse to bootstrap a keyed corpus ON TOP of a plain-parquet one
+    (r10 ADVICE finding 3).
+
+    A pre-r10 stream wrote a bare parquet directory; restarted under the
+    r10 ``delivery="exactly_once"`` DEFAULT with no manifest present,
+    ``keyed_append`` would bootstrap a keyed table in the same directory
+    and the pre-existing loose part files would become invisible to
+    ``read_keyed_table`` — and never re-admitted, because the dedup
+    index still holds their doc ids.  Detect that exact shape (loose
+    ``*.parquet`` at the corpus root, no adoptable manifest) at stream
+    START and fail with the two ways out.  Runs once per stream wiring;
+    both probes go through the storage seam."""
+    from .. import sink
+    from ..storage import LOCAL_STORE
+
+    if sink._load_manifest(corpus_out, store=LOCAL_STORE) is not None:
+        return
+    loose = [
+        n for n in LOCAL_STORE.list_dir(corpus_out) if n.endswith(".parquet")
+    ]
+    if loose:
+        raise ValueError(
+            f"{stream_name}: corpus_out {corpus_out!r} holds "
+            f"{len(loose)} loose parquet file(s) but no keyed-table "
+            "manifest — it was written by a plain-parquet "
+            "(pre-exactly-once) run of this stream.  Bootstrapping the "
+            "keyed corpus here would orphan those rows (invisible to "
+            "read_keyed_table, never re-admitted past the dedup index). "
+            "Either restart with delivery='at_most_once'/'at_least_once' "
+            "to keep appending plain parquet, or migrate once: read the "
+            "directory with spark.read.parquet and sink.keyed_append it "
+            "into a NEW corpus directory, then point the stream there."
+        )
 
 
 def keyed_corpus_commit(
@@ -69,13 +186,14 @@ def keyed_corpus_commit(
     not per-key verification."""
     from .. import sink
 
+    spark = rows.sparkSession
     sink.keyed_append(
-        rows.sparkSession,
+        spark,
         rows,
         corpus_out,
         key=key,
         num_buckets=num_buckets,
         verify_new=False,
-        txn_app=stream_txn_app(checkpoint_dir),
+        txn_app=stream_txn_app(checkpoint_dir, spark),
         txn_seq=int(epoch_id),
     )

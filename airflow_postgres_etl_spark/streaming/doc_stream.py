@@ -55,7 +55,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..caching import cache_scope
-from .delivery import keyed_corpus_commit, validate_delivery
+from .delivery import (
+    guard_keyed_bootstrap,
+    keyed_corpus_commit,
+    validate_delivery,
+)
 from ..operators.dedup import (
     MINHASH_MAX_APPENDED_FRACTION,
     append_to_minhash_index,
@@ -132,6 +136,8 @@ def stream_dedup_ingest(
     pass None to run ``compact_minhash_index`` out-of-band instead.
     """
     keyed = validate_delivery(delivery, ("exactly_once", "at_most_once"))
+    if keyed:
+        guard_keyed_bootstrap(corpus_out, "stream_dedup_ingest")
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -283,6 +289,8 @@ def stream_training_ingest(
     from ..operators.text import tokens_expr
 
     keyed = validate_delivery(delivery, ("exactly_once", "at_least_once"))
+    if keyed:
+        guard_keyed_bootstrap(corpus_out, "stream_training_ingest")
     stream = (
         spark.readStream.schema("doc_id long, text string, source string")
         .option("maxFilesPerTrigger", max_files_per_trigger)

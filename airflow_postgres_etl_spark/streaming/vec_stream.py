@@ -44,7 +44,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..caching import cache_scope
-from .delivery import keyed_corpus_commit, validate_delivery
+from .delivery import (
+    guard_keyed_bootstrap,
+    keyed_corpus_commit,
+    validate_delivery,
+)
 from ..operators.similarity import (
     IVF_MAX_APPENDED_FRACTION,
     N_IVF_CELLS,
@@ -53,6 +57,7 @@ from ..operators.similarity import (
     embedding_near_dup_ivf,
     ivf_contains_ids,
     ivf_index_exists,
+    ivf_paths,
     knn_against_index,
     maybe_refresh_ivf_index,
     seed_centroids,
@@ -170,6 +175,8 @@ def stream_semantic_ingest(
     the index can carry a duplicate row (benign for knn: distinct-id
     handling downstream)."""
     keyed = validate_delivery(delivery, ("exactly_once", "at_most_once"))
+    if keyed:
+        guard_keyed_bootstrap(corpus_out, "stream_semantic_ingest")
     if maintain_views is not None and not keyed:
         raise ValueError(
             "maintain_views requires the keyed corpus (views refresh "
@@ -191,8 +198,10 @@ def stream_semantic_ingest(
     def _process_batch(batch: DataFrame, epoch_id: int) -> None:
         had_index = ivf_index_exists(index_path)
         if had_index:
+            # resolve the LIVE generation through the meta object — a
+            # staged quantizer refresh moves the data root (r11)
             cent = batch.sparkSession.read.parquet(
-                f"{index_path}/centroids"
+                ivf_paths(index_path)["centroids"]
             ).select(
                 "c_id",
                 F.col("cvec").alias("__cvv"),
