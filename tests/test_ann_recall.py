@@ -307,3 +307,106 @@ def test_ivf_pq_recall_at_10_stays_above_measured_floor(spark):
         assert recall >= 0.45, f"PQ recall@10 {recall:.3f}"
     finally:
         emb.unpersist()
+
+def test_staged_rebuild_swaps_generation_and_retains_previous(
+    spark, tmp_path
+):
+    """r11 (ADVICE r10 finding 2 + VERDICT r10 task 6): a quantizer
+    rebuild is STAGED — built under <path>/gen-N, made live by the meta
+    swap — with one-generation retention, and every reader resolves the
+    live generation through the meta object."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base, batch = emb.filter(emb.vec_id < 400), emb.filter(emb.vec_id >= 400)
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(base, idx)
+    S.append_to_ivf_index(batch, idx)
+    flat_vectors = os.path.join(idx, "vectors")
+    assert os.path.isdir(flat_vectors)  # fresh build keeps flat layout
+
+    out1 = S.rebuild_ivf_index_staged(emb, idx)
+    assert out1 == {"gen": 1, "rebuilt": True}
+    paths = S.ivf_paths(idx)
+    assert paths["root"] == os.path.join(idx, "gen-1")
+    assert os.path.isdir(paths["vectors"])
+    # previous generation (the flat layout) retained for in-flight readers
+    assert os.path.isdir(flat_vectors)
+    assert S.ivf_appended_fraction(idx) == 0.0  # swap reset the counter
+
+    # readers resolve gen-1: knn + contains + append all work post-swap
+    queries = emb.filter(emb.vec_id < 5)
+    assert S.knn_against_index(queries, idx, k=5).count() == 25
+    contained = S.ivf_contains_ids(emb.filter(emb.vec_id < 3), idx)
+    assert contained.count() == 3
+    S.append_to_ivf_index(
+        emb.filter(emb.vec_id < 2).selectExpr(
+            "vec_id + 10000 as vec_id", "embedding"
+        ),
+        idx,
+    )
+    appended = spark.read.parquet(paths["vectors"]).filter(
+        "vec_id >= 10000"
+    )
+    assert appended.count() == 2  # append landed in the LIVE generation
+
+    # second rebuild: gen-2 commits, gen-0 (the flat dirs) evicted
+    out2 = S.rebuild_ivf_index_staged(emb, idx)
+    assert out2["gen"] == 2
+    assert S.ivf_paths(idx)["root"] == os.path.join(idx, "gen-2")
+    assert os.path.isdir(os.path.join(idx, "gen-1"))  # previous retained
+    assert not os.path.isdir(flat_vectors)  # N-2 evicted
+
+
+def test_staged_rebuild_gate_failure_leaves_live_index_serving(
+    spark, tmp_path, monkeypatch
+):
+    """r10 ADVICE finding 2, the exact scenario: the recall gate fails
+    -> the staging generation is DISCARDED before it ever serves, the
+    live index still answers, the appended counter is untouched, and
+    the next maintain re-trips instead of reporting healthy."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base, batch = emb.filter(emb.vec_id < 400), emb.filter(emb.vec_id >= 400)
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(base, idx)
+    S.append_to_ivf_index(batch, idx)
+    frac_before = S.ivf_appended_fraction(idx)
+    assert frac_before > 0
+    queries = emb.filter(emb.vec_id < 5)
+    before = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_against_index(queries, idx, k=5).collect()
+    }
+
+    real_knn = S.knn_against_index
+
+    def gate_blind_knn(q, path, *a, **kw):
+        # the gate probes the STAGING root; blind it there only
+        if kw.get("_data_root"):
+            return q.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine_sim double"
+            )
+        return real_knn(q, path, *a, **kw)
+
+    monkeypatch.setattr(S, "knn_against_index", gate_blind_knn)
+    gate = {"recall_k": 5, "recall_queries": 5, "min_recall": 0.9}
+    with pytest.raises(S.IndexRecallError, match="BEFORE swap"):
+        S.rebuild_ivf_index_staged(emb, idx, gate=gate)
+    monkeypatch.undo()
+
+    # staging discarded, live index untouched and still serving
+    assert not os.path.isdir(os.path.join(idx, "gen-1"))
+    after = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_against_index(queries, idx, k=5).collect()
+    }
+    assert after == before
+    # counter NOT reset: the next maintain re-trips the rebuild+gate
+    assert S.ivf_appended_fraction(idx) == pytest.approx(frac_before)
+
+    # and with an honest gate (floor the 5-query panel on this 500-vec
+    # corpus actually clears — the 0.9 gate needs the 30-query panel
+    # above) the same call now succeeds and swaps
+    out = S.rebuild_ivf_index_staged(
+        emb, idx, gate={**gate, "min_recall": 0.5}
+    )
+    assert out["rebuilt"] is True and out["recall_at_k"] >= 0.5
+    assert S.ivf_appended_fraction(idx) == 0.0

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from airflow_postgres_etl_spark.operators.similarity import (
     ivf_appended_fraction,
     ivf_index_exists,
+    ivf_paths,
 )
 from airflow_postgres_etl_spark.sink import read_keyed_table
 from airflow_postgres_etl_spark.streaming.vec_stream import (
@@ -88,7 +89,7 @@ def test_stream_semantic_ingest_cross_batch(spark, tmp_path):
     # counter saw the append
     indexed = {
         r.vec_id
-        for r in spark.read.parquet(f"{idx}/vectors").select("vec_id").collect()
+        for r in spark.read.parquet(ivf_paths(idx)["vectors"]).select("vec_id").collect()
     }
     assert indexed == {1, 2, 11}
     assert ivf_appended_fraction(idx) == pytest.approx(1 / 3)
@@ -133,7 +134,7 @@ def test_stream_first_batch_ids_above_n_cells(spark, tmp_path):
     assert q.exception() is None
     assert {r.vec_id for r in read_keyed_table(spark, out).collect()} == {1001, 1002}
     # the committed centroid table is NON-empty and batch-seeded
-    cents = spark.read.parquet(f"{idx}/centroids").collect()
+    cents = spark.read.parquet(ivf_paths(idx)["centroids"]).collect()
     assert {r.c_id for r in cents} == {1001, 1002}
 
     # second batch probes the index without crashing and cross-batch
@@ -159,7 +160,7 @@ def test_stream_first_batch_ids_above_n_cells(spark, tmp_path):
     )
 
     assert _frac(idx) == 0.0
-    cents2 = spark.read.parquet(f"{idx}/centroids").collect()
+    cents2 = spark.read.parquet(ivf_paths(idx)["centroids"]).collect()
     assert {r.c_id for r in cents2} == {1001, 1002}
 
 
@@ -413,7 +414,7 @@ def test_stream_keyed_corpus_exactly_once_across_index_crash(
     corpus = sink.read_keyed_table(spark, out)
     assert sorted(r.vec_id for r in corpus.collect()) == [1, 2]
     assert ivf_index_exists(idx)
-    in_idx = spark.read.parquet(f"{idx}/vectors")
+    in_idx = spark.read.parquet(ivf_paths(idx)["vectors"])
     assert sorted(r.vec_id for r in in_idx.collect()) == [1, 2]
     got = {r.label: r.est_distinct for r in read_distinct_view(spark, mv).collect()}
     assert got == {0: 1, 1: 1}
@@ -541,7 +542,7 @@ def test_stream_default_path_crash_matrix_exactly_once(
     assert sink.table_version(out) == v1
     assert sorted(r.vec_id for r in read_keyed_table(spark, out).collect()) == [1, 2]
     assert sorted(
-        r.vec_id for r in spark.read.parquet(f"{idx}/vectors").collect()
+        r.vec_id for r in spark.read.parquet(ivf_paths(idx)["vectors"]).collect()
     ) == [1, 2]
 
     # (b) lost checkpoint: full redelivery under a NEW txn_app — the
