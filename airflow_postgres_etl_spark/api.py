@@ -624,6 +624,25 @@ class Table:
 
         return sink.ivf_policy(self.path, self.store)
 
+    def set_minhash_policy(self, index_path, **kw) -> int:
+        """Arm ambient MinHash-index compaction at the table (r11):
+        stores the index path, staleness threshold and rebuild
+        parameters (shingle width, global hot-band cap) in the
+        manifest; :meth:`maintain` re-checks the index's appended
+        fraction from then on, re-deriving the band table from the live
+        corpus when it crosses — the out-of-band twin of the streams'
+        in-band ``compact_fraction``.  ``index_path=None`` disarms."""
+        from . import sink
+
+        return sink.set_minhash_policy(
+            self.spark, self.path, index_path, store=self.store, **kw
+        )
+
+    def minhash_policy(self) -> dict | None:
+        from . import sink
+
+        return sink.minhash_policy(self.path, self.store)
+
     def maintain(
         self,
         max_delta_depth: int = 8,
@@ -657,13 +676,17 @@ class Table:
 
         When an ambient IVF policy is armed (:meth:`set_ivf_policy`),
         the index's appended fraction is probed LAST — above the stored
-        threshold the quantizer rebuilds from the live table and the
-        recall gate re-runs (``out["ivf"]``; a failed gate raises
-        ``IndexRecallError``).
+        threshold the quantizer rebuilds STAGED from the live table,
+        the recall gate runs against the staging generation, and only a
+        passing gate swaps it live (``out["ivf"]``; a failed gate
+        raises ``IndexRecallError`` with the old index still serving).
+        An ambient MinHash policy (:meth:`set_minhash_policy`) is
+        probed the same way (``out["minhash"]``) — above threshold the
+        band table re-derives from the live corpus and manifest-swaps.
 
         Returns ``{"compacted", "optimized", "vacuumed_files",
-        "expired_snapshots"[, "drift"][, "ivf"]}`` with counts (absent
-        action = not triggered).  Composes the individually-tested
+        "expired_snapshots"[, "drift"][, "ivf"][, "minhash"]}`` with
+        counts (absent action = not triggered).  Composes the individually-tested
         primitives; the policy itself is test-pinned
         (tests/test_api.py)."""
         from . import sink
@@ -726,6 +749,22 @@ class Table:
                     self.spark, self.path, store=self.store
                 ),
                 ipol,
+                store=self.store,
+            )
+        # ambient MinHash compaction (r11, same rhythm): when armed
+        # (set_minhash_policy), probe the dedup index's appended
+        # fraction — one JSON read below the threshold; above it,
+        # re-derive the band table from the live corpus and swap
+        mpol = sink.minhash_policy(self.path, self.store)
+        if mpol:
+            from .operators.dedup import maintain_minhash_policy
+
+            out["minhash"] = maintain_minhash_policy(
+                self.spark,
+                lambda: sink.read_keyed_table(
+                    self.spark, self.path, store=self.store
+                ),
+                mpol,
                 store=self.store,
             )
         return out

@@ -1003,6 +1003,54 @@ def compact_minhash_index(
     )
 
 
+def maintain_minhash_policy(spark, corpus, policy: dict, store=None) -> dict:
+    """Ambient MinHash-index health (r11) — the stored-policy maintain
+    pattern applied to the dedup index, symmetric with the vector
+    surface's ``similarity.maintain_index_policy``: ``policy`` is the
+    dict ``sink.set_minhash_policy`` stores in the TABLE manifest (it
+    rides the commit carry like the drift rules and the IVF policy);
+    ``corpus`` is the table's live rows, a DataFrame or a zero-arg
+    CALLABLE returning one (pass the callable from a scheduled maintain
+    so the below-threshold path stays a single JSON read).
+
+    Below ``max_appended_fraction`` this is a meta-only probe.  Above
+    it: :func:`compact_minhash_index` — re-derive the band table from
+    the accepted corpus with the hot-band cap re-applied GLOBALLY and
+    swap the manifest (appends cap only within themselves, so
+    boilerplate bands re-grow across batches; tombstoned corpus docs
+    linger until a compact).  No quality gate, deliberately: unlike the
+    IVF quantizer (a TRAINED artifact that can come out worse), the
+    band table is a deterministic function of the corpus and the stored
+    parameters — there is nothing to certify beyond the oracle-pinned
+    operator tests.
+
+    Returns ``{"index_path", "appended_fraction", "compacted"}``."""
+    path = policy["index_path"]
+    frac = minhash_appended_fraction(path, store)
+    out = {
+        "index_path": path,
+        "appended_fraction": round(frac, 6),
+        "compacted": False,
+    }
+    if frac <= policy["max_appended_fraction"]:
+        return out
+    if callable(corpus):
+        corpus = corpus()
+    compact_minhash_index(
+        spark,
+        path,
+        corpus_path="",  # unused: corpus_df is authoritative
+        col=policy["text_col"],
+        key=policy["id_col"],
+        n=policy["shingle_n"],
+        max_band_size=policy["max_band_size"],
+        store=store,
+        corpus_df=corpus,
+    )
+    out["compacted"] = True
+    return out
+
+
 def vacuum_minhash_index(
     path: str, retention_s: float | None = None, store=None
 ) -> int:

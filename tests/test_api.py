@@ -637,8 +637,19 @@ def test_ivf_policy_rename_follows_drop_blocks(spark, tmp_path, monkeypatch):
         )
 
     monkeypatch.setattr(S, "knn_against_index", empty_knn)
-    with pytest.raises(S.IndexRecallError, match="recall re-gate"):
+    with pytest.raises(S.IndexRecallError, match="recall gate BEFORE swap"):
         t.maintain(retention_s=0.0)
+    # r11 staged rebuild: the failed generation never went live — the
+    # live index is untouched and STILL flagged stale, so the next
+    # maintain re-trips loudly instead of reporting healthy
+    assert S.ivf_appended_fraction(idx) > 0.2
+    with pytest.raises(S.IndexRecallError, match="recall gate BEFORE swap"):
+        t.maintain(retention_s=0.0)
+    # honest gate again: the rebuild succeeds, swaps, resets the counter
+    monkeypatch.undo()
+    out = t.maintain(retention_s=0.0)
+    assert out["ivf"]["rebuilt"] is True
+    assert S.ivf_appended_fraction(idx) == 0.0
 
 
 def test_clone_does_not_inherit_ivf_or_drift_policy(spark, tmp_path):
@@ -682,3 +693,130 @@ def test_clone_does_not_inherit_ivf_or_drift_policy(spark, tmp_path):
     # ...and the source keeps both
     assert sink.ivf_policy(src_t)["index_path"] == idx
     assert sink.drift_policy(src_t) is not None
+
+def test_minhash_policy_maintain_compacts(spark, tmp_path):
+    """Ambient MinHash compaction (r11): the stored policy rides the
+    manifest carry, maintain is a one-JSON-read no-op below the
+    staleness threshold, and above it re-derives the band table from
+    the live corpus (hot-band cap re-applied globally) and resets the
+    appended counter via the manifest swap."""
+    import pytest
+
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.api import Table
+    from airflow_postgres_etl_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        dedup_against_index,
+        minhash_appended_fraction,
+    )
+
+    target = str(tmp_path / "docs")
+    idx = str(tmp_path / "mh")
+
+    def ddf(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = ddf([
+        (1, "the quick brown fox jumps over the lazy dog by the river"),
+        (2, "an entirely different document about parquet manifests"),
+        (3, "a third text concerning z-order clustering and blooms"),
+    ])
+    sink.keyed_overwrite_parquet(
+        spark, base, target, key="doc_id", num_buckets=2, vacuum=False
+    )
+    build_minhash_index(base, idx)
+    t = Table(spark, target)
+    v = t.set_minhash_policy(idx, max_appended_fraction=0.25)
+    assert t.minhash_policy()["index_path"] == idx
+    assert t.minhash_policy()["shingle_n"] == 3
+
+    # below threshold: meta-only probe
+    out = t.maintain(retention_s=0.0)
+    assert out["minhash"] == {
+        "index_path": idx, "appended_fraction": 0.0, "compacted": False,
+    }
+
+    # drift it: append 2 of 5 docs (0.4 > 0.25); the policy survives
+    # the data commits via the manifest carry
+    extra = ddf([
+        (4, "a novel fourth document on watermark semantics in streams"),
+        (5, "the fifth text answers questions about recall gates"),
+    ])
+    sink.keyed_append(spark, extra, target, key="doc_id", verify_new=False)
+    append_to_minhash_index(extra, idx)
+    assert sink.table_version(target) > v
+    assert t.minhash_policy()["index_path"] == idx  # carried
+    assert minhash_appended_fraction(idx) == pytest.approx(2 / 5)
+
+    out2 = t.maintain(retention_s=0.0)
+    assert out2["minhash"]["compacted"] is True
+    assert minhash_appended_fraction(idx) == 0.0  # counter reset by swap
+    # idempotent: next maintain is a no-op again
+    out3 = t.maintain(retention_s=0.0)
+    assert out3["minhash"]["compacted"] is False
+
+    # the compacted index still answers: an exact duplicate of doc 4
+    # dedups away, a novel doc survives
+    probe = ddf([
+        (14, "a novel fourth document on watermark semantics in streams"),
+        (15, "completely unrelated musings on geo radius joins"),
+    ])
+    kept = {r.doc_id for r in dedup_against_index(probe, idx).collect()}
+    assert kept == {15}
+
+    # disarm
+    t.set_minhash_policy(None)
+    assert t.minhash_policy() is None
+    assert "minhash" not in t.maintain(retention_s=0.0)
+
+    # a clone is a new table to the policy, same as drift/IVF
+    t.set_minhash_policy(idx)
+    dest = str(tmp_path / "clone")
+    sink.clone_keyed_table(target, dest)
+    assert sink.minhash_policy(dest) is None
+
+
+def test_minhash_policy_rename_follows_drop_blocks(spark, tmp_path):
+    """Column-mapping interaction, same contract as the drift and IVF
+    policies: rename of a referenced column rewrites the stored policy,
+    drop of one is rejected, arming validates columns and index."""
+    import pytest
+
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.api import Table
+    from airflow_postgres_etl_spark.operators.dedup import (
+        build_minhash_index,
+    )
+
+    target = str(tmp_path / "docs")
+    idx = str(tmp_path / "mh")
+    df = spark.createDataFrame(
+        [(1, "some text here", 7), (2, "other text there", 8)],
+        "doc_id long, text string, aux long",
+    )
+    sink.keyed_overwrite_parquet(
+        spark, df, target, key="doc_id", num_buckets=2, vacuum=False
+    )
+    build_minhash_index(df, idx)
+    t = Table(spark, target)
+
+    # arming validates: missing column, missing index, bad params
+    with pytest.raises(ValueError, match="missing columns"):
+        t.set_minhash_policy(idx, text_col="nope")
+    with pytest.raises(FileNotFoundError, match="no MinHash index"):
+        t.set_minhash_policy(str(tmp_path / "absent"))
+    with pytest.raises(ValueError, match="max_appended_fraction"):
+        t.set_minhash_policy(idx, max_appended_fraction=0.0)
+    with pytest.raises(ValueError, match="shingle_n"):
+        t.set_minhash_policy(idx, shingle_n=0)
+    with pytest.raises(ValueError, match="max_band_size"):
+        t.set_minhash_policy(idx, max_band_size=0)
+
+    t.set_minhash_policy(idx, max_band_size=64)
+    sink.rename_column(spark, target, "text", "body")
+    assert t.minhash_policy()["text_col"] == "body"
+    with pytest.raises(ValueError, match="ambient MinHash"):
+        sink.drop_column(spark, target, "body")
+    # unreferenced columns still drop fine
+    sink.drop_column(spark, target, "aux")
