@@ -731,3 +731,20 @@ def test_keyed_merge_additive_schema_evolution(spark, tmp_path):
         for r in read_keyed_table(spark, target).collect()
     }
     assert got2 == got
+
+def test_table_exists_sql_probe_duckdb_standin():
+    """S6's wire-leg probe (r11): one catalog statement any DB-API
+    driver runs — row iff the table exists (the reference's
+    ``inspect(engine).has_table``), quote-safe."""
+    import duckdb
+
+    from airflow_postgres_etl_spark.sink import table_exists_sql
+
+    con = duckdb.connect()
+    con.execute('CREATE TABLE "events" (x INTEGER)')
+    assert con.execute(table_exists_sql("events")).fetchone() is not None
+    assert con.execute(table_exists_sql("absent")).fetchone() is None
+    # a malicious name stays inside the literal
+    assert con.execute(
+        table_exists_sql("x' OR '1'='1")
+    ).fetchone() is None
