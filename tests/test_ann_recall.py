@@ -410,3 +410,53 @@ def test_staged_rebuild_gate_failure_leaves_live_index_serving(
     )
     assert out["rebuilt"] is True and out["recall_at_k"] >= 0.5
     assert S.ivf_appended_fraction(idx) == 0.0
+
+def test_crash_mid_rebuild_leaves_live_index_and_self_heals(
+    spark, tmp_path, monkeypatch
+):
+    """A crash DURING the staged build (before the meta swap) must
+    leave the live index serving and the staleness state intact; the
+    next rebuild computes the SAME generation number from the unchanged
+    meta and overwrites the orphaned staging — garbage is bounded at
+    one generation with no vacuum step."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base, batch = emb.filter(emb.vec_id < 400), emb.filter(emb.vec_id >= 400)
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(base, idx)
+    S.append_to_ivf_index(batch, idx)
+    frac_before = S.ivf_appended_fraction(idx)
+    queries = emb.filter(emb.vec_id < 5)
+    before = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_against_index(queries, idx, k=5).collect()
+    }
+
+    real_build = S.build_ivf_index
+    calls = {"n": 0}
+
+    def crashing_build(*a, **kw):
+        calls["n"] += 1
+        meta = real_build(*a, **kw)
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after data write, pre-swap")
+        return meta
+
+    monkeypatch.setattr(S, "build_ivf_index", crashing_build)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        S.rebuild_ivf_index_staged(emb, idx)
+    # live index untouched: same answers, same staleness, gen-1 orphaned
+    assert S.ivf_paths(idx)["root"] == idx  # meta still points at flat
+    assert S.ivf_appended_fraction(idx) == pytest.approx(frac_before)
+    after = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_against_index(queries, idx, k=5).collect()
+    }
+    assert after == before
+    assert os.path.isdir(os.path.join(idx, "gen-1"))  # the orphan
+
+    # the retry overwrites the SAME generation and swaps
+    out = S.rebuild_ivf_index_staged(emb, idx)
+    assert out["gen"] == 1
+    assert S.ivf_paths(idx)["root"] == os.path.join(idx, "gen-1")
+    assert S.ivf_appended_fraction(idx) == 0.0
+    assert S.knn_against_index(queries, idx, k=5).count() == 25

@@ -207,3 +207,42 @@ def test_flag_fraction_triggers_diffuse_below_median_line():
     # and main()'s artifact field comes from the same helper, so the
     # run-level flag agrees with the per-query verdicts by construction
     assert set(flagged) == {f"hot{i}" for i in range(16)}
+
+def test_emit_lines_cap_holds_for_arbitrary_shapes():
+    """Property: whatever the query-name lengths, counts, and flag
+    population, every emitted line obeys MAX_LINE, the final line
+    json-parses with the headline fields, and no timing is lost."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        name_len=st.integers(min_value=3, max_value=40),
+        flag_every=st.integers(min_value=1, max_value=5),
+    )
+    def check(n, name_len, flag_every):
+        q_ms = {
+            ("q" * name_len) + str(i): 1000 + i for i in range(n)
+        }
+        flagged = {
+            k: {"verdict": "unmeasured"}
+            for i, k in enumerate(q_ms) if i % flag_every == 0
+        }
+        compact = {
+            "metric": "headline_queries_total", "value": 1.0,
+            "unit": "sec", "sf": 0.1, "n": n, "load1": 0.5,
+            "contaminated": False, "queries": dict(q_ms),
+        }
+        if flagged:
+            compact["flagged"] = {k: "unmeasured" for k in flagged}
+        lines = bench._emit_lines(compact, q_ms, flagged)
+        assert all(len(ln) <= bench.MAX_LINE for ln in lines)
+        final = json.loads(lines[-1])
+        assert final["n"] == n and final["contaminated"] is False
+        seen = dict(final["queries"])
+        for ln in lines[:-1]:
+            seen.update(json.loads(ln).get("queries_fast", {}))
+        assert seen == q_ms
+
+    check()
