@@ -757,7 +757,10 @@ class Table:
         # re-derive the band table from the live corpus and swap
         mpol = sink.minhash_policy(self.path, self.store)
         if mpol:
-            from .operators.dedup import maintain_minhash_policy
+            from .operators.dedup import (
+                maintain_minhash_policy,
+                vacuum_minhash_index,
+            )
 
             out["minhash"] = maintain_minhash_policy(
                 self.spark,
@@ -765,6 +768,13 @@ class Table:
                     self.spark, self.path, store=self.store
                 ),
                 mpol,
+                store=self.store,
+            )
+            # the index's retired data dirs (swapped out by past
+            # compactions) reclaim on the same retention schedule as
+            # the table's own retirees — one maintain, both surfaces
+            out["minhash"]["vacuumed_dirs"] = vacuum_minhash_index(
+                mpol["index_path"], retention_s=retention_s,
                 store=self.store,
             )
         return out

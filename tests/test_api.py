@@ -735,6 +735,7 @@ def test_minhash_policy_maintain_compacts(spark, tmp_path):
     out = t.maintain(retention_s=0.0)
     assert out["minhash"] == {
         "index_path": idx, "appended_fraction": 0.0, "compacted": False,
+        "vacuumed_dirs": 0,
     }
 
     # drift it: append 2 of 5 docs (0.4 > 0.25); the policy survives
@@ -752,9 +753,13 @@ def test_minhash_policy_maintain_compacts(spark, tmp_path):
     out2 = t.maintain(retention_s=0.0)
     assert out2["minhash"]["compacted"] is True
     assert minhash_appended_fraction(idx) == 0.0  # counter reset by swap
+    # the compaction-retired data dir reclaimed on the table's own
+    # retention schedule (one maintain, both surfaces)
+    assert out2["minhash"]["vacuumed_dirs"] == 1
     # idempotent: next maintain is a no-op again
     out3 = t.maintain(retention_s=0.0)
     assert out3["minhash"]["compacted"] is False
+    assert out3["minhash"]["vacuumed_dirs"] == 0
 
     # the compacted index still answers: an exact duplicate of doc 4
     # dedups away, a novel doc survives
