@@ -34,6 +34,112 @@ def parquet_high_water_mark(
     return df.agg(F.max(column)).collect()[0][0]
 
 
+def _fetch_one(con, sql: str):
+    """One scalar row from a DB-API-ish connection (DuckDB puts
+    ``execute`` on the connection, strict DB-API drivers on a cursor —
+    same duck-typing as ``sink._exec_sql``)."""
+    if hasattr(con, "execute"):
+        return con.execute(sql).fetchone()
+    cur = con.cursor()
+    try:
+        cur.execute(sql)
+        return cur.fetchone()
+    finally:
+        cur.close()
+
+
+def relational_high_water_mark(
+    con, table: str, column: str = "fileName"
+) -> str | None:
+    """S8 on the wire — the reference's actual HWM read
+    (``get_max_file_name``, reference dags/datahelper/postgres.py): S6's
+    catalog existence probe first, then ``max(column)`` from the target.
+    Returns None for a missing or empty table (first load)."""
+    from .sink import high_water_mark_sql, table_exists_sql
+
+    if _fetch_one(con, table_exists_sql(table)) is None:
+        return None
+    row = _fetch_one(con, high_water_mark_sql(table, column))
+    return row[0] if row else None
+
+
+def incremental_load_relational(
+    spark: SparkSession,
+    csv_dir: str,
+    tracking_table: str,
+    events_table: str,
+    *,
+    connection_factory,
+    stage_writer_factory=None,
+    url: str = "",
+    key: str = "oid__id",
+) -> dict[str, int]:
+    """One incremental cycle against a RELATIONAL target — the
+    reference's literal production loop (scan → HWM filter → transform →
+    staged delete+insert merge), every leg on the wire: S6 existence
+    probe + S8 high-water mark read from the DATABASE (not the parquet
+    mirror), S9 ``keyed_overwrite_jdbc`` merge per table.  With
+    ``pgwire`` + ``sink.pgwire_stage_writer`` this runs against a live
+    PostgreSQL with zero external dependencies; any DB-API connection
+    factory (DuckDB in tests) works identically.
+
+    Same idempotence story as :func:`incremental_load`: events merge
+    first, the tracking table (the HWM carrier) advances LAST, so a
+    failure between the merges replays both — harmless under
+    replace-by-key.  Returns rows merged per table."""
+    from .schemas import create_columns_dict
+    from .sink import keyed_overwrite_jdbc
+
+    raw = read_tracking_csv(spark, os.path.join(csv_dir, "*.csv"))
+    con = connection_factory()
+    try:
+        hwm = relational_high_water_mark(con, tracking_table)
+    finally:
+        con.close()
+    fresh = filter_after_high_water_mark(raw, hwm)
+    if not fresh.take(1):
+        return {"tracking": 0, "events": 0}
+
+    tracking = build_tracking(fresh).persist()
+    events = build_events(fresh).persist()
+    try:
+        counts = {"tracking": tracking.count(), "events": events.count()}
+        for df, table in ((events, events_table), (tracking, tracking_table)):
+            # 3-type classification from the Spark schema (the
+            # reference pins the dict by hand, postgres.py:41-60; here
+            # the batch schema is already typed).  `long` stays String
+            # rather than risking an int4 overflow in the INTEGER DDL —
+            # same lossless-by-default posture as the sentinel rules.
+            cols = create_columns_dict(
+                df.columns,
+                datetime_columns=[
+                    f.name
+                    for f in df.schema.fields
+                    if f.dataType.typeName().startswith("timestamp")
+                ],
+                int_columns=[
+                    f.name
+                    for f in df.schema.fields
+                    if f.dataType.typeName() == "integer"
+                ],
+            )
+            keyed_overwrite_jdbc(
+                df,
+                url,
+                table,
+                key,
+                cols,
+                connection_factory=connection_factory,
+                stage_writer=(
+                    stage_writer_factory(cols) if stage_writer_factory else None
+                ),
+            )
+    finally:
+        tracking.unpersist()
+        events.unpersist()
+    return counts
+
+
 def incremental_load(
     spark: SparkSession,
     csv_dir: str,

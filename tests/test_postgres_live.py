@@ -9,9 +9,18 @@ is exercised end-to-end against DuckDB as a stand-in everywhere else
 the exact same function against a live Postgres whenever the
 environment provides one, and skips with a visible reason when not.
 
-Arming it: ``export SPARK_GRAFT_PG_URL=postgresql://user:pw@host/db``
-(any DSN psycopg/psycopg2 accepts).  No code changes needed the day an
-environment has Postgres — the round driver just sets the variable.
+Arming it, in priority order (r11 — the leg now runs with ZERO env):
+
+1. ``export SPARK_GRAFT_PG_URL=postgresql://user:pw@host/db`` — point at
+   an existing server (any DSN psycopg/psycopg2/pgwire accepts).
+2. No URL but PostgreSQL server binaries on the host (this container
+   ships PostgreSQL 15): a throwaway instance is provisioned for the
+   session (tests/pg_server.py) and torn down after — trust auth on a
+   free 127.0.0.1 port, data dir in /tmp.
+
+Client side never needs psycopg: the engine's own ``pgwire`` module
+(pure-stdlib PostgreSQL wire protocol v3) is the fallback driver, so
+the wire leg is green wherever a server exists.
 """
 
 from __future__ import annotations
@@ -25,18 +34,36 @@ from airflow_postgres_etl_spark import sink
 
 PG_URL = os.environ.get("SPARK_GRAFT_PG_URL")
 
-pytestmark = pytest.mark.skipif(
-    not PG_URL,
-    reason=(
-        "SPARK_GRAFT_PG_URL unset — live-Postgres wire leg skipped "
-        "(S9's merge transaction is covered against DuckDB in "
-        "tests/test_sink_pipeline.py; set the URL to run it on the wire)"
-    ),
-)
+
+@pytest.fixture(scope="session", autouse=True)
+def _provisioned_pg():
+    """Resolve PG_URL for the whole module: env override first, else a
+    session-lifetime throwaway server, else skip with the reason."""
+    global PG_URL
+    if PG_URL:
+        yield
+        return
+    from tests.pg_server import provision
+
+    url, stop = provision()
+    if url is None:
+        pytest.skip(
+            f"live-Postgres wire leg skipped — no SPARK_GRAFT_PG_URL and "
+            f"no local server could be provisioned ({stop}); S9's merge "
+            "transaction is still covered against DuckDB in "
+            "tests/test_sink_pipeline.py"
+        )
+    PG_URL = url
+    try:
+        yield
+    finally:
+        PG_URL = None
+        stop()
 
 
 def _pg_driver():
-    """psycopg (3) or psycopg2, whichever this environment ships."""
+    """psycopg (3) or psycopg2 when the environment ships one, else the
+    engine's own pure-stdlib wire-protocol client."""
     try:
         import psycopg
 
@@ -47,10 +74,9 @@ def _pg_driver():
 
             return psycopg2
         except ImportError:
-            pytest.skip(
-                "SPARK_GRAFT_PG_URL is set but neither psycopg nor "
-                "psycopg2 is installed"
-            )
+            from airflow_postgres_etl_spark import pgwire
+
+            return pgwire
 
 
 COLUMNS = {"id": "Integer", "name": "String", "stamp": "DateTime"}
@@ -213,3 +239,160 @@ def test_merge_failure_rolls_back_live_postgres(spark):
         assert _fetch_all(drv, table) == [(1, "keep"), (2, "also-keep")]
     finally:
         _drop(drv, table, f"{table}__stage")
+
+
+def test_engine_only_stage_and_merge_copy_from_stdin(spark):
+    """The zero-external-deps production path (r11): the ENGINE's own
+    stage writer (`sink.pgwire_stage_writer` — COPY FROM STDIN over the
+    pure-stdlib wire client) feeds the same merge transaction; no
+    test-local stage code, no psycopg, no jar.  Exercises COPY text
+    escaping on the wire: tabs, newlines, backslashes, quotes, unicode
+    and NULL all round-trip byte-exactly."""
+    from airflow_postgres_etl_spark import pgwire
+
+    drv = _pg_driver()
+    table = f"s9_copy_{uuid.uuid4().hex[:8]}"
+    nasty = "tab\there\nnewline \\ backslash 'quote' café"
+    try:
+        b1 = spark.createDataFrame(
+            [(1, nasty, None), (2, "plain", None)],
+            "id int, name string, stamp timestamp",
+        )
+        sink.keyed_overwrite_jdbc(
+            b1, PG_URL, table, "id", COLUMNS,
+            connection_factory=lambda: pgwire.connect(PG_URL),
+            stage_writer=sink.pgwire_stage_writer(PG_URL, COLUMNS),
+        )
+        assert _fetch_all(drv, table) == [(1, nasty), (2, "plain")]
+
+        # replace key 2, add 3 — replay semantics through the COPY stage
+        b2 = spark.createDataFrame(
+            [(2, "replaced", None), (3, "new", None)],
+            "id int, name string, stamp timestamp",
+        )
+        sink.keyed_overwrite_jdbc(
+            b2, PG_URL, table, "id", COLUMNS,
+            connection_factory=lambda: pgwire.connect(PG_URL),
+            stage_writer=sink.pgwire_stage_writer(PG_URL, COLUMNS),
+        )
+        assert _fetch_all(drv, table) == [
+            (1, nasty), (2, "replaced"), (3, "new"),
+        ]
+    finally:
+        _drop(drv, table, f"{table}__stage")
+
+
+def test_copy_in_server_side_failure_leaves_connection_usable():
+    """A COPY that the SERVER rejects mid-stream (type mismatch) raises
+    PgError, the implicit transaction rolls back, and the same
+    connection keeps working — the aborted-txn drain path."""
+    from airflow_postgres_etl_spark import pgwire
+
+    table = f"copyfail_{uuid.uuid4().hex[:8]}"
+    con = pgwire.connect(PG_URL)
+    try:
+        cur = con.cursor()
+        cur.execute(f'CREATE TABLE "{table}" ("id" INTEGER)')
+        con.commit()
+        with pytest.raises(pgwire.PgError):
+            con.copy_in(
+                f'COPY "{table}" ("id") FROM STDIN',
+                [(1,), ("not-an-int",)],
+            )
+        con.rollback()
+        cur.execute(f'SELECT count(*) FROM "{table}"')
+        assert cur.fetchone()[0] == 0
+        n = con.copy_in(
+            f'COPY "{table}" ("id") FROM STDIN', [(7,), (8,)]
+        )
+        con.commit()
+        assert n == 2
+        cur.execute(f'SELECT count(*) FROM "{table}"')
+        assert cur.fetchone()[0] == 2
+    finally:
+        try:
+            cur = con.cursor()
+            cur.execute(f'DROP TABLE IF EXISTS "{table}"')
+            con.commit()
+        finally:
+            con.close()
+
+
+def test_incremental_load_relational_live_end_to_end(spark, tmp_path):
+    """The reference's LITERAL production loop on a real server (r11):
+    S6 existence probe + S8 high-water mark read from Postgres, the
+    scan/parse/dedup/explode chain, and the S9 staged COPY + delete+
+    insert merge per table — `pipeline.incremental_load_relational`
+    with every leg on the wire and zero external dependencies.
+    Incremental contract: held-back files are invisible until
+    delivered, a no-new-files cycle merges nothing, and the final
+    relational state has exactly one row per key."""
+    from airflow_postgres_etl_spark import pgwire
+    from airflow_postgres_etl_spark.pipeline import (
+        incremental_load_relational,
+        relational_high_water_mark,
+    )
+    from tests.fixtures.gen_raw import generate
+
+    drv = _pg_driver()
+    csv_dir = str(tmp_path / "csv")
+    generate(csv_dir)
+    run = uuid.uuid4().hex[:8]
+    tr, ev = f"tracking_{run}", f"events_{run}"
+    factory = lambda: pgwire.connect(PG_URL)  # noqa: E731
+    kw = dict(
+        connection_factory=factory,
+        stage_writer_factory=lambda cols: sink.pgwire_stage_writer(
+            PG_URL, cols
+        ),
+    )
+    try:
+        all_files = sorted(os.listdir(csv_dir))
+        holding = csv_dir + "_held"
+        os.makedirs(holding)
+        for f in all_files[-2:]:
+            os.replace(
+                os.path.join(csv_dir, f), os.path.join(holding, f)
+            )
+
+        # first load: S6 probe says "no table" -> full load of present files
+        con = factory()
+        try:
+            assert relational_high_water_mark(con, tr) is None
+        finally:
+            con.close()
+        c1 = incremental_load_relational(spark, csv_dir, tr, ev, **kw)
+        assert c1["tracking"] > 0 and c1["events"] > 0
+        con = factory()
+        try:
+            assert relational_high_water_mark(con, tr) == all_files[-3]
+        finally:
+            con.close()
+
+        # no new files: both probes run, nothing merges
+        assert incremental_load_relational(
+            spark, csv_dir, tr, ev, **kw
+        ) == {"tracking": 0, "events": 0}
+
+        # deliver the held files: only they process, HWM advances
+        for f in all_files[-2:]:
+            os.replace(
+                os.path.join(holding, f), os.path.join(csv_dir, f)
+            )
+        c2 = incremental_load_relational(spark, csv_dir, tr, ev, **kw)
+        assert c2["tracking"] > 0
+        con = factory()
+        try:
+            assert relational_high_water_mark(con, tr) == all_files[-1]
+            cur = con.cursor()
+            cur.execute(
+                f'SELECT count(*), count(DISTINCT "oid__id") FROM "{tr}"'
+            )
+            total, distinct = cur.fetchone()
+            assert total == distinct  # one row per key after merges
+            cur.execute(sink.table_exists_sql(ev))
+            assert cur.fetchone() is not None
+        finally:
+            con.close()
+    finally:
+        _drop(drv, tr, ev, f"{tr}__stage", f"{ev}__stage")
