@@ -728,34 +728,19 @@ class Table:
         out["vacuumed_files"] = sink.vacuum_keyed_table(
             self.path, store=self.store, **kw
         )
-        # ambient IVF index health (r10, VERDICT r9 task 4): when armed
-        # (set_ivf_policy), probe the index's appended fraction — one
-        # JSON read below the threshold; above it, rebuild the quantizer
-        # from the live table and re-run the stored recall gate
-        # (similarity.maintain_index_policy raises IndexRecallError on a
-        # failed gate).  Runs LAST so the table's own maintenance lands
-        # either way.
-        ipol = sink.ivf_policy(self.path, self.store)
-        if ipol:
-            from .operators.similarity import maintain_index_policy
-
-            # corpus passed as a THUNK: below the staleness threshold
-            # the check stays one JSON read — constructing the
-            # keyed-table DataFrame eagerly would footer-sweep every
-            # live file on every no-op nightly maintain
-            out["ivf"] = maintain_index_policy(
-                self.spark,
-                lambda: sink.read_keyed_table(
-                    self.spark, self.path, store=self.store
-                ),
-                ipol,
-                store=self.store,
-            )
-        # ambient MinHash compaction (r11, same rhythm): when armed
+        # one manifest read serves BOTH ambient index policies (three
+        # separate _load_manifest calls here = two extra JSON GETs per
+        # scheduled no-op maintain on an object store)
+        manifest = sink._load_manifest(self.path, store=self.store) or {}
+        # ambient MinHash compaction (r11): when armed
         # (set_minhash_policy), probe the dedup index's appended
         # fraction — one JSON read below the threshold; above it,
-        # re-derive the band table from the live corpus and swap
-        mpol = sink.minhash_policy(self.path, self.store)
+        # re-derive the band table from the live corpus and swap.
+        # Runs BEFORE the IVF block: that one RAISES on a failed recall
+        # gate (by design, every maintain until fixed), and ordering it
+        # first would permanently starve this compaction and the
+        # retired-dir vacuum behind it.
+        mpol = manifest.get("minhash_policy") or None
         if mpol:
             from .operators.dedup import (
                 maintain_minhash_policy,
@@ -775,6 +760,29 @@ class Table:
             # the table's own retirees — one maintain, both surfaces
             out["minhash"]["vacuumed_dirs"] = vacuum_minhash_index(
                 mpol["index_path"], retention_s=retention_s,
+                store=self.store,
+            )
+        # ambient IVF index health (r10, VERDICT r9 task 4): when armed
+        # (set_ivf_policy), probe the index's appended fraction — one
+        # JSON read below the threshold; above it, rebuild the quantizer
+        # from the live table and re-run the stored recall gate
+        # (similarity.maintain_index_policy raises IndexRecallError on a
+        # failed gate).  Runs LAST so the table's own maintenance AND
+        # the other ambient policies land either way.
+        ipol = manifest.get("ivf_policy") or None
+        if ipol:
+            from .operators.similarity import maintain_index_policy
+
+            # corpus passed as a THUNK: below the staleness threshold
+            # the check stays one JSON read — constructing the
+            # keyed-table DataFrame eagerly would footer-sweep every
+            # live file on every no-op nightly maintain
+            out["ivf"] = maintain_index_policy(
+                self.spark,
+                lambda: sink.read_keyed_table(
+                    self.spark, self.path, store=self.store
+                ),
+                ipol,
                 store=self.store,
             )
         return out

@@ -508,9 +508,14 @@ class Connection:
             self._send(b"c", b"")  # CopyDone
         except Exception:
             # CopyFail: the server aborts the COPY; drain its error
-            # response but keep the CLIENT failure as the story
-            self._send(b"f", b"client-side failure producing rows\x00")
-            self._drain_copy_result(suppress=True)
+            # response but keep the CLIENT failure as the story — both
+            # steps best-effort, because on a DEAD socket they raise
+            # too and would replace the root cause
+            try:
+                self._send(b"f", b"client-side failure producing rows\x00")
+                self._drain_copy_result(suppress=True)
+            except Exception:
+                pass
             raise
         tag = self._drain_copy_result(suppress=False)
         parts = tag.split()

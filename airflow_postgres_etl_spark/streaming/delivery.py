@@ -106,9 +106,20 @@ def stream_txn_app(checkpoint_dir: str, spark=None) -> str:
 
     - metadata readable -> salted identity, cached (a later successful
       read with a NEW uuid refreshes it — recreated checkpoint).
-    - metadata missing AND nothing cached -> bare path, NOT cached
-      (pre-start probe; the salt picks up on the first epoch).
-    - read fails or parses without an id: return the CACHED identity if
+    - metadata OBSERVED ABSENT -> the filesystem definitively says the
+      checkpoint is gone (deleted, or never started): PURGE any cached
+      identity and return the bare path.  Keeping the cache here (the
+      r10 behavior) left a silent-loss window: delete-and-recreate the
+      checkpoint in the same driver, then hit one transient read
+      failure on the new incarnation's first commit — the stale cached
+      identity would apply and the old watermark would no-op the new
+      epoch.  With the purge, that same race either resolves the NEW
+      uuid (correct) or raises loudly (nothing cached); the cost is
+      that a checkpoint deleted under a still-live stream re-delivers
+      its in-flight epoch under the bare-path identity, which the
+      corpus dedup guards absorb — duplicates are recoverable, dropped
+      rows are not.
+    - read FAILS or parses without an id: return the CACHED identity if
       one exists (stability within the incarnation beats one lost
       probe), else raise :class:`CheckpointIdentityError` — silently
       falling back to the bare path is exactly the identity flip the
@@ -128,7 +139,8 @@ def stream_txn_app(checkpoint_dir: str, spark=None) -> str:
             "silently duplicates or drops epochs."
         ) from exc
     if not exists:
-        return cached if cached is not None else checkpoint_dir
+        _IDENTITY_CACHE.pop(checkpoint_dir, None)
+        return checkpoint_dir
     ident = f"{checkpoint_dir}#{qid}"
     _IDENTITY_CACHE[checkpoint_dir] = ident
     return ident

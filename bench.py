@@ -379,10 +379,14 @@ def _run_drift_signal(
     verdicts.  Flagged names are ordered by in_bench/last_clean ratio
     DESCENDING so the adjudication cap spends its fresh-process slots on
     the worst deltas, not the alphabet (VERDICT r10 item 2)."""
+    # membership requires a POSITIVE baseline (last_clean.get(n), not
+    # `n in last_clean`): a sub-ms reading rounds to 0.0 in the history,
+    # and admitting it would both divide by zero in the sort key and
+    # let the flagged set disagree with n_comparable's filter below
     flagged = sorted(
         (
             n for n, t in timings.items()
-            if n in last_clean and t > FLAG_RATIO * last_clean[n]
+            if last_clean.get(n) and t > FLAG_RATIO * last_clean[n]
         ),
         key=lambda n: timings[n] / last_clean[n],
         reverse=True,

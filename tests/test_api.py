@@ -825,3 +825,77 @@ def test_minhash_policy_rename_follows_drop_blocks(spark, tmp_path):
         sink.drop_column(spark, target, "body")
     # unreferenced columns still drop fine
     sink.drop_column(spark, target, "aux")
+
+
+def test_failing_ivf_gate_does_not_starve_minhash_maintenance(
+    spark, tmp_path, monkeypatch
+):
+    """r11 review: maintain runs the MinHash policy BEFORE the IVF one.
+    The IVF recall gate raises on EVERY maintain until its corpus or
+    policy is fixed (by design); were it ordered first, an armed
+    MinHash policy would never compact and its retired dirs would never
+    vacuum — unbounded band-table drift and disk growth behind an
+    unrelated alarm."""
+    import pytest
+
+    from airflow_postgres_etl_spark import sink
+    from airflow_postgres_etl_spark.api import Table
+    from airflow_postgres_etl_spark.operators import similarity as S
+    from airflow_postgres_etl_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        minhash_appended_fraction,
+    )
+
+    target = str(tmp_path / "corpus")
+    mh, ivf = str(tmp_path / "mh"), str(tmp_path / "ivf")
+
+    def cdf(rows):
+        return spark.createDataFrame(
+            [(i, t, [float(x) for x in v]) for i, t, v in rows],
+            "doc_id long, text string, embedding array<float>",
+        )
+
+    base = cdf([
+        (1, "the quick brown fox jumps over the lazy dog", [1.0, 0.0]),
+        (2, "a different document about parquet manifests", [0.9, 0.1]),
+        (3, "a third text concerning z-order and blooms", [0.0, 1.0]),
+        (4, "completely unrelated prose about geo joins", [0.1, 0.9]),
+    ])
+    sink.keyed_overwrite_parquet(
+        spark, base, target, key="doc_id", num_buckets=2, vacuum=False
+    )
+    build_minhash_index(base, mh)
+    S.build_ivf_index(
+        base, ivf, n_cells=2, id_col="doc_id",
+        centroids=S.seed_centroids(base, 2, "doc_id", "embedding"),
+    )
+    t = Table(spark, target)
+    t.set_minhash_policy(mh, max_appended_fraction=0.25)
+    t.set_ivf_policy(
+        ivf, id_col="doc_id", max_appended_fraction=0.25,
+        recall_k=2, recall_queries=2, min_recall=0.9,
+    )
+
+    # drift BOTH indexes past their thresholds
+    extra = cdf([
+        (5, "new arrival about watermark semantics", [0.5, 0.5]),
+        (6, "another late document on bucket pruning", [0.4, 0.6]),
+    ])
+    sink.keyed_append(spark, extra, target, key="doc_id", verify_new=False)
+    append_to_minhash_index(extra, mh)
+    S.append_to_ivf_index(extra, ivf, id_col="doc_id")
+    assert minhash_appended_fraction(mh) > 0.25
+    assert S.ivf_appended_fraction(ivf) > 0.25
+
+    # force the IVF recall gate to fail: maintain must still RAISE...
+    def empty_knn(queries, *a, **kw):
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double"
+        )
+
+    monkeypatch.setattr(S, "knn_against_index", empty_knn)
+    with pytest.raises(S.IndexRecallError):
+        t.maintain(retention_s=0.0)
+    # ...but the MinHash compaction already LANDED this maintain
+    assert minhash_appended_fraction(mh) == 0.0

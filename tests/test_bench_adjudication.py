@@ -246,3 +246,20 @@ def test_emit_lines_cap_holds_for_arbitrary_shapes():
         assert seen == q_ms
 
     check()
+
+
+def test_zero_baseline_timing_neither_flags_nor_crashes():
+    """r11 review: a sub-ms query rounds to 0.0 in the clean history;
+    admitting it to the flagged set would divide by zero in the
+    severity sort (crashing main() before the bench artifact is
+    emitted) and let flagged membership disagree with n_comparable.
+    Zero-baseline queries are simply not comparable."""
+    timings = {"fast": 0.004, "slow": 2.0, "steady": 1.0}
+    clean = {"fast": 0.0, "slow": 1.0, "steady": 1.0}
+    med, flagged, diffuse = bench._run_drift_signal(timings, clean)
+    assert flagged == ["slow"]  # 'fast' excluded, no ZeroDivisionError
+    assert med is not None
+    out = bench._adjudicate_flagged(
+        timings, clean, [], "/nonexistent-sf-dir"
+    )
+    assert "fast" not in out

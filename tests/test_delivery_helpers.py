@@ -47,10 +47,13 @@ def test_stream_txn_app_salts_with_run_uuid(tmp_path):
 
 
 def test_stream_txn_app_identity_stable_within_incarnation(tmp_path):
-    """r10 ADVICE finding 1: once an identity is resolved, a transient
-    or corrupt metadata read must return the SAME identity (not flip to
-    the bare path between a commit and its replay) — and the metadata
-    object vanishing mid-stream must not flip it either."""
+    """r10 ADVICE finding 1 + r11 review: a transient/corrupt metadata
+    READ returns the SAME cached identity (no flip between a commit and
+    its replay), but metadata observed ABSENT is authoritative deletion
+    — it purges the cache, so a recreated checkpoint can never inherit
+    the old incarnation's identity through a later failed read (the
+    silent-loss window: stale identity -> old watermark no-ops the new
+    epoch)."""
     reset_stream_identity_cache()
     ck = str(tmp_path / "ck")
     os.makedirs(ck)
@@ -63,10 +66,18 @@ def test_stream_txn_app_identity_stable_within_incarnation(tmp_path):
     with open(meta, "w") as fh:
         fh.write("not json")
     assert stream_txn_app(ck) == ident
-    # metadata deleted mid-stream: still the cached identity
+    # metadata observed ABSENT: checkpoint deleted — cache purged, bare
+    # path returned (re-delivery under it is absorbed by dedup; the
+    # stale identity would silently DROP the new incarnation's epochs)
     os.remove(meta)
-    assert stream_txn_app(ck) == ident
-    # a later healthy read of a NEW incarnation refreshes the cache
+    assert stream_txn_app(ck) == ck
+    # ...and a corrupt read right after recreation now fails LOUDLY
+    # instead of resurrecting run-uuid-1
+    with open(meta, "w") as fh:
+        fh.write("not json")
+    with pytest.raises(CheckpointIdentityError):
+        stream_txn_app(ck)
+    # the recreated checkpoint's healthy read resolves the NEW uuid
     with open(meta, "w") as fh:
         json.dump({"id": "run-uuid-2"}, fh)
     assert stream_txn_app(ck) == f"{ck}#run-uuid-2"
