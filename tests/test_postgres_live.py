@@ -396,3 +396,82 @@ def test_incremental_load_relational_live_end_to_end(spark, tmp_path):
             con.close()
     finally:
         _drop(drv, tr, ev, f"{tr}__stage", f"{ev}__stage")
+
+
+def test_wire_value_round_trip_property():
+    """Property (live server): any value the engine can render — via
+    INSERT literal quoting AND via COPY text format — comes back from
+    PostgreSQL exactly equal.  Pins the two escaping paths against each
+    other and against the server's own parser (NUL is excluded: a
+    Postgres text value cannot contain it by definition)."""
+    from datetime import datetime, timezone
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from airflow_postgres_etl_spark import pgwire
+
+    texts = st.text(
+        alphabet=st.characters(
+            blacklist_characters="\x00", blacklist_categories=("Cs",)
+        ),
+        max_size=200,
+    )
+    values = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        texts,
+        st.datetimes(
+            min_value=datetime(1, 1, 1),
+            max_value=datetime(9999, 12, 28),
+        ).map(lambda d: d.replace(tzinfo=None)),
+    )
+
+    con = pgwire.connect(PG_URL)
+    cur = con.cursor()
+    cur.execute(
+        'CREATE TABLE IF NOT EXISTS "rt" ('
+        '"b" BOOLEAN, "i" BIGINT, "f" DOUBLE PRECISION, '
+        '"t" TEXT, "ts" TIMESTAMP)'
+    )
+    con.commit()
+
+    def col_for(v):
+        if isinstance(v, bool):
+            return "b"
+        if isinstance(v, int):
+            return "i"
+        if isinstance(v, float):
+            return "f"
+        if isinstance(v, datetime):
+            return "ts"
+        return "t"
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(v=values)
+    def check(v):
+        col = col_for(v) if v is not None else "t"
+        cur.execute('DELETE FROM "rt"')
+        # path 1: client-side literal (the merge-statement path)
+        cur.execute(f'INSERT INTO "rt" ("{col}") VALUES (%s)', (v,))
+        cur.execute(f'SELECT "{col}" FROM "rt"')
+        assert cur.fetchone()[0] == v
+        cur.execute('DELETE FROM "rt"')
+        # path 2: COPY text format (the bulk stage path)
+        con.copy_in(f'COPY "rt" ("{col}") FROM STDIN', [(v,)])
+        cur.execute(f'SELECT "{col}" FROM "rt"')
+        assert cur.fetchone()[0] == v
+        con.commit()
+
+    try:
+        check()
+    finally:
+        cur.execute('DROP TABLE IF EXISTS "rt"')
+        con.commit()
+        con.close()
