@@ -475,3 +475,61 @@ def test_wire_value_round_trip_property():
         cur.execute('DROP TABLE IF EXISTS "rt"')
         con.commit()
         con.close()
+
+
+def test_read_relational_table_round_trip_into_spark(spark):
+    """Relational SOURCE leg (r11): a table written by the S9 merge
+    reads back into Spark as a TYPED DataFrame via the wire client —
+    ids as longs, timestamps as timestamps, text as strings — so a
+    dimension loaded from Postgres joins directly against parquet
+    facts.  Also pins the max_rows contract: an oversized read raises
+    instead of silently truncating."""
+    from datetime import datetime
+
+    import pytest
+
+    from airflow_postgres_etl_spark import pgwire
+    from airflow_postgres_etl_spark.sources.relational import (
+        read_relational_query,
+        read_relational_table,
+    )
+
+    drv = _pg_driver()
+    table = f"dim_{uuid.uuid4().hex[:8]}"
+    stamp = datetime(2024, 3, 1, 12, 30, 45)
+    batch = spark.createDataFrame(
+        [(1, "alpha", stamp), (2, "béta\ttabbed", None)],
+        "id int, name string, stamp timestamp",
+    )
+    try:
+        sink.keyed_overwrite_jdbc(
+            batch, PG_URL, table, "id", COLUMNS,
+            connection_factory=lambda: pgwire.connect(PG_URL),
+            stage_writer=sink.pgwire_stage_writer(PG_URL, COLUMNS),
+        )
+        df = read_relational_table(spark, PG_URL, table)
+        assert [f.dataType.typeName() for f in df.schema.fields] == [
+            "integer", "string", "timestamp_ntz",
+        ]
+        got = {r["id"]: (r["name"], r["stamp"]) for r in df.collect()}
+        assert got == {
+            1: ("alpha", stamp), 2: ("béta\ttabbed", None),
+        }
+        # typed enough to JOIN directly against a Spark-side frame
+        joined = batch.select("id").join(df, "id").count()
+        assert joined == 2
+
+        # aggregate pushdown stays on the server: one-row result
+        agg = read_relational_query(
+            spark, PG_URL,
+            f'SELECT count(*) AS n, max("id") AS hi FROM "{table}"',
+        )
+        row = agg.collect()[0]
+        assert (row["n"], row["hi"]) == (2, 2)
+        assert agg.schema["n"].dataType.typeName() == "long"
+
+        # the dimension-size contract raises, never truncates
+        with pytest.raises(ValueError, match="max_rows"):
+            read_relational_table(spark, PG_URL, table, max_rows=1)
+    finally:
+        _drop(drv, table, f"{table}__stage")
