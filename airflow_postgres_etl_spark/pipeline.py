@@ -63,6 +63,29 @@ def relational_high_water_mark(
     return row[0] if row else None
 
 
+def relational_columns_dict(df: DataFrame) -> dict[str, str]:
+    """3-type classification from the Spark schema (the reference pins
+    the dict by hand, postgres.py:41-60; here the batch schema is
+    already typed).  ``long`` stays String rather than risking an int4
+    overflow in the INTEGER DDL — same lossless-by-default posture as
+    the sentinel rules."""
+    from .schemas import create_columns_dict
+
+    return create_columns_dict(
+        df.columns,
+        datetime_columns=[
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName().startswith("timestamp")
+        ],
+        int_columns=[
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() == "integer"
+        ],
+    )
+
+
 def incremental_load_relational(
     spark: SparkSession,
     csv_dir: str,
@@ -87,7 +110,6 @@ def incremental_load_relational(
     first, the tracking table (the HWM carrier) advances LAST, so a
     failure between the merges replays both — harmless under
     replace-by-key.  Returns rows merged per table."""
-    from .schemas import create_columns_dict
     from .sink import keyed_overwrite_jdbc
 
     raw = read_tracking_csv(spark, os.path.join(csv_dir, "*.csv"))
@@ -105,24 +127,7 @@ def incremental_load_relational(
     try:
         counts = {"tracking": tracking.count(), "events": events.count()}
         for df, table in ((events, events_table), (tracking, tracking_table)):
-            # 3-type classification from the Spark schema (the
-            # reference pins the dict by hand, postgres.py:41-60; here
-            # the batch schema is already typed).  `long` stays String
-            # rather than risking an int4 overflow in the INTEGER DDL —
-            # same lossless-by-default posture as the sentinel rules.
-            cols = create_columns_dict(
-                df.columns,
-                datetime_columns=[
-                    f.name
-                    for f in df.schema.fields
-                    if f.dataType.typeName().startswith("timestamp")
-                ],
-                int_columns=[
-                    f.name
-                    for f in df.schema.fields
-                    if f.dataType.typeName() == "integer"
-                ],
-            )
+            cols = relational_columns_dict(df)
             keyed_overwrite_jdbc(
                 df,
                 url,

@@ -32,9 +32,11 @@ def with_file_name(df: DataFrame) -> DataFrame:
     ``__file_pos`` captures scan order (monotonic within each split, splits
     ordered by offset) so "last row in file order" is a total, deterministic
     order — the T3 keep-last dedup uses it as the intra-file tiebreaker.
-    Streaming scans can't use ``monotonically_increasing_id`` (unsupported
-    expression) and don't need it: each micro-batch is file-bounded, so the
-    dedup falls back to fileName-only ordering there.
+    Streaming scans can't carry ``monotonically_increasing_id``
+    (unsupported expression in a streaming plan) — the streaming
+    wirings add it INSIDE ``foreachBatch`` instead, where the frame is
+    a batch plan (r11: fileName-only ordering there let intra-file
+    duplicate keys pick a nondeterministic survivor).
     """
     out = df.withColumn(
         "fileName", F.element_at(F.split(F.input_file_name(), "/"), -1)

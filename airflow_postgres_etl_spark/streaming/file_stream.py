@@ -112,6 +112,16 @@ def stream_ingest(
     raw = with_file_name(raw)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        # scan-order position for the T3 keep-last tiebreak: the
+        # STREAMING plan can't carry monotonically_increasing_id, but
+        # foreachBatch hands over a BATCH plan, so the id is added here
+        # — without it, intra-file duplicate keys tie on fileName alone
+        # and the surviving row is nondeterministic (r11: diverged from
+        # the batch loader's "last row in file order" under a live
+        # differential)
+        batch = batch.withColumn(
+            "__file_pos", F.monotonically_increasing_id()
+        )
         spark_b = batch.sparkSession
         # per-target rules: {"events": [...], "tracking": [...]} — the two
         # targets have different schemas; a flat list applies to both
@@ -360,6 +370,89 @@ def stream_append(
 
     return (
         stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_ingest_relational(
+    spark: SparkSession,
+    csv_dir: str,
+    tracking_table: str,
+    events_table: str,
+    checkpoint_dir: str,
+    *,
+    connection_factory,
+    stage_writer_factory=None,
+    url: str = "",
+    max_files_per_trigger: int = 3,
+) -> StreamingQuery:
+    """Continuous ingest into a RELATIONAL target (r11): the same file
+    source + ingest chain as :func:`stream_ingest`, with each
+    micro-batch committed by the S9 wire merge
+    (``sink.keyed_overwrite_jdbc``) instead of the parquet mirror —
+    the reference's Airflow-scheduled Postgres pipeline recast as one
+    streaming query, runnable against a live server through the
+    engine's own wire client (``connection_factory=pgwire.connect``,
+    ``stage_writer_factory=sink.pgwire_stage_writer``).
+
+    Delivery: the file-source checkpoint decides WHICH files each epoch
+    carries (exactly-once file accounting), foreachBatch re-delivers an
+    epoch after a crash (at-least-once execution), and the delete+insert
+    merge makes the replay converge (replace-by-key) — the composition
+    is effective exactly-once on the relational table, the same
+    argument the reference's ``delete_and_insert`` makes for Airflow
+    task retries (postgres.py:18-38).  Events merge before tracking in
+    each epoch, mirroring the batch loaders' ordering contract.
+
+    Scale: the merge transaction is a few driver-side statements per
+    epoch; the stage leg is whatever ``stage_writer_factory`` provides
+    (COPY at ~400k rows/s here; executor-parallel ``write.jdbc`` when a
+    driver jar exists).  The relational table holds no watermark state —
+    a deleted checkpoint reprocesses everything and the replace-by-key
+    merge converges to the same rows."""
+    from ..pipeline import relational_columns_dict
+    from ..sink import keyed_overwrite_jdbc
+
+    raw = (
+        spark.readStream.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .schema(TRACKING_RAW)
+        .csv(csv_dir)
+    )
+    raw = with_file_name(raw)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        # same scan-order tiebreak as stream_ingest's merge_batch: the
+        # batch plan carries __file_pos so intra-file duplicate keys
+        # dedup to the reference's "last row in file order"
+        batch = batch.withColumn(
+            "__file_pos", F.monotonically_increasing_id()
+        )
+        for df, table in (
+            (build_events(batch), events_table),
+            (build_tracking(batch), tracking_table),
+        ):
+            cols = relational_columns_dict(df)
+            keyed_overwrite_jdbc(
+                df,
+                url,
+                table,
+                "oid__id",
+                cols,
+                connection_factory=connection_factory,
+                stage_writer=(
+                    stage_writer_factory(cols)
+                    if stage_writer_factory
+                    else None
+                ),
+            )
+
+    return (
+        raw.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

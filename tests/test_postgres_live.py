@@ -26,6 +26,7 @@ the wire leg is green wherever a server exists.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 import pytest
@@ -533,3 +534,109 @@ def test_read_relational_table_round_trip_into_spark(spark):
             read_relational_table(spark, PG_URL, table, max_rows=1)
     finally:
         _drop(drv, table, f"{table}__stage")
+
+
+def test_stream_ingest_relational_live(spark, tmp_path):
+    """The reference's scheduled Postgres pipeline as ONE streaming
+    query against a live server (r11): file-source checkpoint decides
+    the epochs, each micro-batch lands through the S9 wire merge.
+    Pins (a) the final relational state equals the batch loader's on
+    the same inputs (differential), (b) a restart from the same
+    checkpoint processes ONLY newly delivered files, (c) replace-by-key
+    keeps one row per key throughout."""
+    from airflow_postgres_etl_spark import pgwire
+    from airflow_postgres_etl_spark.pipeline import (
+        incremental_load_relational,
+    )
+    from airflow_postgres_etl_spark.streaming.file_stream import (
+        stream_ingest_relational,
+    )
+    from tests.fixtures.gen_raw import generate
+
+    drv = _pg_driver()
+    csv_dir = str(tmp_path / "csv")
+    generate(csv_dir)
+    ck = str(tmp_path / "ck")
+    run = uuid.uuid4().hex[:8]
+    tr, ev = f"s_tracking_{run}", f"s_events_{run}"
+    btr, bev = f"b_tracking_{run}", f"b_events_{run}"
+    factory = lambda: pgwire.connect(PG_URL)  # noqa: E731
+    kw = dict(
+        connection_factory=factory,
+        stage_writer_factory=lambda cols: sink.pgwire_stage_writer(
+            PG_URL, cols
+        ),
+    )
+
+    def snapshot(table):
+        con = factory()
+        try:
+            cur = con.cursor()
+            cur.execute(
+                f'SELECT "oid__id", "fileName" FROM "{table}" '
+                'ORDER BY "oid__id"'
+            )
+            return cur.fetchall()
+        finally:
+            con.close()
+
+    try:
+        all_files = sorted(os.listdir(csv_dir))
+        holding = csv_dir + "_held"
+        os.makedirs(holding)
+        for f in all_files[-2:]:
+            os.replace(os.path.join(csv_dir, f), os.path.join(holding, f))
+
+        q = stream_ingest_relational(
+            spark, csv_dir, tr, ev, ck,
+            max_files_per_trigger=2, **kw,
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        phase1 = snapshot(tr)
+        assert len(phase1) > 0
+        assert len({k for k, _ in phase1}) == len(phase1)  # keyed
+
+        # restart with NO new files: checkpoint says nothing to do
+        q = stream_ingest_relational(
+            spark, csv_dir, tr, ev, ck,
+            max_files_per_trigger=2, **kw,
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        assert snapshot(tr) == phase1
+
+        # deliver the held files; only they process, state advances
+        for f in all_files[-2:]:
+            os.replace(os.path.join(holding, f), os.path.join(csv_dir, f))
+        q = stream_ingest_relational(
+            spark, csv_dir, tr, ev, ck,
+            max_files_per_trigger=2, **kw,
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        final = snapshot(tr)
+        assert max(fn for _, fn in final) == all_files[-1]
+
+        # differential: the BATCH loader fed the same 2-file increments
+        # lands the identical relational state (a one-shot full load is
+        # NOT comparable on events: delete+insert only touches keys
+        # present in a batch, so a key whose newest file version builds
+        # zero event rows keeps its older rows under ANY incremental
+        # schedule — the reference's own delete_and_insert semantics)
+        bcsv = str(tmp_path / "bcsv")
+        os.makedirs(bcsv)
+        for i in range(0, len(all_files), 2):
+            for f in all_files[i : i + 2]:
+                shutil.copy(
+                    os.path.join(csv_dir, f), os.path.join(bcsv, f)
+                )
+            incremental_load_relational(spark, bcsv, btr, bev, **kw)
+        assert final == snapshot(btr)
+        assert snapshot(ev) == snapshot(bev)
+    finally:
+        _drop(
+            drv, tr, ev, btr, bev,
+            f"{tr}__stage", f"{ev}__stage",
+            f"{btr}__stage", f"{bev}__stage",
+        )
