@@ -3,7 +3,8 @@
 
 Usage: python tools/scale_stress_maintenance.py [sf_dir]
 (default /root/testdata/sf0.1).  Prints one JSON line per measurement.
-Run single-tenant — timing discipline per .claude/skills/verify.
+Run single-tenant — never while the test suite or another Spark job
+shares the host (contaminated readings measured 10x off).
 
 What the numbers support (SCALE.md r11):
 - the below-threshold maintain probe is METADATA-ONLY (ms-class, no
