@@ -51,23 +51,31 @@ def read_relational_query(
     usable directly in joins (ids are longs, timestamps are timestamps
     — not a stringly-typed re-parse).  Raises when the result exceeds
     ``max_rows``: a silent truncation would make a verification read
-    lie, and a bigger read belongs on an executor-parallel path."""
+    lie, and a bigger read belongs on an executor-parallel path.  The
+    cap is enforced SERVER-side (the query is wrapped in a
+    ``LIMIT max_rows+1`` subselect) so a fat SELECT cannot OOM the
+    driver before the check runs — the wire client buffers the whole
+    result."""
     from .. import pgwire
 
+    bounded = (
+        f"SELECT * FROM ({sql.rstrip().rstrip(';')}) __bounded "
+        f"LIMIT {int(max_rows) + 1}"
+    )
     con = pgwire.connect(url)
     try:
         cur = con.cursor()
-        cur.execute(sql)
+        cur.execute(bounded)
         rows = cur.fetchall()
         desc = cur.description or []
     finally:
         con.close()
     if len(rows) > max_rows:
         raise ValueError(
-            f"relational read returned {len(rows)} rows > max_rows="
-            f"{max_rows}; this driver-side source is for dimension-"
-            "sized tables — raise max_rows deliberately or move the "
-            "read to an executor-parallel JDBC path"
+            f"relational read exceeds max_rows={max_rows}; this "
+            "driver-side source is for dimension-sized tables — raise "
+            "max_rows deliberately or move the read to an "
+            "executor-parallel JDBC path"
         )
     fields = []
     norm_cols: list[tuple[int, object]] = []
@@ -76,22 +84,47 @@ def read_relational_query(
         fields.append(T.StructField(name, stype, True))
         norm_cols.append((i, stype))
     # normalize values pgwire decodes more precisely than the column
-    # type (Decimal scale) or leaves as text (unmapped OIDs)
+    # type (Decimal scale) or leaves as text (unmapped OIDs); values a
+    # mapped column type CANNOT represent (numeric NaN/Infinity or
+    # magnitudes past DecimalType(38,18), timestamp 'infinity'/BC dates
+    # — legal in Postgres, inexpressible in the Spark type) raise a
+    # NAMED error with the fix, never a silent null or an opaque
+    # createDataFrame failure deep in Spark
     def norm(row):
         out = list(row)
         for i, stype in norm_cols:
             v = out[i]
             if v is None:
                 continue
-            if isinstance(stype, T.StringType) and not isinstance(v, str):
-                out[i] = str(v)
+            if isinstance(stype, T.StringType):
+                if not isinstance(v, str):
+                    out[i] = str(v)
             elif isinstance(stype, T.DecimalType) and isinstance(
                 v, Decimal
             ):
-                # cap the scale so 1e-30-ish values can't overflow the
-                # declared (38, 18); beyond that, precision loss is the
-                # documented Decimal contract
-                out[i] = round(v, 18)
+                try:
+                    if not v.is_finite():  # NaN quantizes QUIETLY
+                        raise ValueError(v)
+                    # cap the scale so 1e-30-ish values can't overflow
+                    # the declared (38, 18); beyond that, precision
+                    # loss is the documented Decimal contract
+                    out[i] = round(v, 18)
+                except (ArithmeticError, ValueError):
+                    raise ValueError(
+                        f"column {desc[i][0]!r}: numeric value {v} "
+                        "cannot be represented as DECIMAL(38,18) — "
+                        "cast it in the SQL (e.g. ::float8 or ::text) "
+                        "to choose the loss explicitly"
+                    ) from None
+            elif isinstance(v, str):
+                # a mapped non-string type whose wire text didn't
+                # decode (timestamp 'infinity', BC dates)
+                raise ValueError(
+                    f"column {desc[i][0]!r}: value {v!r} is not "
+                    f"representable as Spark {stype.simpleString()} — "
+                    "cast it in the SQL (e.g. ::text) to read it as a "
+                    "string"
+                )
         return tuple(out)
 
     return spark.createDataFrame(

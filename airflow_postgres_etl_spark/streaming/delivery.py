@@ -106,19 +106,19 @@ def stream_txn_app(checkpoint_dir: str, spark=None) -> str:
 
     - metadata readable -> salted identity, cached (a later successful
       read with a NEW uuid refreshes it — recreated checkpoint).
-    - metadata OBSERVED ABSENT -> the filesystem definitively says the
-      checkpoint is gone (deleted, or never started): PURGE any cached
-      identity and return the bare path.  Keeping the cache here (the
-      r10 behavior) left a silent-loss window: delete-and-recreate the
-      checkpoint in the same driver, then hit one transient read
-      failure on the new incarnation's first commit — the stale cached
-      identity would apply and the old watermark would no-op the new
-      epoch.  With the purge, that same race either resolves the NEW
-      uuid (correct) or raises loudly (nothing cached); the cost is
-      that a checkpoint deleted under a still-live stream re-delivers
-      its in-flight epoch under the bare-path identity, which the
-      corpus dedup guards absorb — duplicates are recoverable, dropped
-      rows are not.
+    - metadata OBSERVED ABSENT with NOTHING cached -> pre-start probe:
+      bare path (the salt picks up on the first epoch, which always
+      runs after Spark writes the metadata object).
+    - metadata OBSERVED ABSENT with a cached identity -> the checkpoint
+      was DELETED UNDER THIS LIVE STREAM: purge the cache and raise.
+      Neither identity is safe to commit under here — the stale cached
+      one lets a recreated checkpoint's early epochs no-op against the
+      old watermark (silent loss), and the shared bare path accumulates
+      its own watermark across every such deletion, so a SECOND
+      delete-under-live with a lower epoch id would also silently no-op
+      (r11 review).  The stream's state is gone; failing the epoch
+      loudly and restarting against the recreated checkpoint is the
+      only path that can't drop rows.
     - read FAILS or parses without an id: return the CACHED identity if
       one exists (stability within the incarnation beats one lost
       probe), else raise :class:`CheckpointIdentityError` — silently
@@ -139,8 +139,17 @@ def stream_txn_app(checkpoint_dir: str, spark=None) -> str:
             "silently duplicates or drops epochs."
         ) from exc
     if not exists:
+        if cached is None:
+            return checkpoint_dir
         _IDENTITY_CACHE.pop(checkpoint_dir, None)
-        return checkpoint_dir
+        raise CheckpointIdentityError(
+            f"checkpoint {checkpoint_dir!r} was deleted while this "
+            "stream was live (its metadata object is gone but an "
+            "identity was already resolved).  Refusing to commit this "
+            "epoch — restart the stream against the recreated "
+            "checkpoint; committing under a stale or shared identity "
+            "can silently drop rows below an old watermark."
+        )
     ident = f"{checkpoint_dir}#{qid}"
     _IDENTITY_CACHE[checkpoint_dir] = ident
     return ident

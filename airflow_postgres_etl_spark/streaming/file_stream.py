@@ -31,6 +31,33 @@ from ..sink import (
 from ..sources.csv_source import with_file_name
 
 
+def _raw_tracking_stream(
+    spark: SparkSession, csv_dir: str, max_files_per_trigger: int
+) -> DataFrame:
+    """The one streaming reader both ingest wirings share: pinned
+    schema, RFC-4180 quoting, rate bound, executor-side lineage —
+    changes to the CSV source contract land HERE once."""
+    raw = (
+        spark.readStream.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .schema(TRACKING_RAW)
+        .csv(csv_dir)
+    )
+    return with_file_name(raw)
+
+
+def _with_batch_pos(batch: DataFrame) -> DataFrame:
+    """Scan-order position for the T3 keep-last tiebreak: the STREAMING
+    plan can't carry ``monotonically_increasing_id``, but foreachBatch
+    hands over a BATCH plan, so the id is added here — without it,
+    intra-file duplicate keys tie on fileName alone and the surviving
+    row is nondeterministic (r11: diverged from the batch loader's
+    "last row in file order" under a live differential)."""
+    return batch.withColumn("__file_pos", F.monotonically_increasing_id())
+
+
 def stream_ingest(
     spark: SparkSession,
     csv_dir: str,
@@ -101,27 +128,10 @@ def stream_ingest(
     """
     if merge_mode not in ("cow", "mor"):
         raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
-    raw = (
-        spark.readStream.option("header", True)
-        .option("quote", '"')
-        .option("escape", '"')
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .schema(TRACKING_RAW)
-        .csv(csv_dir)
-    )
-    raw = with_file_name(raw)
+    raw = _raw_tracking_stream(spark, csv_dir, max_files_per_trigger)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        # scan-order position for the T3 keep-last tiebreak: the
-        # STREAMING plan can't carry monotonically_increasing_id, but
-        # foreachBatch hands over a BATCH plan, so the id is added here
-        # — without it, intra-file duplicate keys tie on fileName alone
-        # and the surviving row is nondeterministic (r11: diverged from
-        # the batch loader's "last row in file order" under a live
-        # differential)
-        batch = batch.withColumn(
-            "__file_pos", F.monotonically_increasing_id()
-        )
+        batch = _with_batch_pos(batch)
         spark_b = batch.sparkSession
         # per-target rules: {"events": [...], "tracking": [...]} — the two
         # targets have different schemas; a flat list applies to both
@@ -415,23 +425,10 @@ def stream_ingest_relational(
     from ..pipeline import relational_columns_dict
     from ..sink import keyed_overwrite_jdbc
 
-    raw = (
-        spark.readStream.option("header", True)
-        .option("quote", '"')
-        .option("escape", '"')
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .schema(TRACKING_RAW)
-        .csv(csv_dir)
-    )
-    raw = with_file_name(raw)
+    raw = _raw_tracking_stream(spark, csv_dir, max_files_per_trigger)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        # same scan-order tiebreak as stream_ingest's merge_batch: the
-        # batch plan carries __file_pos so intra-file duplicate keys
-        # dedup to the reference's "last row in file order"
-        batch = batch.withColumn(
-            "__file_pos", F.monotonically_increasing_id()
-        )
+        batch = _with_batch_pos(batch)
         for df, table in (
             (build_events(batch), events_table),
             (build_tracking(batch), tracking_table),

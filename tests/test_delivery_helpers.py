@@ -66,13 +66,16 @@ def test_stream_txn_app_identity_stable_within_incarnation(tmp_path):
     with open(meta, "w") as fh:
         fh.write("not json")
     assert stream_txn_app(ck) == ident
-    # metadata observed ABSENT: checkpoint deleted — cache purged, bare
-    # path returned (re-delivery under it is absorbed by dedup; the
-    # stale identity would silently DROP the new incarnation's epochs)
+    # metadata observed ABSENT with an identity resolved: the
+    # checkpoint was deleted under this LIVE stream — fail loudly
+    # (the stale identity would silently DROP the recreated
+    # incarnation's epochs; the shared bare path accumulates its own
+    # watermark across deletions) and purge the cache
     os.remove(meta)
-    assert stream_txn_app(ck) == ck
-    # ...and a corrupt read right after recreation now fails LOUDLY
-    # instead of resurrecting run-uuid-1
+    with pytest.raises(CheckpointIdentityError, match="deleted"):
+        stream_txn_app(ck)
+    # ...and a corrupt read right after recreation also fails LOUDLY
+    # instead of resurrecting run-uuid-1 (cache was purged)
     with open(meta, "w") as fh:
         fh.write("not json")
     with pytest.raises(CheckpointIdentityError):

@@ -457,18 +457,27 @@ def test_wire_value_round_trip_property():
     )
     @given(v=values)
     def check(v):
-        col = col_for(v) if v is not None else "t"
-        cur.execute('DELETE FROM "rt"')
-        # path 1: client-side literal (the merge-statement path)
-        cur.execute(f'INSERT INTO "rt" ("{col}") VALUES (%s)', (v,))
-        cur.execute(f'SELECT "{col}" FROM "rt"')
-        assert cur.fetchone()[0] == v
-        cur.execute('DELETE FROM "rt"')
-        # path 2: COPY text format (the bulk stage path)
-        con.copy_in(f'COPY "rt" ("{col}") FROM STDIN', [(v,)])
-        cur.execute(f'SELECT "{col}" FROM "rt"')
-        assert cur.fetchone()[0] == v
-        con.commit()
+        # rollback on ANY failure: a server-rejected value (the bug
+        # class this property hunts) aborts the shared implicit
+        # transaction, and without the rollback every subsequent
+        # example/shrink step would fail with 'transaction aborted'
+        # noise instead of reproducing the real mis-escaped value
+        try:
+            col = col_for(v) if v is not None else "t"
+            cur.execute('DELETE FROM "rt"')
+            # path 1: client-side literal (the merge-statement path)
+            cur.execute(f'INSERT INTO "rt" ("{col}") VALUES (%s)', (v,))
+            cur.execute(f'SELECT "{col}" FROM "rt"')
+            assert cur.fetchone()[0] == v
+            cur.execute('DELETE FROM "rt"')
+            # path 2: COPY text format (the bulk stage path)
+            con.copy_in(f'COPY "rt" ("{col}") FROM STDIN', [(v,)])
+            cur.execute(f'SELECT "{col}" FROM "rt"')
+            assert cur.fetchone()[0] == v
+            con.commit()
+        except BaseException:
+            con.rollback()
+            raise
 
     try:
         check()
@@ -639,4 +648,51 @@ def test_stream_ingest_relational_live(spark, tmp_path):
             drv, tr, ev, btr, bev,
             f"{tr}__stage", f"{ev}__stage",
             f"{btr}__stage", f"{bev}__stage",
+        )
+
+
+def test_read_relational_unrepresentable_values_raise_named_errors():
+    """Legal Postgres values a mapped Spark type cannot hold (timestamp
+    'infinity', numeric NaN, numeric past DECIMAL(38,18)) raise a
+    ValueError NAMING the column and the SQL-cast fix — never a silent
+    null or an opaque createDataFrame failure; the suggested ::text
+    cast then reads the value as a string.  The max_rows cap is
+    enforced server-side (LIMIT subselect), so the oversize error fires
+    without shipping the whole result."""
+    import pytest
+
+    from airflow_postgres_etl_spark import pgwire
+    from airflow_postgres_etl_spark.session import get_spark
+    from airflow_postgres_etl_spark.sources.relational import (
+        read_relational_query,
+    )
+
+    spark = get_spark()
+    with pytest.raises(ValueError, match="valid_to.*::text"):
+        read_relational_query(
+            spark, PG_URL,
+            "SELECT 'infinity'::timestamp AS valid_to",
+        )
+    with pytest.raises(ValueError, match="weight.*DECIMAL"):
+        read_relational_query(
+            spark, PG_URL, "SELECT 'NaN'::numeric AS weight"
+        )
+    with pytest.raises(ValueError, match="big.*DECIMAL"):
+        read_relational_query(
+            spark, PG_URL, "SELECT 1e30::numeric AS big"
+        )
+    df = read_relational_query(
+        spark, PG_URL,
+        "SELECT 'infinity'::timestamp::text AS valid_to, "
+        "'NaN'::numeric::text AS weight",
+    )
+    assert df.collect()[0].asDict() == {
+        "valid_to": "infinity", "weight": "NaN",
+    }
+    # server-side cap: generate_series would be 1M rows; LIMIT stops it
+    with pytest.raises(ValueError, match="max_rows"):
+        read_relational_query(
+            spark, PG_URL,
+            "SELECT g FROM generate_series(1, 1000000) g",
+            max_rows=100,
         )
