@@ -105,3 +105,14 @@ def test_connection_has_no_begin_attribute():
     # keyed_overwrite_jdbc branches on hasattr(con, "begin"): pgwire
     # must take the psycopg2 path (implicit BEGIN on first statement)
     assert not hasattr(pgwire.Connection, "begin")
+
+
+def test_pg_server_provision_skips_without_binaries(monkeypatch):
+    """No initdb/pg_ctl on PATH -> (None, reason), so the live module
+    skips with a visible reason instead of erroring mid-provision."""
+    from tests import pg_server
+
+    monkeypatch.setattr(pg_server, "_find", lambda b: None)
+    url, reason = pg_server.provision()
+    assert url is None
+    assert "initdb" in reason
