@@ -254,6 +254,13 @@ def _parse_ts(s: str):
         return s  # infinity / BC dates: hand back the raw text
 
 
+def _parse_date(s: str):
+    try:
+        return date.fromisoformat(s)
+    except ValueError:
+        return s  # 'infinity' / BC dates — same fallback as _parse_ts
+
+
 _DECODERS = {
     16: _parse_bool,  # bool
     20: int,  # int8
@@ -265,7 +272,7 @@ _DECODERS = {
     1700: Decimal,  # numeric
     1114: _parse_ts,  # timestamp
     1184: _parse_ts,  # timestamptz
-    1082: date.fromisoformat,  # date
+    1082: _parse_date,  # date
     1083: dtime.fromisoformat,  # time
 }
 

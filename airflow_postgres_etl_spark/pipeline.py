@@ -86,6 +86,36 @@ def relational_columns_dict(df: DataFrame) -> dict[str, str]:
     )
 
 
+def merge_relational_batch(
+    df: DataFrame,
+    table: str,
+    *,
+    connection_factory,
+    stage_writer_factory=None,
+    url: str = "",
+    key: str = "oid__id",
+) -> None:
+    """ONE table's S9 wire merge — the classification + stage-writer
+    wiring both relational loaders share (batch
+    :func:`incremental_load_relational` and the streaming
+    ``stream_ingest_relational``), so a change to the merge seam lands
+    once."""
+    from .sink import keyed_overwrite_jdbc
+
+    cols = relational_columns_dict(df)
+    keyed_overwrite_jdbc(
+        df,
+        url,
+        table,
+        key,
+        cols,
+        connection_factory=connection_factory,
+        stage_writer=(
+            stage_writer_factory(cols) if stage_writer_factory else None
+        ),
+    )
+
+
 def incremental_load_relational(
     spark: SparkSession,
     csv_dir: str,
@@ -110,8 +140,6 @@ def incremental_load_relational(
     first, the tracking table (the HWM carrier) advances LAST, so a
     failure between the merges replays both — harmless under
     replace-by-key.  Returns rows merged per table."""
-    from .sink import keyed_overwrite_jdbc
-
     raw = read_tracking_csv(spark, os.path.join(csv_dir, "*.csv"))
     con = connection_factory()
     try:
@@ -127,17 +155,13 @@ def incremental_load_relational(
     try:
         counts = {"tracking": tracking.count(), "events": events.count()}
         for df, table in ((events, events_table), (tracking, tracking_table)):
-            cols = relational_columns_dict(df)
-            keyed_overwrite_jdbc(
+            merge_relational_batch(
                 df,
-                url,
                 table,
-                key,
-                cols,
                 connection_factory=connection_factory,
-                stage_writer=(
-                    stage_writer_factory(cols) if stage_writer_factory else None
-                ),
+                stage_writer_factory=stage_writer_factory,
+                url=url,
+                key=key,
             )
     finally:
         tracking.unpersist()

@@ -16,6 +16,7 @@ posture as the 3-type sink model.
 
 from __future__ import annotations
 
+import decimal
 from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,8 +59,10 @@ def read_relational_query(
     result."""
     from .. import pgwire
 
+    # newline before the closing paren: a query ending in a line
+    # comment must not swallow the wrapper (r11 review)
     bounded = (
-        f"SELECT * FROM ({sql.rstrip().rstrip(';')}) __bounded "
+        f"SELECT * FROM ({sql.rstrip().rstrip(';')}\n) __bounded "
         f"LIMIT {int(max_rows) + 1}"
     )
     con = pgwire.connect(url)
@@ -105,10 +108,15 @@ def read_relational_query(
                 try:
                     if not v.is_finite():  # NaN quantizes QUIETLY
                         raise ValueError(v)
-                    # cap the scale so 1e-30-ish values can't overflow
-                    # the declared (38, 18); beyond that, precision
-                    # loss is the documented Decimal contract
-                    out[i] = round(v, 18)
+                    # quantize under a wide-enough context: the default
+                    # 28-digit precision falsely rejects legal values
+                    # >= 1e10 (20 int digits + 18 scale = 38 needed);
+                    # the adjusted() check is the REAL (38,18) bound
+                    with decimal.localcontext(decimal.Context(prec=57)):
+                        q = v.quantize(Decimal("1E-18"))
+                    if q.adjusted() >= 20:
+                        raise ValueError(v)
+                    out[i] = q
                 except (ArithmeticError, ValueError):
                     raise ValueError(
                         f"column {desc[i][0]!r}: numeric value {v} "

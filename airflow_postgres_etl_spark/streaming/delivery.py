@@ -87,7 +87,9 @@ def _read_checkpoint_metadata(checkpoint_dir: str, spark=None):
         return True, json.load(fh)["id"]
 
 
-def stream_txn_app(checkpoint_dir: str, spark=None) -> str:
+def stream_txn_app(
+    checkpoint_dir: str, spark=None, *, require_salted: bool = False
+) -> str:
     """The writer identity for epoch txn watermarks: the checkpoint
     PATH salted with the checkpoint's own run UUID (Spark stamps one
     into ``<ck>/metadata`` when the checkpoint is created).
@@ -106,19 +108,21 @@ def stream_txn_app(checkpoint_dir: str, spark=None) -> str:
 
     - metadata readable -> salted identity, cached (a later successful
       read with a NEW uuid refreshes it — recreated checkpoint).
-    - metadata OBSERVED ABSENT with NOTHING cached -> pre-start probe:
-      bare path (the salt picks up on the first epoch, which always
-      runs after Spark writes the metadata object).
-    - metadata OBSERVED ABSENT with a cached identity -> the checkpoint
-      was DELETED UNDER THIS LIVE STREAM: purge the cache and raise.
-      Neither identity is safe to commit under here — the stale cached
-      one lets a recreated checkpoint's early epochs no-op against the
-      old watermark (silent loss), and the shared bare path accumulates
-      its own watermark across every such deletion, so a SECOND
-      delete-under-live with a lower epoch id would also silently no-op
-      (r11 review).  The stream's state is gone; failing the epoch
-      loudly and restarting against the recreated checkpoint is the
-      only path that can't drop rows.
+    - metadata OBSERVED ABSENT: with ``require_salted=True`` (the
+      COMMIT path — ``keyed_corpus_commit``) this always purges the
+      cache and raises: Spark writes the metadata object at query
+      start, before epoch 0, so absent-at-commit-time can only mean
+      the checkpoint was deleted under a live stream, and NO identity
+      is safe there — the stale cached one lets a recreated
+      checkpoint's early epochs no-op against the old watermark
+      (silent loss), and the shared bare path accumulates its own
+      watermark across every such deletion, so a second
+      delete-under-live with a lower epoch id would also silently
+      no-op (r11 review; the raise is not gated on the cache, which is
+      per-process and empty after a driver restart).  Without
+      ``require_salted`` (pre-start probes, tests): bare path when
+      nothing is cached, the same loud raise when an identity had been
+      resolved.
     - read FAILS or parses without an id: return the CACHED identity if
       one exists (stability within the incarnation beats one lost
       probe), else raise :class:`CheckpointIdentityError` — silently
@@ -139,16 +143,16 @@ def stream_txn_app(checkpoint_dir: str, spark=None) -> str:
             "silently duplicates or drops epochs."
         ) from exc
     if not exists:
-        if cached is None:
+        if cached is None and not require_salted:
             return checkpoint_dir
         _IDENTITY_CACHE.pop(checkpoint_dir, None)
         raise CheckpointIdentityError(
-            f"checkpoint {checkpoint_dir!r} was deleted while this "
-            "stream was live (its metadata object is gone but an "
-            "identity was already resolved).  Refusing to commit this "
-            "epoch — restart the stream against the recreated "
-            "checkpoint; committing under a stale or shared identity "
-            "can silently drop rows below an old watermark."
+            f"checkpoint {checkpoint_dir!r} has no metadata object "
+            "(deleted under a live stream — Spark writes it at query "
+            "start, before any epoch).  Refusing to commit this epoch "
+            "— restart the stream against the recreated checkpoint; "
+            "committing under a stale or shared identity can silently "
+            "drop rows below an old watermark."
         )
     ident = f"{checkpoint_dir}#{qid}"
     _IDENTITY_CACHE[checkpoint_dir] = ident
@@ -215,6 +219,6 @@ def keyed_corpus_commit(
         key=key,
         num_buckets=num_buckets,
         verify_new=False,
-        txn_app=stream_txn_app(checkpoint_dir, spark),
+        txn_app=stream_txn_app(checkpoint_dir, spark, require_salted=True),
         txn_seq=int(epoch_id),
     )

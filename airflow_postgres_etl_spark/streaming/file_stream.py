@@ -396,6 +396,7 @@ def stream_ingest_relational(
     connection_factory,
     stage_writer_factory=None,
     url: str = "",
+    key: str = "oid__id",
     max_files_per_trigger: int = 3,
 ) -> StreamingQuery:
     """Continuous ingest into a RELATIONAL target (r11): the same file
@@ -422,8 +423,7 @@ def stream_ingest_relational(
     driver jar exists).  The relational table holds no watermark state —
     a deleted checkpoint reprocesses everything and the replace-by-key
     merge converges to the same rows."""
-    from ..pipeline import relational_columns_dict
-    from ..sink import keyed_overwrite_jdbc
+    from ..pipeline import merge_relational_batch
 
     raw = _raw_tracking_stream(spark, csv_dir, max_files_per_trigger)
 
@@ -433,19 +433,13 @@ def stream_ingest_relational(
             (build_events(batch), events_table),
             (build_tracking(batch), tracking_table),
         ):
-            cols = relational_columns_dict(df)
-            keyed_overwrite_jdbc(
+            merge_relational_batch(
                 df,
-                url,
                 table,
-                "oid__id",
-                cols,
                 connection_factory=connection_factory,
-                stage_writer=(
-                    stage_writer_factory(cols)
-                    if stage_writer_factory
-                    else None
-                ),
+                stage_writer_factory=stage_writer_factory,
+                url=url,
+                key=key,
             )
 
     return (

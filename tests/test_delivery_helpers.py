@@ -149,3 +149,25 @@ def test_stream_txn_app_reads_via_hadoop_fs(tmp_path, spark):
     with open(os.path.join(ck, "metadata"), "w") as fh:
         json.dump({"id": "run-uuid-fs"}, fh)
     assert stream_txn_app(ck, spark) == f"{ck}#run-uuid-fs"
+
+
+def test_stream_txn_app_commit_path_requires_salted(tmp_path):
+    """r11 review: the COMMIT path (require_salted=True, what
+    keyed_corpus_commit passes) must NEVER fall back to the shared
+    bare-path identity — a fresh driver process (empty cache) resuming
+    a checkpoint that was deleted before its first commit would
+    otherwise commit epoch N under the bare path, whose accumulated
+    watermark can silently no-op it.  Probes (default) keep the
+    pre-start bare-path behavior."""
+    reset_stream_identity_cache()
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck)
+    with pytest.raises(CheckpointIdentityError, match="no metadata"):
+        stream_txn_app(ck, require_salted=True)
+    # ...and the raise is not one-shot: still loud on retry
+    with pytest.raises(CheckpointIdentityError, match="no metadata"):
+        stream_txn_app(ck, require_salted=True)
+    assert stream_txn_app(ck) == ck  # probe path unchanged
+    with open(os.path.join(ck, "metadata"), "w") as fh:
+        json.dump({"id": "u1"}, fh)
+    assert stream_txn_app(ck, require_salted=True) == f"{ck}#u1"

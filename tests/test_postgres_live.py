@@ -565,6 +565,13 @@ def test_stream_ingest_relational_live(spark, tmp_path):
     drv = _pg_driver()
     csv_dir = str(tmp_path / "csv")
     generate(csv_dir)
+    # pin epoch grouping: Spark's file source orders by (mtime, path),
+    # and generate() writes in one tight loop, so equal mtimes could
+    # regroup epochs away from the lexicographic order the batch-twin
+    # loop feeds — space the mtimes to match the name order
+    for i, f in enumerate(sorted(os.listdir(csv_dir))):
+        t = 1_700_000_000 + i * 10
+        os.utime(os.path.join(csv_dir, f), (t, t))
     ck = str(tmp_path / "ck")
     run = uuid.uuid4().hex[:8]
     tr, ev = f"s_tracking_{run}", f"s_events_{run}"
@@ -600,7 +607,7 @@ def test_stream_ingest_relational_live(spark, tmp_path):
             spark, csv_dir, tr, ev, ck,
             max_files_per_trigger=2, **kw,
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(300)  # timed out = partial state
         assert q.exception() is None
         phase1 = snapshot(tr)
         assert len(phase1) > 0
@@ -611,7 +618,7 @@ def test_stream_ingest_relational_live(spark, tmp_path):
             spark, csv_dir, tr, ev, ck,
             max_files_per_trigger=2, **kw,
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(300)  # timed out = partial state
         assert q.exception() is None
         assert snapshot(tr) == phase1
 
@@ -622,7 +629,7 @@ def test_stream_ingest_relational_live(spark, tmp_path):
             spark, csv_dir, tr, ev, ck,
             max_files_per_trigger=2, **kw,
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(300)  # timed out = partial state
         assert q.exception() is None
         final = snapshot(tr)
         assert max(fn for _, fn in final) == all_files[-1]
@@ -695,4 +702,39 @@ def test_read_relational_unrepresentable_values_raise_named_errors():
             spark, PG_URL,
             "SELECT g FROM generate_series(1, 1000000) g",
             max_rows=100,
+        )
+
+
+def test_read_relational_edge_numerics_and_comment_sql():
+    """r11 review regressions: (a) legal numerics in [1e10, 1e20) must
+    NOT be falsely rejected (the default 28-digit decimal context
+    couldn't quantize them to scale 18); (b) SQL ending in a line
+    comment survives the server-side LIMIT wrapper; (c) a DATE
+    'infinity' gets the same named error as timestamps, not an opaque
+    decode failure."""
+    from decimal import Decimal
+
+    import pytest
+
+    from airflow_postgres_etl_spark.session import get_spark
+    from airflow_postgres_etl_spark.sources.relational import (
+        read_relational_query,
+    )
+
+    spark = get_spark()
+    df = read_relational_query(
+        spark, PG_URL,
+        "SELECT 12345678901.5::numeric AS ok_big, "
+        "1693000000000::numeric AS epochish  -- trailing comment",
+    )
+    row = df.collect()[0]
+    assert row["ok_big"] == Decimal("12345678901.5")
+    assert row["epochish"] == Decimal("1693000000000")
+    with pytest.raises(ValueError, match="toobig.*DECIMAL"):
+        read_relational_query(
+            spark, PG_URL, "SELECT 1e21::numeric AS toobig"
+        )
+    with pytest.raises(ValueError, match="d.*::text"):
+        read_relational_query(
+            spark, PG_URL, "SELECT 'infinity'::date AS d"
         )
