@@ -68,8 +68,13 @@ def _read_files_logical(spark, target, rel_files, manifest) -> DataFrame:
     breaks a refresh, while a rename of one of the view's OWN columns
     surfaces as an unresolved-column error (recreate the view), never a
     silently re-labeled aggregate (the freed-name-reuse hazard)."""
+    from .sink import _manifest_schema
+
     return _to_logical_df(
-        _read_files(spark, target, rel_files), *_mapping_of(manifest)
+        _read_files(
+            spark, target, rel_files, schema=_manifest_schema(manifest)
+        ),
+        *_mapping_of(manifest),
     )
 
 MV_META_NAME = "_mv_meta.json"
