@@ -4027,6 +4027,17 @@ def _bpe_symbol_chain(docs: DataFrame, k: int):
             F.lit(" "),
         ),
     )
+    # r11: the argmax of each iteration is COLLECTED (one 1-row driver
+    # scalar per round — the same bounded-collect class as the logreg GD
+    # and k-means loops) and applied as a LITERAL double-replace, instead
+    # of staying a lazy limit(1) subquery crossJoined into the chain.
+    # The lazy form re-executed the whole prefix chain per returned
+    # frame — profiled at 124-132 Spark jobs for the three BPE queries;
+    # eager argmax is k jobs over the cached vocab, and the downstream
+    # encode/vocab consumers see k literal replaces instead of k
+    # broadcast-join subtrees.  Values are identical by construction:
+    # the argmax is computed by the same aggregation either way.
+    spark = docs.sparkSession
     merges = []
     for i in range(k):
         s = F.filter(F.split(F.col("sym"), " "), lambda x: x != "")
@@ -4040,31 +4051,31 @@ def _bpe_symbol_chain(docs: DataFrame, k: int):
             ),
         ).otherwise(F.array().cast("array<string>"))
         pairs = syms.select("weight", F.explode(pair_arr).alias("pa"))
-        best = (
+        top = (
             pairs.groupBy("pa")
             .agg(F.sum("weight").alias("freq"))
             .orderBy(F.desc("freq"), "pa")
             .limit(1)
-            .select(
-                F.lit(i).cast("long").alias("it"),
-                F.col("pa").alias("pair"),
-                F.col("freq").cast("long").alias("freq"),
+            .collect()
+        )
+        if not top:
+            # degenerate corpus (no adjacent pairs anywhere): the lazy
+            # form's crossJoin-with-empty made syms empty from here on
+            merges.append(
+                spark.createDataFrame([], "it long, pair string, freq long")
+            )
+            syms = syms.where(F.lit(False))
+            continue
+        pa, freq = top[0]["pa"], top[0]["freq"]
+        merges.append(
+            spark.createDataFrame(
+                [(i, pa, int(freq))], "it long, pair string, freq long"
             )
         )
-        merges.append(best)
-        b = F.broadcast(best.select(F.col("pair").alias("_pa")))
-        pat = F.concat(F.lit(" "), F.col("_pa"), F.lit(" "))
-        rep = F.concat(
-            F.lit(" "),
-            F.replace(F.col("_pa"), F.lit(" "), F.lit("")),
-            F.lit(" "),
-        )
-        syms = (
-            syms.crossJoin(b)
-            .withColumn(
-                "sym", F.replace(F.replace(F.col("sym"), pat, rep), pat, rep)
-            )
-            .drop("_pa")
+        pat = F.lit(" " + pa + " ")
+        rep = F.lit(" " + pa.replace(" ", "") + " ")
+        syms = syms.withColumn(
+            "sym", F.replace(F.replace(F.col("sym"), pat, rep), pat, rep)
         )
     return merges, syms
 
