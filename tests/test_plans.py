@@ -320,21 +320,30 @@ def test_video_sampling_is_narrow(spark):
 
 def test_bpe_merges_scans_corpus_once(spark):
     """BPE training's scale contract: ONE corpus pass builds the cached
-    word-frequency table; all k merge iterations run on the vocabulary
-    (InMemoryTableScan), so the documents parquet appears in the plan
-    exactly once and the per-iteration argmax is a top-1, not a global
-    sort."""
+    word-frequency table; each iteration's argmax is a COLLECTED top-1
+    over that cache (r11 eager form — the TakeOrderedAndProject runs at
+    build time, one 1-row job per round), so the returned merges frame
+    is literal-backed (no corpus rescan, no join), and the encode
+    consumer sees literal replaces over the cached vocab, never
+    per-iteration broadcast-join subtrees."""
     from airflow_postgres_etl_spark.caching import release_caches
 
     try:
         plan = plan_of(spark, "pipeline_bpe_merges")
-        # every reference to the vocab is an InMemoryTableScan (each one
-        # textually reprints the cached relation's FileScan definition,
-        # so counting "FileScan" lines here would be meaningless — the
-        # scan executes once, the cache serves every rereference)
-        assert "InMemoryTableScan" in plan
-        assert "TakeOrderedAndProject" in plan  # per-iteration argmax is top-1
-        assert "CartesianProduct" not in plan  # merges join via broadcast
+        # eager argmax: the result is k collected 1-row frames — no
+        # scan of the corpus (or anything else) in the returned plan
+        assert "Scan ExistingRDD" in plan
+        assert "FileScan" not in plan
+        assert "Join" not in plan
+        # the chain's consumer still serves the vocab from the one
+        # cached corpus pass (each InMemoryTableScan reprints the cached
+        # relation's FileScan definition textually, so counting
+        # "FileScan" lines would be meaningless), and the k merges are
+        # string-literal replaces — no join machinery of any kind
+        enc = plan_of(spark, "pipeline_bpe_encode")
+        assert "InMemoryTableScan" in enc
+        assert "CartesianProduct" not in enc
+        assert "BroadcastNestedLoopJoin" not in enc
     finally:
         release_caches()
 
