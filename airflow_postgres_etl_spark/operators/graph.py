@@ -72,6 +72,21 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # convergence observable: labels only ever DECREASE elementwise
+    # (every update is a least() against the old label), so the label
+    # SUM strictly decreases until the fixpoint and is stationary
+    # exactly there.  Comparing sums replaces the old per-round
+    # change-detection JOIN (labels ⋈ new_labels — a node-keyed shuffle
+    # of both node-sized frames) with ONE 1-row aggregate over the
+    # just-checkpointed labels (guide §2.4: remove shuffles outright).
+    # decimal(38,0) keeps the sum exact for any int64 node ids at any
+    # node count — overflow would break the equal-iff-unchanged claim.
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -105,17 +120,12 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if stats is not None:
         stats["iterations"] = rounds
         stats["converged"] = converged
@@ -168,9 +178,13 @@ def pagerank_fixed(
         .localCheckpoint()
     )
     n = nodes.count()
+    # node-sized and reused by EVERY iteration's contribs join: checkpoint
+    # it once (lazily — materialized by iteration 1) so iterations 2..k
+    # reuse the aggregate instead of re-running a full edge-set groupBy
+    # per round (guide §1.2: don't recompute what you already have).
     outdeg = e.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("long").alias("outdeg")
-    )
+    ).localCheckpoint(eager=False)
     base = ((10**6 - damping_ppm) * scale) // (10**6 * n)
     ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
     for _ in range(iterations):
@@ -311,6 +325,21 @@ def tree_ancestors(
             "node", F.col("node").alias("anc"), F.lit(0).alias("dist")
         )
     ).localCheckpoint(eager=True)
+
+    # fixpoint observable: a jump changes a row iff its ancestor is a
+    # non-root, and every non-root ancestor carries dist >= 1, so each
+    # changed row strictly INCREASES its dist — the dist SUM is strictly
+    # increasing until the fixpoint and stationary exactly there.
+    # Comparing sums replaces the old per-round exceptAll (a full
+    # hash-aggregate + shuffle of BOTH node-sized frames) with one
+    # 1-row aggregate over the just-checkpointed state (guide §2.4).
+    # decimal keeps the sum exact at any node count x depth.
+    def _dist_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("dist").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _dist_sum(state)
     for _ in range(max_iter):
         hop = state.select(
             F.col("node").alias("a_node"),
@@ -328,11 +357,13 @@ def tree_ancestors(
         )
         # fixpoint: every ancestor pointer already sits on a root
         # (jumping from a root adds 0 and moves nothing)
-        if nxt.exceptAll(state).limit(1).count() == 0:
+        new_sum = _dist_sum(nxt)
+        if new_sum == prev_sum:
             return state.select(
                 "node", F.col("anc").alias("root"), F.col("dist").alias("depth")
             )
         state = nxt
+        prev_sum = new_sum
     raise ConvergenceError(
         f"tree_ancestors: no fixpoint after {max_iter} doubling rounds — "
         "cycle in the edge set, or depth > 2^max_iter"

@@ -186,11 +186,41 @@ def viterbi_segment_costed(words: DataFrame, vocab: DataFrame) -> DataFrame:
     return _viterbi(words, vocab).select("word", "freq", "pieces", "wcost")
 
 
+def _collect_costs(vocab: DataFrame) -> list[tuple[str, int]]:
+    """The (piece, cost) table on the driver — bounded by construction
+    (top-``VOCAB_K`` substrings plus the single characters), the same
+    bounded-collect class as the BPE per-round argmax.  r11: collecting
+    the vocab once replaces the per-consumer ``vocab.agg(map_from_
+    entries(...))`` subtree, whose aggregate re-ran the vocab lineage
+    (and, before the words table was checkpointed, the corpus pass) for
+    every Viterbi construction."""
+    return [
+        (r["piece"], r["cost"])
+        for r in vocab.select("piece", "cost").collect()
+    ]
+
+
 def _viterbi(words: DataFrame, vocab: DataFrame) -> DataFrame:
-    pm = vocab.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("piece", "cost"))
-        ).alias("__pm")
+    return _viterbi_entries(words, _collect_costs(vocab))
+
+
+def _viterbi_entries(
+    words: DataFrame, costs: list[tuple[str, int]]
+) -> DataFrame:
+    # the cost map rides in as a 1-row LOCAL relation (driver-built from
+    # the collected vocab), broadcast-cross-joined exactly like the old
+    # aggregated form: broadcasting a LocalTableScan launches no Spark
+    # job, and keeping the map an ATTRIBUTE (not an inline literal)
+    # stops CollapseProject from copying the ~200-entry map into each
+    # of the ~40 DP lookups (the plan-canonicalization hazard measured
+    # on the IVF centroid literals — see SCALE.md).
+    from pyspark.sql.types import LongType, MapType, StringType, StructField, StructType
+
+    pm = words.sparkSession.createDataFrame(
+        [(dict(costs),)],
+        StructType(
+            [StructField("__pm", MapType(StringType(), LongType()), True)]
+        ),
     )
     df = words.crossJoin(F.broadcast(pm))
     for layer in dp_layers("spark"):
@@ -212,8 +242,13 @@ def _viterbi(words: DataFrame, vocab: DataFrame) -> DataFrame:
 
 def unigram_piece_usage(docs: DataFrame, col: str = "text") -> DataFrame:
     """The E+M round: (piece, used_cnt) — corpus-weighted counts of the
-    pieces the Viterbi segmentations actually chose."""
-    words = word_table(docs, col)
+    pieces the Viterbi segmentations actually chose.
+
+    The word table is lazily checkpointed so the corpus pass runs ONCE:
+    the bounded vocab collect materializes it, and the returned frame's
+    Viterbi reuses the materialized partitions instead of re-running
+    the corpus aggregate."""
+    words = word_table(docs, col).localCheckpoint(eager=False)
     seg = viterbi_segment(words, substring_vocab(words))
     return (
         seg.select("freq", F.explode("pieces").alias("piece"))
@@ -230,7 +265,7 @@ def unigram_encode(docs: DataFrame, col: str = "text") -> DataFrame:
     table; per-word piece counts then aggregate back per document.
     Words beyond L_MAX pass through unsegmented (counted as one piece —
     the <unk> convention), so every word is accounted for."""
-    words = word_table(docs, col)
+    words = word_table(docs, col).localCheckpoint(eager=False)
     seg = viterbi_segment(words, substring_vocab(words)).select(
         "word", F.size("pieces").alias("__np")
     )
@@ -254,19 +289,49 @@ def reestimated_vocab(init_vocab: DataFrame, usage: DataFrame) -> DataFrame:
     round-0 Viterbi actually USED.  Unused single characters survive at
     count 1 (add-one smoothing) so every word stays segmentable; unused
     multi-char pieces drop out — the unigram prune.  Same integer
-    micro-nat cost formula as the init vocab."""
-    chars = init_vocab.filter(F.length("piece") == 1).select("piece")
-    smoothed = usage.select("piece", F.col("used_cnt").alias("cnt")).unionByName(
-        chars.join(usage, "piece", "left_anti").select(
-            "piece", F.lit(1).cast("long").alias("cnt")
-        )
-    )
-    total = smoothed.agg(F.sum("cnt").alias("__total"))
-    return smoothed.crossJoin(F.broadcast(total)).select(
+    micro-nat cost formula as the init vocab.
+
+    r11: both inputs are vocab-bounded (pieces ⊆ the top-``VOCAB_K`` +
+    single-char vocab), so the M-step runs on the DRIVER: collect,
+    smooth in exact Python integers, and re-cost over a local relation
+    — the ``ln`` stays a JVM expression (Catalyst folds the local
+    projection at plan time), so the costs are bit-identical to the
+    old distributed aggregate's, with zero shuffle and zero broadcast
+    per EM round."""
+    spark = init_vocab.sparkSession
+    chars = [
+        r["piece"]
+        for r in init_vocab.filter(F.length("piece") == 1)
+        .select("piece")
+        .collect()
+    ]
+    used = [
+        (r["piece"], r["used_cnt"])
+        for r in usage.select("piece", "used_cnt").collect()
+    ]
+    return _reestimated_vocab_local(spark, chars, used)
+
+
+def _reestimated_vocab_local(
+    spark, chars: list[str], used: list[tuple[str, int]]
+) -> DataFrame:
+    """Driver-side M-step arithmetic over collected counts (see
+    :func:`reestimated_vocab`).  Counts and the total are exact Python
+    ints; the micro-nat cost keeps the exact expression shape of the
+    init vocab (``floor(1e6 * ln(total / cnt))`` with a long/long
+    divide) so the JVM arithmetic is unchanged."""
+    seen = {p for p, _ in used}
+    smoothed = [(p, int(c)) for p, c in used] + [
+        (c, 1) for c in chars if c not in seen
+    ]
+    total = sum(c for _, c in smoothed)
+    base = spark.createDataFrame(smoothed, "piece string, cnt long")
+    return base.select(
         "piece",
         "cnt",
         F.floor(
-            F.lit(float(MICRO)) * F.log(F.col("__total") / F.col("cnt"))
+            F.lit(float(MICRO))
+            * F.log(F.lit(total).cast("long") / F.col("cnt"))
         ).cast("long").alias("cost"),
     )
 
@@ -302,29 +367,42 @@ def unigram_em_curve(
     shuffle; each round is one more unrolled-Viterbi pass over the
     Heaps'-law-bounded distinct-word table with the (vocab-sized) cost
     map broadcast — K rounds cost K vocab-table passes, never K corpus
-    scans."""
+    scans.
+
+    r11 job accounting: the vocab/cost tables are vocab-bounded, so
+    they live on the driver between rounds — one bounded collect of the
+    init vocab (which also materializes the words checkpoint), then per
+    round ONE bounded usage collect and a driver-local re-cost, instead
+    of the old per-round cost-map aggregate + broadcast, vocab-size
+    aggregate + broadcast, and M-step shuffle (profiled at 46 Spark
+    jobs for the 4-round curve; the corpus/word-table data path is
+    unchanged)."""
+    spark = docs.sparkSession
     words = word_table(docs, col).localCheckpoint(eager=False)
-    vocab = substring_vocab(words)
+    costs = _collect_costs(substring_vocab(words))
+    chars = [p for p, _ in costs if len(p) == 1]
     stats = []
     for r in range(rounds + 1):
-        seg = _viterbi(words, vocab)
-        vs = vocab.agg(F.count(F.lit(1)).alias("vocab_size"))
+        seg = _viterbi_entries(words, costs)
         stats.append(
             seg.agg(
                 F.sum(F.col("freq") * F.col("wcost"))
                 .cast("long")
                 .alias("corpus_cost_micro")
             )
-            .crossJoin(F.broadcast(vs))
             .select(
                 F.lit(r).cast("int").alias("round"),
-                "vocab_size",
+                F.lit(len(costs)).cast("long").alias("vocab_size"),
                 "corpus_cost_micro",
             )
         )
         if r < rounds:
-            vocab = reestimated_vocab(vocab, _usage_of(seg)).localCheckpoint(
-                eager=False
+            used = [
+                (u["piece"], u["used_cnt"])
+                for u in _usage_of(seg).collect()
+            ]
+            costs = _collect_costs(
+                _reestimated_vocab_local(spark, chars, used)
             )
     return reduce(lambda a, b: a.unionByName(b), stats)
 
@@ -334,16 +412,21 @@ def unigram_piece_usage_em(docs: DataFrame, col: str = "text") -> DataFrame:
     (E+M) -> re-estimated costs -> second Viterbi -> final usage counts.
     Both Viterbi passes run the same unrolled DP on the vocab-sized
     word table; corpus-scale work stays the single word-frequency
-    shuffle."""
-    words = word_table(docs, col)
-    init = substring_vocab(words)
-    seg0 = viterbi_segment(words, init)
-    usage0 = (
-        seg0.select("freq", F.explode("pieces").alias("piece"))
-        .groupBy("piece")
-        .agg(F.sum("freq").alias("used_cnt"))
+    shuffle (checkpointed, so it runs once across both passes); the
+    M-step between them is the driver-local re-cost over one bounded
+    usage collect (see :func:`reestimated_vocab`)."""
+    spark = docs.sparkSession
+    words = word_table(docs, col).localCheckpoint(eager=False)
+    init_costs = _collect_costs(substring_vocab(words))
+    seg0 = _viterbi_entries(words, init_costs)
+    used0 = [
+        (r["piece"], r["used_cnt"]) for r in _usage_of(seg0).collect()
+    ]
+    chars = [p for p, _ in init_costs if len(p) == 1]
+    seg1 = _viterbi_entries(
+        words,
+        _collect_costs(_reestimated_vocab_local(spark, chars, used0)),
     )
-    seg1 = viterbi_segment(words, reestimated_vocab(init, usage0))
     return (
         seg1.select("freq", F.explode("pieces").alias("piece"))
         .groupBy("piece")
