@@ -649,19 +649,31 @@ def simhash_blocks(radius: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int
 
 
 def _block_table(sig: DataFrame, key: str, radius: int) -> DataFrame:
-    """(key, h, block_idx, block_bits) — one row per doc per pigeonhole
-    block, from a cached signature frame carrying ``simhash`` + ``h``."""
+    """(key, h, block_key) — one row per doc per pigeonhole block, from a
+    cached signature frame carrying ``simhash`` + ``h``.
+
+    ``block_key`` packs (block_idx, block_bits) into ONE long —
+    ``block_idx << s | int(block_bits, 2)`` with ``s`` sized to the
+    longest block — instead of the previous (int, 12-char bit-string)
+    pair (r11, guide §2.3 "narrower types"): the self-join's shuffle
+    rows shrink by the string's ~20 bytes and the sort/hash compares one
+    long instead of a string.  Bijective by construction (every block's
+    value < 2^s), so join equality is IDENTICAL to equality on the
+    (idx, bits) pair; max key < (radius+1) · 2^(60/(radius+1)+1) < 2^62
+    for every radius ≥ 0."""
+    nblocks = radius + 1
+    s = SIMHASH_BITS // nblocks + 1
     blocks = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("block_idx"),
-                F.substring("simhash", pos, ln).alias("block_bits"),
-            )
+            (
+                F.lit(i << s)
+                + F.conv(F.substring("simhash", pos, ln), 2, 10).cast("long")
+            ).alias(f"k{i}")
             for i, (pos, ln) in enumerate(simhash_blocks(radius))
         ]
     )
-    return sig.select(F.col(key), F.col("h"), F.explode(blocks).alias("b")).select(
-        F.col(key), F.col("h"), F.col("b.block_idx"), F.col("b.block_bits")
+    return sig.select(
+        F.col(key), F.col("h"), F.explode(blocks).alias("block_key")
     )
 
 
@@ -676,7 +688,7 @@ def simhash_block_stats(
     )
     occ = (
         _block_table(sig, key, radius)
-        .groupBy("block_idx", "block_bits")
+        .groupBy("block_key")  # bijective with (block_idx, block_bits)
         .agg(F.count("*").alias("__m"))
     )
     pairs = F.col("__m") * (F.col("__m") - F.lit(1)) / F.lit(2)
@@ -737,12 +749,12 @@ def bitsig_near_pairs(
     """
     ex = _block_table(sig, key, radius)
     if max_block_size is not None:
-        ex = _drop_hot_groups(ex, ["block_idx", "block_bits"], max_block_size)
+        ex = _drop_hot_groups(ex, ["block_key"], max_block_size)
     a = ex.select(
-        F.col(key).alias("doc_a"), F.col("h").alias("ha"), "block_idx", "block_bits"
+        F.col(key).alias("doc_a"), F.col("h").alias("ha"), "block_key"
     )
     b = ex.select(
-        F.col(key).alias("doc_b"), F.col("h").alias("hb"), "block_idx", "block_bits"
+        F.col(key).alias("doc_b"), F.col("h").alias("hb"), "block_key"
     )
     # hamming verification BEFORE the dedup shuffle: the popcount is a
     # codegen'd projection on the join output, so non-qualifying candidates
@@ -752,7 +764,7 @@ def bitsig_near_pairs(
     # footprint, and both sides are corpus-sized.
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.join(b.hint("merge"), ["block_idx", "block_bits"])
+        a.join(b.hint("merge"), ["block_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= radius)

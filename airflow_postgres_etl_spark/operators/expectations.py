@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 @dataclass(frozen=True)
@@ -351,45 +351,79 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 )
             )
 
-    for r in rules:
-        if r.kind != "distribution":
-            continue
-        bucket = _distribution_bucket(
-            F.col(r.cols[0]), r.edges, tuple(l for l, _q in r.ref)
-        )
-        counts = (
-            df.select(bucket.alias("__b"))
-            .groupBy("__b")
-            .agg(F.count(F.lit(1)).alias("__c"))
+    dist_rules = [r for r in rules if r.kind == "distribution"]
+    if dist_rules:
+        # ONE batch pass for EVERY distribution rule (r11, guide §2.3/
+        # §2.4): each row explodes into its (rule_idx, bucket) pair per
+        # rule, one hash aggregate counts all rules' buckets together,
+        # and the PSI arithmetic runs over the joined ≤ Σ|ref_i| rows.
+        # The previous per-rule plans scanned the batch TWICE per rule
+        # (counts + a separately-recomputed total subtree) — 2K scans
+        # for K rules; the maintain path re-checks stored policies over
+        # the FULL table, where 2K→1 passes is the difference between
+        # "one nightly scan" and "a scan per rule" at 100 TB.
+        pairs = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("__i"),
+                            _distribution_bucket(
+                                F.col(r.cols[0]),
+                                r.edges,
+                                tuple(l for l, _q in r.ref),
+                            ).alias("__b"),
+                        )
+                        for i, r in enumerate(dist_rules)
+                    ]
+                )
+            ).alias("__p")
+        ).select("__p.__i", "__p.__b")
+        counts = pairs.groupBy("__i", "__b").agg(
+            F.count(F.lit(1)).alias("__c")
         )
         ref_df = spark.createDataFrame(
-            list(r.ref), "__b string, __q double"
+            [
+                (i, label, q, float(PSI_LAMBDA * len(r.ref)))
+                for i, r in enumerate(dist_rules)
+                for label, q in r.ref
+            ],
+            "__i int, __b string, __q double, __lb double",
         )
-        nb = len(r.ref)
-        tot = counts.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__nn"))
-        # bucket expr emits only reference labels -> LEFT join is total
+        # bucket expr emits only reference labels -> LEFT join is total,
+        # so each rule's batch total N is the sum of its joined counts.
         # SYMMETRIC smoothing: both sides pass through the same
         # (count + lambda)/(N + lambda*B) transform, the reference via
         # its implied count N*q — a batch matching the reference
         # EXACTLY scores PSI = 0 (not a spurious floor-clamp penalty
         # on zero-probability buckets), and every term stays finite
-        # because both smoothed sides are >= lambda/(N + lambda*B)
-        denom = F.col("__nn") + F.lit(PSI_LAMBDA * nb)
+        # because both smoothed sides are >= lambda/(N + lambda*B).
+        # Arithmetic is IDENTICAL to the old per-rule plans: __lb
+        # pre-computes the same PSI_LAMBDA * nb double per rule.
+        joined = ref_df.join(counts, ["__i", "__b"], "left")
+        nn = F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(
+            Window.partitionBy("__i")
+        )
+        denom = F.col("__nn") + F.col("__lb")
         p = (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(PSI_LAMBDA)) / denom
         q = (F.col("__nn") * F.col("__q") + F.lit(PSI_LAMBDA)) / denom
         term = (p - q) * F.log(p / q)
         psi = (
-            ref_df.join(counts, "__b", "left")
-            .crossJoin(F.broadcast(tot))
-            .agg(
-                F.sum(term).alias("__psi"),
-                F.max("__nn").alias("__nn"),
-            )
+            joined.withColumn("__nn", nn.cast("double"))
+            .select("__i", F.col("__nn"), term.alias("__t"))
+            .groupBy("__i")
+            .agg(F.sum("__t").alias("__psi"), F.max("__nn").alias("__nn"))
+        )
+        name_kind = spark.createDataFrame(
+            [(i, r.name) for i, r in enumerate(dist_rules)],
+            "__i int, __name string",
         )
         reports.append(
-            psi.select(
-                F.lit(r.name).alias("rule"),
-                F.lit(r.kind).alias("kind"),
+            psi.join(F.broadcast(name_kind), "__i")
+            .orderBy("__i")
+            .select(
+                F.col("__name").alias("rule"),
+                F.lit("distribution").alias("kind"),
                 # the drift measure itself, in integer micro-PSI —
                 # fail_thresholds={name: 100_000} gates at PSI 0.1
                 F.round(F.col("__psi") * F.lit(1e6))

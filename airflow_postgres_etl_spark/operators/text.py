@@ -458,11 +458,17 @@ def add_documents(
         # with ONE broadcast semi-join scan instead — lookup_keys with
         # thousands of literal keys pays plan-compile, not IO (measured
         # 2.3 s for 2,500 ids at sf0.1 vs 0.6 s for the semi-join)
-        new_ids = new_dl.select(id_col).localCheckpoint(eager=True)
-        n_ids = new_ids.count()
-        if n_ids <= 512:
+        # bounded single-job probe (r11): limit(cap+1).collect() both
+        # counts and fetches — total rows ≤ cap means we got them ALL,
+        # one more means take the semi-join branch.  Replaces the
+        # checkpoint + count + collect triple (3 Spark jobs → 1); the
+        # frames derive from the already-checkpointed postings, so the
+        # semi-join branch recomputes only a cheap aggregate.
+        new_ids = new_dl.select(id_col)
+        id_probe = new_ids.limit(513).collect()
+        if len(id_probe) <= 512:
             existing = sink.lookup_keys(
-                spark, doclen_path, [r[0] for r in new_ids.collect()], store
+                spark, doclen_path, [r[0] for r in id_probe], store
             )
         else:
             existing = sink.read_keyed_table(spark, doclen_path, store).join(
@@ -474,14 +480,12 @@ def add_documents(
                 f"doc_id {dup[0][0]!r} is already indexed; deletions and "
                 "re-adds need a rebuild"
             )
-        new_terms = new_postings.select("term").distinct().localCheckpoint(
-            eager=True
-        )
-        n_terms = new_terms.count()
-        if n_terms <= 2048:
+        new_terms = new_postings.select("term").distinct()
+        term_probe = new_terms.limit(2049).collect()
+        if len(term_probe) <= 2048:
             # trickle batch: bucket-pruned point lookup — reads only the
             # batch terms' postings buckets
-            terms = [r[0] for r in new_terms.collect()]
+            terms = [r[0] for r in term_probe]
             stored = sink.lookup_keys(
                 spark, postings_path, terms, store
             ).select("term", id_col, "tf")
