@@ -506,6 +506,16 @@ def lsh_candidate_pairs(
         # (key, band_idx, band_key) rows so the signature aggregate runs
         # once.  At corpus scale this is the materialized band INDEX
         # (build_minhash_index); registered for release via ..caching.
+        #
+        # Measured NON-optimization (r11): caching UNCONDITIONALLY (the
+        # uncapped 2-read join recomputes the signature aggregate per
+        # side — ReuseExchange can't dedupe the doc_a/doc_b-aliased
+        # exchanges) read consistently SLOWER in an interleaved A/B
+        # (best-of-3 2.44 s cached vs 1.89 s uncached at sf0.1): the
+        # materialization job + columnar encode/decode costs more than
+        # the duplicated-but-parallel aggregate, and the cache breaks
+        # codegen pipelining into the join.  Two reads: recompute; four
+        # reads: cache.
         exploded = register_cache(exploded)
         exploded = _drop_hot_groups(
             exploded, ["band_idx", "band_key"], max_band_size

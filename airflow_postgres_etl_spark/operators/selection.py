@@ -124,13 +124,17 @@ def ordered_prefix_by_budget(
 # every race key (rounded to 9 decimals before ranking — ln/exp agree
 # across engines to ~1 ulp, far inside the grid).
 #
-# Plan shape at 100 TB: two corpus-bucket hash aggregates (map-side
-# combinable, output ≤ n_buckets rows each), the ratio table is
-# n_buckets rows → BROADCAST into the per-doc bucket counts (one
-# (doc, bucket) shuffle, one doc shuffle), and the selection is a
-# global top-k (TakeOrdered — no full sort).  Nothing driver-side,
-# nothing quadratic; the pool is read exactly twice (corpus counts +
-# per-doc counts), the target once.
+# Plan shape at 100 TB: ONE corpus tokenize+explode pass feeding a
+# (is_target, doc, bucket) hash aggregate (map-side combinable) that
+# every consumer shares via ReuseExchange — target/pool bucket totals
+# are tiny second-level aggregates over it, per-doc pool counts are a
+# filter of it (r11; previously 3 separate corpus passes).  The ratio
+# table is n_buckets rows → BROADCAST into the per-doc bucket counts,
+# and the selection is a global top-k (TakeOrdered — no full sort).
+# Nothing driver-side, nothing quadratic; corpus read ONCE.  Local A/B
+# at sf0.1 read neutral (best-of-3 5.6 s old vs 5.9 s new, inside host
+# noise); the win is the 2 saved tokenize passes, which dominate as the
+# corpus grows.
 # ---------------------------------------------------------------------------
 
 #: 60-bit md5 hash domain (matches operators/sketch.KMV_DOMAIN)
@@ -176,12 +180,23 @@ def dsir_select(
         "__id", "__t", F.explode("__g").alias("__gram")
     ).withColumn("__b", dsir_bucket_expr(F.col("__gram"), n_buckets))
 
-    tgt = ex.filter(F.col("__t")).groupBy("__b").agg(
-        F.count(F.lit(1)).cast("long").alias("__ct")
+    # ONE corpus pass (r11, guide §2.3/§2.4): every consumer below —
+    # target bucket counts, pool bucket counts, per-doc pool counts —
+    # derives from this single (is_target, id, bucket) aggregate, so the
+    # expensive tokenize+explode map side is planned as ONE exchange
+    # that ReuseExchange dedupes across the three subtrees (the plan
+    # shows ReusedExchange; previously each consumer's differing
+    # filter/keys forced its own corpus pass — three tokenizations).
+    # Counts compose exactly: per-bucket totals are integer sums of the
+    # per-doc counts, so every downstream number is bit-identical.
+    cnt = ex.groupBy("__t", "__id", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
     )
-    pool = ex.filter(~F.col("__t"))
-    src = pool.groupBy("__b").agg(
-        F.count(F.lit(1)).cast("long").alias("__cs")
+    tgt = cnt.filter(F.col("__t")).groupBy("__b").agg(
+        F.sum("__c").cast("long").alias("__ct")
+    )
+    src = cnt.filter(~F.col("__t")).groupBy("__b").agg(
+        F.sum("__c").cast("long").alias("__cs")
     )
     tot_t = tgt.agg(F.sum("__ct").alias("__T"))
     tot_s = src.agg(F.sum("__cs").alias("__S"))
@@ -206,9 +221,7 @@ def dsir_select(
         )
     )
 
-    docb = pool.groupBy("__id", "__b").agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
-    )
+    docb = cnt.filter(~F.col("__t")).select("__id", "__b", "__c")
     scored = (
         docb.join(F.broadcast(ratio), "__b")
         .groupBy("__id")

@@ -5556,7 +5556,8 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     via an Efraimidis–Spirakis race on the importance weights.  Two
     corpus hash-aggregates bound by the bucket count, the 512-row
     log-ratio table broadcasts, selection is a global top-k — the plan
-    reads the pool twice and the target once at any corpus size."""
+    reads the corpus ONCE at any size (shared (is_target, doc, bucket)
+    aggregate, r11)."""
     from ..operators.selection import dsir_select
 
     docs = load_table(spark, sf_dir, "documents")

@@ -442,6 +442,37 @@ def test_distribution_psi_matches_hand_computation(spark):
     assert rep["drift"] == (want, 300)
 
 
+def test_distribution_report_plan_is_single_pass(spark):
+    """ALL distribution rules must share ONE batch pass (r11): each rule
+    previously planned its own counts aggregate PLUS a separately
+    recomputed total subtree — 2 scans per rule.  The shared
+    explode-keyed aggregate keeps the batch subtree count at 1 whatever
+    the rule count, and the report stays value-identical (the
+    hand-computation tests above pin the arithmetic)."""
+    from airflow_postgres_etl_spark.operators.expectations import (
+        check_expectations,
+        expect_distribution,
+    )
+
+    df = spark.range(50).select(
+        (F.col("id") % 3).cast("string").alias("a"),
+        (F.col("id") % 5).cast("double").alias("b"),
+    )
+    rules = [
+        expect_distribution("r1", "a", {"0": 0.4, "1": 0.3, "2": 0.3}),
+        expect_distribution("r2", "b", edges=[1.0, 3.0], probs=[0.4, 0.4, 0.2]),
+        expect_distribution("r3", "a", {"0": 0.9, "1": 0.1}),
+    ]
+    plan = (
+        check_expectations(df, rules)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the batch source must appear exactly once — 3 rules, 1 scan
+    assert plan.count("Range (0, 50") == 1, plan
+
+
 def test_distribution_numeric_and_null_pooling(spark):
     from airflow_postgres_etl_spark.operators.expectations import (
         check_expectations,
