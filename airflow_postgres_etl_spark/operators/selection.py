@@ -125,16 +125,22 @@ def ordered_prefix_by_budget(
 # across engines to ~1 ulp, far inside the grid).
 #
 # Plan shape at 100 TB: ONE corpus tokenize+explode pass feeding a
-# (is_target, doc, bucket) hash aggregate (map-side combinable) that
-# every consumer shares via ReuseExchange — target/pool bucket totals
-# are tiny second-level aggregates over it, per-doc pool counts are a
-# filter of it (r11; previously 3 separate corpus passes).  The ratio
-# table is n_buckets rows → BROADCAST into the per-doc bucket counts,
-# and the selection is a global top-k (TakeOrdered — no full sort).
-# Nothing driver-side, nothing quadratic; corpus read ONCE.  Local A/B
-# at sf0.1 read neutral (best-of-3 5.6 s old vs 5.9 s new, inside host
-# noise); the win is the 2 saved tokenize passes, which dominate as the
-# corpus grows.
+# (doc, bucket) hash aggregate (map-side combinable) whose exchange both
+# consumers share — the per-bucket polarity totals and the per-doc pool
+# counts (r12; the executed plan shows the (doc, bucket) stage computed
+# once and ReusedExchange for the second consumer, pinned by
+# tests/test_selection.py).  The polarity rides the aggregate as a VALUE
+# (max(is_target)), not a grouping key: r11 grouped by (is_target, doc,
+# bucket) and filtered each consumer on the polarity, which Catalyst
+# pushed below the aggregate into the scans as complementary
+# PushedFilters — one tokenize pass per consumer (3 passes; see
+# plans/r12/pipeline_dsir_select_before.txt).  An explicit
+# isNotNull(bucket) on the exploded stream keeps both consumer subtrees
+# canonically identical (see the comment at the filter).  The ratio
+# table is
+# n_buckets rows → BROADCAST into the per-doc bucket counts, and the
+# selection is a global top-k (TakeOrdered — no full sort).  Nothing
+# driver-side, nothing quadratic; the corpus is tokenized ONCE.
 # ---------------------------------------------------------------------------
 
 #: 60-bit md5 hash domain (matches operators/sketch.KMV_DOMAIN)
@@ -176,49 +182,69 @@ def dsir_select(
         is_target.alias("__t"),
         grams.alias("__g"),
     )
-    ex = base.select(
-        "__id", "__t", F.explode("__g").alias("__gram")
-    ).withColumn("__b", dsir_bucket_expr(F.col("__gram"), n_buckets))
+    # The isNotNull is semantically a no-op (a NULL bucket requires a
+    # NULL gram, and null grams carry no evidence — they could never
+    # match the ratio table's inner join below), but it is load-bearing
+    # for the plan: the per-doc consumer joins on __b, so Catalyst
+    # infers isnotnull(__b) on that side and pushes it below the (id,
+    # bucket) aggregate — WITHOUT the explicit filter the two consumer
+    # subtrees canonicalize differently (one carries the inferred
+    # filter, the other does not) and AQE cannot reuse the exchange:
+    # the corpus would be tokenized twice.  With it, both subtrees are
+    # byte-identical and the second consumer is a ReusedExchange
+    # (plans/r12/pipeline_dsir_select_after.txt).
+    ex = (
+        base.select("__id", "__t", F.explode("__g").alias("__gram"))
+        .withColumn("__b", dsir_bucket_expr(F.col("__gram"), n_buckets))
+        .filter(F.col("__b").isNotNull())
+    )
 
-    # ONE corpus pass (r11, guide §2.3/§2.4): every consumer below —
-    # target bucket counts, pool bucket counts, per-doc pool counts —
-    # derives from this single (is_target, id, bucket) aggregate, so the
-    # expensive tokenize+explode map side is planned as ONE exchange
-    # that ReuseExchange dedupes across the three subtrees (the plan
-    # shows ReusedExchange; previously each consumer's differing
-    # filter/keys forced its own corpus pass — three tokenizations).
+    # ONE corpus pass (r12, guide §2.3/§2.4): both consumers below — the
+    # per-bucket polarity totals and the per-doc pool counts — derive
+    # from this single (id, bucket) aggregate, so the expensive
+    # tokenize+explode map side is ONE exchange computed once and reused
+    # (executedPlan shows ReusedExchange for the second consumer).  The
+    # polarity is an AGGREGATED column (max(__t)), deliberately NOT a
+    # grouping key: a filter on a grouping column is pushed below the
+    # aggregate into the scan (the r11 shape — complementary
+    # PushedFilters on lang split the corpus pass per consumer, 3
+    # tokenizations), while a filter on an aggregate output cannot
+    # cross the aggregate.  Exact because ``id_col`` identifies one
+    # input row (a requirement the race key already imposes — duplicate
+    # ids would collide on md5(id)), so every exploded gram of a doc
+    # carries the same __t and max over the group IS that value.
     # Counts compose exactly: per-bucket totals are integer sums of the
     # per-doc counts, so every downstream number is bit-identical.
-    cnt = ex.groupBy("__t", "__id", "__b").agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
+    cnt = ex.groupBy("__id", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.max("__t").alias("__t"),
     )
-    tgt = cnt.filter(F.col("__t")).groupBy("__b").agg(
-        F.sum("__c").cast("long").alias("__ct")
+    # both polarities' bucket totals in ONE second-level aggregate
+    # (replaces the separate tgt/src aggregates + full_outer join), and
+    # the corpus-wide totals as window sums over the <= n_buckets rows
+    # (replaces two scalar aggregates + two crossJoins).  Identical
+    # arithmetic on identical longs (sum-of-when = filtered sum; window
+    # sum ignores NULLs exactly like the filtered scalar sum), so every
+    # smoothed double is bit-identical to the r11 form.
+    bkt = cnt.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t"), F.col("__c"))).cast("long").alias("__ct"),
+        F.sum(F.when(~F.col("__t"), F.col("__c"))).cast("long").alias("__cs"),
     )
-    src = cnt.filter(~F.col("__t")).groupBy("__b").agg(
-        F.sum("__c").cast("long").alias("__cs")
-    )
-    tot_t = tgt.agg(F.sum("__ct").alias("__T"))
-    tot_s = src.agg(F.sum("__cs").alias("__S"))
     lam = float(smoothing)
     denom = F.lit(lam * n_buckets)
-    ratio = (
-        tgt.join(src, "__b", "full_outer")
-        .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(tot_s))
-        .select(
-            "__b",
-            (
-                F.log(
-                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(lam))
-                    / (F.col("__T") + denom)
-                )
-                - F.log(
-                    (F.coalesce(F.col("__cs"), F.lit(0)) + F.lit(lam))
-                    / (F.col("__S") + denom)
-                )
-            ).alias("__r"),
-        )
+    w_all = Window.partitionBy()
+    ratio = bkt.select(
+        "__b",
+        (
+            F.log(
+                (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(lam))
+                / (F.sum("__ct").over(w_all) + denom)
+            )
+            - F.log(
+                (F.coalesce(F.col("__cs"), F.lit(0)) + F.lit(lam))
+                / (F.sum("__cs").over(w_all) + denom)
+            )
+        ).alias("__r"),
     )
 
     docb = cnt.filter(~F.col("__t")).select("__id", "__b", "__c")

@@ -5553,11 +5553,12 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): pick the {k} pool docs
     (non-English here, standing in for "raw web") whose hashed
     unigram+bigram distribution best matches the English target slice,
-    via an Efraimidis–Spirakis race on the importance weights.  Two
-    corpus hash-aggregates bound by the bucket count, the 512-row
-    log-ratio table broadcasts, selection is a global top-k — the plan
-    reads the corpus ONCE at any size (shared (is_target, doc, bucket)
-    aggregate, r11)."""
+    via an Efraimidis–Spirakis race on the importance weights.  The
+    corpus is tokenized ONCE into a shared (doc, bucket) aggregate whose
+    exchange both consumers reuse (polarity rides it as max(is_target),
+    not a grouping key — r12; the executed plan shows ReusedExchange,
+    pinned by tests/test_selection.py), the 512-row log-ratio table
+    broadcasts, and the selection is a global top-k."""
     from ..operators.selection import dsir_select
 
     docs = load_table(spark, sf_dir, "documents")

@@ -405,3 +405,31 @@ class TestDsirSelect:
             n_buckets=64,
         ).collect()
         assert len(out) == 1
+
+    def test_corpus_tokenized_once_reused_exchange(self, spark):
+        """The (doc, bucket) aggregate's exchange must be computed ONCE
+        and reused by the second consumer (r12, VERDICT r11 task 1): the
+        polarity rides the aggregate as max(__t) so no polarity filter
+        can be pushed into the scan, and the explicit isNotNull(__b)
+        keeps both consumer subtrees canonically identical (the per-doc
+        consumer's join would otherwise infer isnotnull on its side
+        only, splitting the stage).  Checked on the EXECUTED plan —
+        static dumps never show AQE runtime stage reuse."""
+        from pyspark.sql import functions as F
+
+        from airflow_postgres_etl_spark.operators.selection import dsir_select
+
+        out = dsir_select(
+            self._frame(spark),
+            is_target=F.col("tgt"),
+            grams=self._grams(),
+            k=2,
+            n_buckets=64,
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in plan, plan
+        assert final.count("ReusedExchange") == 1, final
+        # one tokenize+explode pass over the corpus, not one per consumer
+        assert final.count("Generate explode") == 1, final
