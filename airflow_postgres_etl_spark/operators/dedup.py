@@ -14,7 +14,8 @@ Scale design
 - **MinHash + LSH banding** is the scale path: k=12 signatures from
   ``min(md5(seed:shingle))`` (a string-min is a valid min-hash: fixed-width
   hex compares lexicographically = numerically), banded 4×3 so candidate
-  generation is an equi-join on (band_idx, band_key) — linear shuffle, no
+  generation is an equi-join on (band_idx, band_hi, band_lo) — the two
+  signed-long halves of the md5 band hash — linear shuffle, no
   quadratic blowup.  Collision probability follows the standard
   ``1-(1-s^r)^b`` S-curve.
 - **SimHash** packs a 60-bit signature from per-bit majority votes of
@@ -412,29 +413,63 @@ def minhash_signatures(
     return sh.groupBy(key).agg(*aggs)
 
 
-def _bands_expr() -> Column:
-    """Array of (band_idx, band_key) structs from the m0..m11 signature
-    columns; band key = md5 of the concatenated row signatures."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"m{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)],
-                    )
-                ).alias("band_key"),
-            )
-            for bi in range(LSH_BANDS)
-        ]
+#: the band join/group key columns: band_hi/band_lo are the two signed
+#: longs of the 128-bit md5 band hash (r12, guide §2.3 "narrower
+#: types") — 16+2·8 = ~20 bytes of key per shuffle row instead of the
+#: previous 32-char hex string's ~40.  ``conv(hex16, 16, -10)`` is an
+#: exact bijection between each 16-hex-char half and one signed long
+#: (verified down to the 8000…/7fff… boundary values), so equality on
+#: (band_hi, band_lo) is IDENTICAL to equality on the md5 string and
+#: every candidate set is unchanged.
+BAND_COLS = ["band_idx", "band_hi", "band_lo"]
+
+
+def _band_hi_lo(md5_hex: Column) -> tuple[Column, Column]:
+    """The (hi, lo) signed-long decomposition of a 32-char md5 hex."""
+    return (
+        F.conv(F.substring(md5_hex, 1, 16), 16, -10).cast("long"),
+        F.conv(F.substring(md5_hex, 17, 16), 16, -10).cast("long"),
     )
 
 
+def _legacy_band_key(hi: Column, lo: Column) -> Column:
+    """Reconstruct the md5 hex string from its (hi, lo) longs — exact
+    inverse of :func:`_band_hi_lo` (two's-complement hex, zero-padded,
+    lowercased).  Only used to conform appends into a pre-r12 index."""
+    return F.lower(
+        F.concat(
+            F.lpad(F.hex(hi), 16, "0"), F.lpad(F.hex(lo), 16, "0")
+        )
+    )
+
+
+def _bands_expr() -> Column:
+    """Array of (band_idx, band_hi, band_lo) structs from the m0..m11
+    signature columns; (band_hi, band_lo) = the two signed-long halves
+    of md5(concatenated row signatures) — see :data:`BAND_COLS`."""
+    structs = []
+    for bi in range(LSH_BANDS):
+        h = F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"m{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+            )
+        )
+        hi, lo = _band_hi_lo(h)
+        structs.append(
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                hi.alias("band_hi"),
+                lo.alias("band_lo"),
+            )
+        )
+    return F.array(*structs)
+
+
 def _band_table(sig: DataFrame, key: str) -> DataFrame:
-    """(key, band_idx, band_key) — one row per document per band."""
+    """(key, band_idx, band_hi, band_lo) — one row per doc per band."""
     return sig.select(F.col(key), F.explode(_bands_expr()).alias("b")).select(
-        F.col(key), F.col("b.band_idx"), F.col("b.band_key")
+        F.col(key), F.col("b.band_idx"), F.col("b.band_hi"), F.col("b.band_lo")
     )
 
 
@@ -466,14 +501,14 @@ def lsh_band_stats(
     """One-row occupancy summary of the LSH band table — the measurement
     that decides whether a corpus needs ``max_band_size``.
 
-    Columns: ``n_bands`` (distinct (band_idx, band_key) groups),
+    Columns: ``n_bands`` (distinct (band_idx, band_hi, band_lo) groups),
     ``max_band_docs`` (hottest band's occupancy), ``n_colliding_bands``
     (occupancy ≥ 2), ``candidate_pairs_upper`` (Σ m(m-1)/2 — the exact
     pre-distinct candidate join output, i.e. the cost the cap bounds).
     """
     occ = (
         _band_table(minhash_signatures(df, col, key, n), key)
-        .groupBy("band_idx", "band_key")
+        .groupBy(*BAND_COLS)
         .agg(F.count("*").alias("__m"))
     )
     pairs = F.col("__m") * (F.col("__m") - F.lit(1)) / F.lit(2)
@@ -495,7 +530,10 @@ def lsh_candidate_pairs(
     """MinHash-LSH candidate pairs (key_a < key_b), via band equi-join.
 
     Bands: LSH_BANDS bands of LSH_ROWS rows; band key = md5 of the
-    concatenated row signatures.  ``max_band_size`` drops bands with more
+    concatenated row signatures, carried as the two signed longs of
+    :data:`BAND_COLS` (bijective with the hex string — identical
+    candidate sets, ~half the shuffled key bytes on BOTH join sides).
+    ``max_band_size`` drops bands with more
     members (boilerplate skew guard — see :func:`_drop_hot_groups`);
     ``None`` keeps every band (the exact-recall default).
     """
@@ -517,15 +555,9 @@ def lsh_candidate_pairs(
         # codegen pipelining into the join.  Two reads: recompute; four
         # reads: cache.
         exploded = register_cache(exploded)
-        exploded = _drop_hot_groups(
-            exploded, ["band_idx", "band_key"], max_band_size
-        )
-    a = exploded.select(
-        F.col(key).alias("doc_a"), "band_idx", "band_key"
-    )
-    b = exploded.select(
-        F.col(key).alias("doc_b"), "band_idx", "band_key"
-    )
+        exploded = _drop_hot_groups(exploded, BAND_COLS, max_band_size)
+    a = exploded.select(F.col(key).alias("doc_a"), *BAND_COLS)
+    b = exploded.select(F.col(key).alias("doc_b"), *BAND_COLS)
     # merge hint: the band self-join must NEVER broadcast.  Both sides are
     # corpus-sized; when the table is cached (the capped path), its
     # columnar-cache size estimate undercounts the row-format broadcast
@@ -535,7 +567,7 @@ def lsh_candidate_pairs(
     # driver; sort-merge runs it in seconds).  At 100 TB broadcast is
     # equally wrong; SMJ shuffles both sides once on the band key.
     return (
-        a.join(b.hint("merge"), ["band_idx", "band_key"])
+        a.join(b.hint("merge"), BAND_COLS)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -648,6 +680,16 @@ def simhash_blocks(radius: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int
     of the radius+1 blocks.  Equality on any block is an equi-join key,
     which is what turns hamming-radius search into a linear shuffle.
     """
+    if not 0 <= radius < bits:
+        # radius >= bits would make zero-length blocks, whose empty
+        # bit-substrings F.conv maps to NULL join keys in _block_table —
+        # every candidate pair would silently drop (ADVICE r11).  The
+        # old string key degraded harmlessly; the packed long key must
+        # refuse instead of returning a silently incomplete result.
+        raise ValueError(
+            f"radius must be in [0, {bits}) for {bits}-bit signatures "
+            f"(got {radius})"
+        )
     nblocks = radius + 1
     base, rem = divmod(bits, nblocks)
     out, pos = [], 1
@@ -826,10 +868,22 @@ def _index_data_dir(path: str, store) -> str:
 
 def read_minhash_index(spark, path: str, store=None):
     """The committed index snapshot (band table + shingles), resolved
-    through the manifest — the only supported read path."""
+    through the manifest — the only supported read path.
+
+    Always presents the r12 band columns (:data:`BAND_COLS`): an index
+    built before r12 stores the 32-char ``band_key`` hex instead, and
+    its (band_hi, band_lo) longs are derived on read (an exact
+    bijection — see :func:`_band_hi_lo`), so every consumer joins on
+    the narrow longs whichever format is on disk."""
     from ..storage import LOCAL_STORE
 
-    return spark.read.parquet(_index_data_dir(path, store or LOCAL_STORE))
+    df = spark.read.parquet(_index_data_dir(path, store or LOCAL_STORE))
+    if "band_hi" not in df.columns and "band_key" in df.columns:
+        hi, lo = _band_hi_lo(F.col("band_key"))
+        df = df.withColumn("band_hi", hi).withColumn("band_lo", lo).drop(
+            "band_key"
+        )
+    return df
 
 
 def _commit_index_dir(
@@ -852,6 +906,10 @@ def _commit_index_dir(
             "retired": [],
             "n_base": n_base,
             "n_appended": 0,
+            # band-hash storage format: 2 = (band_hi, band_lo) longs
+            # (r12); absent/1 = legacy 32-char band_key hex.  Appends
+            # conform their batch to the committed format.
+            "format": 2,
         }
         store.replace_if_version(
             _index_manifest_path(path), manifest, expected_version=None
@@ -866,6 +924,7 @@ def _commit_index_dir(
         "retired": retired,
         "n_base": n_base,
         "n_appended": 0,
+        "format": 2,
     }
     store.replace_if_version(
         _index_manifest_path(path),
@@ -884,8 +943,8 @@ def build_minhash_index(
     store=None,
 ) -> None:
     """Materialize the LSH band table for a corpus: one row per
-    (band_idx, band_key, doc) plus the doc's shingle array for exact
-    verification.  At 100 TB this table is the dedup INDEX — computed once
+    (band_idx, band_hi, band_lo, doc) plus the doc's shingle array for
+    exact verification.  At 100 TB this table is the dedup INDEX — computed once
     per corpus, partitioned by band for pruned candidate joins.
 
     The data lands in a fresh uniquely-named directory and becomes
@@ -935,10 +994,16 @@ def append_to_minhash_index(
     from ..storage import ConcurrentWriteError, LOCAL_STORE
 
     store = store or LOCAL_STORE
-    data_dir = _index_data_dir(path, store)
-    _index_frame(df, col, key, n, max_band_size).write.mode(
-        "append"
-    ).partitionBy("band_idx").parquet(data_dir)
+    committed = store.read_json(_index_manifest_path(path))
+    if committed is None:
+        raise FileNotFoundError(f"no MinHash index committed at {path}")
+    data_dir = f"{path.rstrip('/')}/{committed['data_dir']}"
+    # conform the batch to the COMMITTED directory's band format: a
+    # pre-r12 index stores band_key hex, and mixing schemas inside one
+    # data dir would make its parquet reads format-dependent
+    _index_frame(
+        df, col, key, n, max_band_size, fmt=committed.get("format", 1)
+    ).write.mode("append").partitionBy("band_idx").parquet(data_dir)
     n_new = df.count()
     # CAS loop: a concurrent compactor may swap the manifest between our
     # read and write; retry against the fresh state (the counter rides
@@ -1112,12 +1177,28 @@ def vacuum_minhash_index(
 
 
 def _index_frame(
-    df: DataFrame, col: str, key: str, n: int, max_band_size: int | None
+    df: DataFrame,
+    col: str,
+    key: str,
+    n: int,
+    max_band_size: int | None,
+    fmt: int = 2,
 ) -> DataFrame:
+    """The persisted band-table rows.  ``fmt=2`` (since r12) stores the
+    band hash as the two signed longs of :data:`BAND_COLS`; ``fmt=1``
+    reconstructs the legacy 32-char ``band_key`` hex column — used only
+    to conform appends into an index built before r12 (mixing schemas
+    inside one data directory would corrupt its reads)."""
     exploded = _band_table(minhash_signatures(df, col, key, n), key)
     if max_band_size is not None:
-        exploded = _drop_hot_groups(
-            exploded, ["band_idx", "band_key"], max_band_size
+        exploded = _drop_hot_groups(exploded, BAND_COLS, max_band_size)
+    if fmt == 1:
+        exploded = exploded.select(
+            F.col(key),
+            "band_idx",
+            _legacy_band_key(F.col("band_hi"), F.col("band_lo")).alias(
+                "band_key"
+            ),
         )
     sh = _doc_shingles(df, col, key, n)
     return exploded.join(sh, key).withColumnRenamed("__sh", "shingles")
@@ -1146,10 +1227,10 @@ def dedup_against_index(
     candidates = (
         new_bands.join(
             index.select(
-                "band_idx", "band_key",
+                *BAND_COLS,
                 F.col(key).alias("__idx_id"), F.col("shingles").alias("__idx_sh"),
             ),
-            ["band_idx", "band_key"],
+            BAND_COLS,
         )
         .select(key, "__idx_id", "__idx_sh")
         .distinct()

@@ -76,7 +76,10 @@ def test_index_build_cap_drops_hot_bands(spark, tmp_path):
 
     index = read_minhash_index(spark, idx)
     max_band = (
-        index.groupBy("band_idx", "band_key").count().agg(F.max("count")).collect()[0][0]
+        index.groupBy("band_idx", "band_hi", "band_lo")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
     )
     assert max_band <= 5
 
@@ -136,7 +139,7 @@ def test_compact_minhash_index_swaps_and_retires(spark, tmp_path):
 
     occ = (
         read_minhash_index(spark, idx)
-        .groupBy("band_idx", "band_key")
+        .groupBy("band_idx", "band_hi", "band_lo")
         .count()
         .agg(F.max("count"))
         .collect()[0][0]
@@ -160,7 +163,7 @@ def test_compact_minhash_index_swaps_and_retires(spark, tmp_path):
     # documented recall trade of the cap, now re-applied globally
     occ2 = (
         read_minhash_index(spark, idx)
-        .groupBy("band_idx", "band_key")
+        .groupBy("band_idx", "band_hi", "band_lo")
         .count()
         .agg(F.max("count"))
         .collect()[0][0]
@@ -222,3 +225,107 @@ def test_compact_detects_concurrent_compactor(spark, tmp_path):
 
     with pytest.raises(ConcurrentWriteError):
         D.compact_minhash_index(spark, idx, corpus_path, store=RacingStore())
+
+
+def test_legacy_band_key_index_reads_and_appends_compatibly(
+    spark, tmp_path
+):
+    """r12 format change (band_key hex -> band_hi/band_lo longs): an
+    index persisted in the PRE-r12 format must keep working unchanged —
+    read_minhash_index derives the longs on read (exact bijection), a
+    post-upgrade append CONFORMS to the committed directory's legacy
+    format (one schema per data dir), and dedup_against_index returns
+    the same survivors as a fresh new-format index of the same corpus."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    import airflow_postgres_etl_spark.operators.dedup as D
+
+    hist = corpus(spark)
+    new_idx = str(tmp_path / "new_format")
+    build_minhash_index(hist, new_idx)
+
+    # forge the legacy layout: same rows, band hash as the 32-char hex
+    # string, no "format" field in the manifest (pre-r12 manifests)
+    old_idx = str(tmp_path / "old_format")
+    legacy = D._index_frame(hist, "text", "doc_id", 3, None, fmt=1)
+    assert "band_key" in legacy.columns and "band_hi" not in legacy.columns
+    legacy.write.partitionBy("band_idx").parquet(f"{old_idx}/data-legacy")
+    os.makedirs(old_idx, exist_ok=True)
+    with open(f"{old_idx}/_index_manifest.json", "w") as fh:
+        json.dump(
+            {
+                "version": 1,
+                "data_dir": "data-legacy",
+                "retired": [],
+                "n_base": hist.count(),
+                "n_appended": 0,
+            },
+            fh,
+        )
+
+    # read path: legacy index presents the BAND_COLS longs
+    idx_df = D.read_minhash_index(spark, old_idx)
+    assert {"band_hi", "band_lo"} <= set(idx_df.columns)
+    assert "band_key" not in idx_df.columns
+
+    batch = spark.createDataFrame(
+        [
+            (500, "the quick brown fox jumps over the lazy dog by the river bank today extra token1"),
+            (501, "completely unrelated text describing a postgres airflow pipeline with celery workers"),
+        ],
+        ["doc_id", "text"],
+    )
+    got_old = {r.doc_id for r in dedup_against_index(batch, old_idx).collect()}
+    got_new = {r.doc_id for r in dedup_against_index(batch, new_idx).collect()}
+    assert got_old == got_new == {501}
+
+    # append into the legacy index conforms to its string format...
+    from airflow_postgres_etl_spark.operators.dedup import (
+        append_to_minhash_index,
+    )
+
+    extra = spark.createDataFrame(
+        [(900, "completely unrelated text describing a postgres airflow pipeline with celery workers")],
+        ["doc_id", "text"],
+    )
+    append_to_minhash_index(extra, old_idx)
+    raw = spark.read.parquet(f"{old_idx}/data-legacy")
+    assert "band_key" in raw.columns and "band_hi" not in raw.columns
+    # ...and the appended doc now catches its near-dups
+    got2 = {r.doc_id for r in dedup_against_index(batch, old_idx).collect()}
+    assert got2 == set()
+
+
+def test_band_hi_lo_bijection_roundtrips_md5():
+    """The (hi, lo) signed-long decomposition must be an exact bijection
+    with the 32-char md5 hex — equality on the longs IS equality on the
+    string, which is what keeps every candidate set unchanged."""
+    import hashlib
+
+    import airflow_postgres_etl_spark.operators.dedup as D
+
+    def py_hi_lo(h: str) -> tuple[int, int]:
+        def signed(x: int) -> int:
+            return x - (1 << 64) if x >= (1 << 63) else x
+
+        return signed(int(h[:16], 16)), signed(int(h[16:], 16))
+
+    def py_back(hi: int, lo: int) -> str:
+        return f"{hi & (2**64 - 1):016x}{lo & (2**64 - 1):016x}"
+
+    for s in [b"", b"a", b"band|0|1", b"\xff" * 33, b"edge"]:
+        h = hashlib.md5(s).hexdigest()
+        hi, lo = py_hi_lo(h)
+        assert py_back(hi, lo) == h
+    # boundary patterns (min/max long, all-zero, all-one halves)
+    for h in [
+        "0" * 32,
+        "f" * 32,
+        "8000000000000000" + "7fffffffffffffff",
+        "7fffffffffffffff" + "8000000000000000",
+    ]:
+        hi, lo = py_hi_lo(h)
+        assert py_back(hi, lo) == h

@@ -277,14 +277,14 @@ def test_stream_dedup_ingest_compacts_in_band(spark, tmp_path):
     # compaction fired in-band: counter reset, manifest swapped (data
     # dir replaced + old dir retired), and the hot-band cap holds
     # GLOBALLY — the band docs 1 and 3 share is gone, every remaining
-    # (band_idx, band_key) group has <= max_band_size members
+    # (band_idx, band_hi, band_lo) group has <= max_band_size members
     assert minhash_appended_fraction(idx) == 0.0
     v2 = LOCAL_STORE.read_json(_index_manifest_path(idx))
     assert v2["data_dir"] != v1["data_dir"]
     assert any(e["dir"] == v1["data_dir"] for e in v2["retired"])
     sizes = (
         read_minhash_index(spark, idx)
-        .groupBy("band_idx", "band_key")
+        .groupBy("band_idx", "band_hi", "band_lo")
         .count()
         .collect()
     )
@@ -302,7 +302,7 @@ def test_stream_dedup_ingest_compacts_in_band(spark, tmp_path):
         ),
         "doc_id",
     )
-    shared = bt.groupBy("band_idx", "band_key").count().filter("count > 1")
+    shared = bt.groupBy("band_idx", "band_hi", "band_lo").count().filter("count > 1")
     assert shared.count() >= 1
 
     # dedup decisions unchanged post-compaction: an exact dup of doc 1
