@@ -517,24 +517,45 @@ def main() -> None:
     # best-of-3: the host is shared and load spikes of 5+ are routine;
     # min-of-reps measures the engine, not the neighbors (ambient drift of
     # ±20% across hours was measured on identical code — see bench_diff)
+    #
+    # Per-query Spark-JOB counts ride along (VERDICT r11 task 3): the
+    # host's wall-clock has been diffuse-drift-flagged two rounds
+    # running, and job counts are load-INdependent — the drift-immune
+    # regression channel.  Each rep runs under its own job group
+    # (thread-local metadata, zero timing effect; the library never sets
+    # groups of its own) and the min across reps is recorded — reps are
+    # plan-deterministic, min guards against a stray AQE re-plan.
+    sc = spark.sparkContext
     timings: dict[str, float] = {}
+    jobs: dict[str, int] = {}
+
+    def _timed_rep(fn, name: str, rep: int) -> tuple[float, int]:
+        group = f"bench-{name}-{rep}"
+        sc.setJobGroup(group, name)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        el = time.perf_counter() - t0
+        n = len(sc.statusTracker().getJobIdsForGroup(group))
+        return el, n
+
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+        best, n_jobs = float("inf"), None
+        for rep in range(3):
+            el, n = _timed_rep(fn, name, rep)
+            best = min(best, el)
+            n_jobs = n if n_jobs is None else min(n_jobs, n)
         # drift guard: a query >1.3x its last committed CLEAN time gets
         # one extra rep immediately (keep the min) — r7's worst recorded
         # "regressions" were all scheduling noise that re-measured flat
         if name in last_clean and best > 1.3 * last_clean[name]:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            el, n = _timed_rep(fn, name, 3)
+            best = min(best, el)
+            n_jobs = min(n_jobs, n)
         timings[name] = round(best, 3)
+        jobs[name] = n_jobs
         # release operator-internal caches between queries: no memory
         # accumulation across the suite, and query N+1 can't silently
         # reuse query N's materialized intermediate.  (Within one query's
@@ -575,6 +596,10 @@ def main() -> None:
         # from future baselines/bands (_clean_history skips it)
         "median_vs_last_clean": round(med, 3) if med is not None else None,
         "diffuse_drift": diffuse,
+        # load-independent per-query Spark-job counts (VERDICT r11 task
+        # 3): the drift-immune regression channel — a structural change
+        # moves the job count, host slowness never does
+        "jobs": jobs,
     }
     # The driver's bench artifact keeps only the LAST ~2000 chars of
     # stdout; with 100+ headline queries the single full-dict line
@@ -595,6 +620,7 @@ def main() -> None:
 
     print(json.dumps({k: v for k, v in full.items() if k != "abbrev_key"}))
     q_ms = {_abbrev(n): int(round(t * 1000)) for n, t in timings.items()}
+    q_jobs = {_abbrev(n): j for n, j in jobs.items()}
     compact = {
         "metric": "headline_queries_total",
         "value": full["value"],
@@ -604,6 +630,11 @@ def main() -> None:
         "load1": load1,
         "contaminated": contaminated,
         "queries": q_ms,
+        # per-query Spark-job counts (additions-only, VERDICT r11 task
+        # 3): load-independent — the regression channel when wall-clock
+        # is drift-flagged.  jobs_total survives any overflow split.
+        "jobs": q_jobs,
+        "jobs_total": sum(q_jobs.values()),
     }
     if diffuse:
         compact["diffuse_drift"] = True
@@ -613,7 +644,7 @@ def main() -> None:
         compact["flagged"] = {
             _abbrev(n): e["verdict"] for n, e in flagged.items()
         }
-    for line in _emit_lines(compact, q_ms, flagged):
+    for line in _emit_lines(compact, q_ms, flagged, q_jobs):
         print(line)
 
 
@@ -623,7 +654,10 @@ MAX_LINE = 1950
 
 
 def _emit_lines(
-    compact: dict, q_ms: dict[str, int], flagged: dict[str, dict]
+    compact: dict,
+    q_ms: dict[str, int],
+    flagged: dict[str, dict],
+    q_jobs: dict[str, int] | None = None,
 ) -> list[str]:
     """Lines to print, FINAL line guaranteed <= MAX_LINE chars.
 
@@ -634,7 +668,19 @@ def _emit_lines(
     per-verdict COUNTS (the full map lives in BENCH_LOCAL.json), and
     (b) the fastest queries are moved to earlier lines until the final
     line fits — iteratively, not a one-shot half split, so even
-    all-156-flagged runs stay parseable (unit-tested)."""
+    all-156-flagged runs stay parseable (unit-tested).
+
+    ``q_jobs`` (r12): per-query Spark-job counts spill in TANDEM with
+    the timings — the final line keeps the slow tail's (ms, jobs)
+    pairs, earlier lines carry the fast queries' under
+    ``queries_fast`` / ``jobs_fast`` — so every name's pair rides one
+    line and the driver's tail always parses with job counts present.
+    """
+
+    def _jobs_of(keys) -> dict[str, int]:
+        return {k: q_jobs[k] for k in keys if k in q_jobs}
+
+    q_jobs = q_jobs or {}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) <= MAX_LINE:
         return [line]
@@ -646,14 +692,20 @@ def _emit_lines(
         compact["flagged"] = counts
     compact["note"] = "slow tail; rest on prev lines + BENCH_LOCAL.json"
     items = sorted(q_ms.items(), key=lambda kv: kv[1])
+    # an entry costs ~12 chars of ms (+~12 of job count when present)
+    per_entry = 24 if q_jobs else 12
     cut = 0
     while True:
         compact["queries"] = dict(items[cut:])
+        if q_jobs:
+            compact["jobs"] = _jobs_of(k for k, _v in items[cut:])
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= MAX_LINE or cut >= len(items):
             break
-        # jump by the overflow's worth of ~12-char entries, always >= 1
-        cut = min(len(items), cut + max(1, (len(line) - MAX_LINE) // 12))
+        # jump by the overflow's worth of entries, always >= 1
+        cut = min(
+            len(items), cut + max(1, (len(line) - MAX_LINE) // per_entry)
+        )
     out = []
     fast = items[:cut]
     while fast:
@@ -661,21 +713,21 @@ def _emit_lines(
         chunk: dict[str, int] = {}
         while fast:
             candidate = {**chunk, fast[0][0]: fast[0][1]}
+            payload = {"queries_fast": candidate}
+            if q_jobs:
+                payload["jobs_fast"] = _jobs_of(candidate)
             if (
                 chunk
-                and len(
-                    json.dumps(
-                        {"queries_fast": candidate}, separators=(",", ":")
-                    )
-                )
+                and len(json.dumps(payload, separators=(",", ":")))
                 > MAX_LINE
             ):
                 break
             chunk = candidate
             fast = fast[1:]
-        out.append(
-            json.dumps({"queries_fast": chunk}, separators=(",", ":"))
-        )
+        payload = {"queries_fast": chunk}
+        if q_jobs:
+            payload["jobs_fast"] = _jobs_of(chunk)
+        out.append(json.dumps(payload, separators=(",", ":")))
     out.append(line)
     return out
 

@@ -263,3 +263,49 @@ def test_zero_baseline_timing_neither_flags_nor_crashes():
         timings, clean, [], "/nonexistent-sf-dir"
     )
     assert "fast" not in out
+
+
+def test_emit_lines_jobs_spill_in_tandem_with_timings():
+    """r12 (VERDICT r11 task 3): per-query Spark-job counts ride the
+    compact stdout lines.  Every line obeys MAX_LINE, the final line
+    json-parses with jobs_total and a jobs map for exactly the queries
+    it carries, and the union of (queries, jobs) across all lines
+    reconstructs both full maps — each name's ms and job count always
+    share a line."""
+    names = [f"pipeline_query_variant_number_{i:03d}" for i in range(156)]
+    q_ms = {bench._abbrev(n): 1000 + i for i, n in enumerate(names)}
+    q_jobs = {bench._abbrev(n): 3 + (i % 40) for i, n in enumerate(names)}
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "n": len(q_ms),
+        "load1": 1.0,
+        "contaminated": False,
+        "queries": dict(q_ms),
+        "jobs": dict(q_jobs),
+        "jobs_total": sum(q_jobs.values()),
+    }
+    lines = bench._emit_lines(compact, q_ms, flagged={}, q_jobs=q_jobs)
+    assert all(len(ln) <= bench.MAX_LINE for ln in lines)
+    final = json.loads(lines[-1])
+    assert final["jobs_total"] == sum(q_jobs.values())
+    # final line: jobs cover exactly the queries kept on it
+    assert set(final["jobs"]) == set(final["queries"])
+    seen_ms, seen_jobs = dict(final["queries"]), dict(final["jobs"])
+    for ln in lines[:-1]:
+        row = json.loads(ln)
+        # tandem rule: a spilled line carries ms and jobs for the SAME keys
+        assert set(row.get("jobs_fast", {})) == set(row.get("queries_fast", {}))
+        seen_ms.update(row.get("queries_fast", {}))
+        seen_jobs.update(row.get("jobs_fast", {}))
+    assert seen_ms == q_ms
+    assert seen_jobs == q_jobs
+
+    # without q_jobs the legacy 3-arg shape is unchanged (single line
+    # when it fits, no jobs keys invented)
+    small = {"metric": "m", "value": 1.0, "n": 2, "contaminated": False,
+             "queries": {"a": 1, "b": 2}}
+    lines2 = bench._emit_lines(dict(small), {"a": 1, "b": 2}, {})
+    assert len(lines2) == 1 and "jobs" not in json.loads(lines2[0])
