@@ -242,8 +242,12 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Violation report: one row per rule —
     ``(rule, kind, n_violations, n_rows)`` — built from as few passes as
     the rule mix allows (all predicate+fresh rules share one aggregate;
-    each unique/FK rule is one aggregate/anti-join of its own).  Returns
-    a DataFrame so the report itself can be stored, trended, or gated
+    each unique/FK rule is one aggregate/anti-join of its own; all
+    distribution rules share one batch pass).  Row ORDER groups by rule
+    kind — predicate+fresh first, then unique/FK, then distribution as
+    a trailing block (each in rule-list order within its group) — so
+    consumers must key rows by ``rule``, not position.  Returns a
+    DataFrame so the report itself can be stored, trended, or gated
     on."""
     spark = df.sparkSession
     reports: list[DataFrame] = []
@@ -382,6 +386,12 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
         counts = pairs.groupBy("__i", "__b").agg(
             F.count(F.lit(1)).alias("__c")
         )
+        # Measured NON-optimization (r12): rebuilding this reference
+        # frame as an explode-of-struct-literals (hoping for a zero-job
+        # LocalRelation broadcast) planned as Generate-over-Range and
+        # cost the SAME 3 jobs in an isolated A/B — ConvertToLocalRelation
+        # does not fold Generate, so the broadcast build pays one job
+        # either way.  Kept as createDataFrame.
         ref_df = spark.createDataFrame(
             [
                 (i, label, q, float(PSI_LAMBDA * len(r.ref)))
@@ -408,18 +418,30 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
         p = (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(PSI_LAMBDA)) / denom
         q = (F.col("__nn") * F.col("__q") + F.lit(PSI_LAMBDA)) / denom
         term = (p - q) * F.log(p / q)
+        # __nn stays LONG through the window sum and the max aggregate
+        # (ADVICE r11: routing it through double is exact only below
+        # 2^53 rows); the PSI terms cast it to double implicitly at the
+        # long+double/long*double arithmetic — bit-identical values,
+        # but the row count itself never round-trips through a float.
         psi = (
-            joined.withColumn("__nn", nn.cast("double"))
+            joined.withColumn("__nn", nn)
             .select("__i", F.col("__nn"), term.alias("__t"))
             .groupBy("__i")
             .agg(F.sum("__t").alias("__psi"), F.max("__nn").alias("__nn"))
         )
-        name_kind = spark.createDataFrame(
-            [(i, r.name) for i, r in enumerate(dist_rules)],
-            "__i int, __name string",
-        )
+        # rule names attach as a CASE projection on __i instead of a
+        # broadcast join (r12, guide §2.4): the join's broadcast build
+        # was one Spark job per check_expectations call — and the
+        # stored-policy maintain path pays this on every re-check.  A
+        # when-chain over ≤K literal names is the same values with zero
+        # extra plan nodes.
+        name_expr = F.lit(None).cast("string")
+        for i, r in enumerate(dist_rules):
+            name_expr = F.when(F.col("__i") == i, F.lit(r.name)).otherwise(
+                name_expr
+            )
         reports.append(
-            psi.join(F.broadcast(name_kind), "__i")
+            psi.withColumn("__name", name_expr)
             .orderBy("__i")
             .select(
                 F.col("__name").alias("rule"),

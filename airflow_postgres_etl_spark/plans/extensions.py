@@ -10065,10 +10065,21 @@ def dq_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
 
-    rows = []
-    for label, batch in (("similar", simb), ("skewed", skwb)):
-        for r in check_expectations(batch, rules).collect():
-            rows.append((r.rule, label, r.n_violations))
+    # ONE collect for both probe batches (r12, guide §1.2/§2.6): the
+    # two per-batch reports union into a single action, so their
+    # aggregate subtrees run concurrently in one job wave instead of
+    # two sequential collects (profile_jobs: the two collects were 14
+    # of this query's 85 jobs and the largest job-time block).  Output
+    # rows are identical — the final frame fully orders by (rule,
+    # batch), so collect order never mattered.
+    labeled = [
+        check_expectations(batch, rules).withColumn("__batch", F.lit(label))
+        for label, batch in (("similar", simb), ("skewed", skwb))
+    ]
+    rows = [
+        (r["rule"], r["__batch"], r["n_violations"])
+        for r in labeled[0].unionByName(labeled[1]).collect()
+    ]
 
     # the gate itself, through the real load path
     tmp = tempfile.mkdtemp(prefix="driftgate_")
